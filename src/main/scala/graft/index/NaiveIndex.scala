@@ -1,0 +1,117 @@
+package graft.index
+
+import graft.analyze.CodeAnalyzer
+import scala.collection.mutable
+
+/**
+ * In-memory reference implementation ("the oracle"): naive hash-map
+ * inverted index + exhaustive BM25. Deliberately simple and obviously
+ * correct — the Spark engine must reproduce its top-k docIDs AND scores
+ * rank-identically on the reference query set (BASELINE.md "scoring
+ * parity"). Query semantics mirror the reference's keyword query language:
+ * "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641).
+ *
+ * Frozen query semantics:
+ *  - topK(q): disjunctive `match` (ES default for analyzed fields): a doc
+ *    matches if it contains ANY query term; score = sum of BM25
+ *    contributions of the matching terms, summed in query-term order.
+ *  - booleanTopK(q): q split on ',' into OR groups, each group split on
+ *    whitespace into AND terms (each word analyzed; all resulting tokens
+ *    required). A doc matches a group iff it contains every group term;
+ *    group score = sum of the group's term contributions (group order);
+ *    doc score = MAX over matching groups. Top-k over the union.
+ *  - ties everywhere: score desc, docId asc.
+ */
+final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
+
+  val postings: Map[String, Array[(Long, Int)]] = {
+    val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
+    docs.sortBy(_._1).foreach { case (id, content) =>
+      val (tf, _) = CodeAnalyzer.termFreqs(content)
+      tf.toSeq.sortBy(_._1).foreach { case (t, f) =>
+        m.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((id, f))
+      }
+    }
+    m.view.mapValues(_.toArray).toMap
+  }
+
+  val docLen: Map[Long, Int] =
+    docs.map { case (id, c) => id -> CodeAnalyzer.analyze(c).length }.toMap
+
+  val numDocs: Long = docs.size.toLong
+  val avgdl: Double =
+    if (numDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / numDocs
+  val bm25: Bm25 = Bm25(numDocs, avgdl)
+
+  def df(term: String): Long = postings.get(term).map(_.length.toLong).getOrElse(0L)
+
+  /** Disjunctive BM25 top-k (exhaustive). */
+  def topK(query: String, k: Int): Seq[ScoredDoc] = {
+    val terms = CodeAnalyzer.analyzeQuery(query).filter(postings.contains)
+    scoreDisjunctive(terms, k)
+  }
+
+  private def scoreDisjunctive(terms: Seq[String], k: Int): Seq[ScoredDoc] = {
+    val acc = mutable.LinkedHashMap.empty[Long, Double] // insertion-ordered; re-summed below
+    // accumulate per doc in query-term order: gather candidate docs first,
+    // then sum explicitly term-by-term per doc so float order is frozen
+    val perTerm: Seq[(Double, Map[Long, Int])] = terms.map { t =>
+      val pl = postings(t)
+      (bm25.idf(pl.length.toLong), pl.toMap)
+    }
+    val cand = mutable.SortedSet.empty[Long]
+    perTerm.foreach { case (_, m) => cand ++= m.keys }
+    val top = new ScoredDoc.TopK(k)
+    cand.foreach { id =>
+      var s = 0.0
+      val dl = docLen(id)
+      perTerm.foreach { case (idf, m) =>
+        m.get(id).foreach(tf => s += bm25.score(idf, tf, dl))
+      }
+      top.offer(ScoredDoc(id, s))
+    }
+    top.result()
+  }
+
+  /** OR-of-AND-groups boolean query ("spaces are ANDs commas are ORs"). */
+  def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
+    val groups: Seq[Seq[String]] = QueryParser.parse(query)
+      .map(_.filter(postings.contains))
+    val valid = QueryParser.parse(query).zip(groups)
+      .collect { case (orig, present) if orig.nonEmpty && orig.length == present.length => present }
+    val best = mutable.HashMap.empty[Long, Double]
+    valid.foreach { group =>
+      val perTerm = group.map { t =>
+        val pl = postings(t)
+        (bm25.idf(pl.length.toLong), pl.toMap)
+      }
+      if (perTerm.nonEmpty) {
+        // docs containing every term of the group
+        val docsSets = perTerm.map(_._2.keySet)
+        val common = docsSets.reduce(_ intersect _)
+        common.toSeq.sorted.foreach { id =>
+          var s = 0.0
+          val dl = docLen(id)
+          perTerm.foreach { case (idf, m) => s += bm25.score(idf, m(id), dl) }
+          val prev = best.get(id)
+          if (prev.isEmpty || s > prev.get) best(id) = s
+        }
+      }
+    }
+    val top = new ScoredDoc.TopK(k)
+    best.toSeq.sortBy(_._1).foreach { case (id, s) => top.offer(ScoredDoc(id, s)) }
+    top.result()
+  }
+}
+
+/** "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641):
+  * OR groups split on ',', AND terms split on whitespace, every word run
+  * through the analyzer (a camelCase query word can contribute several
+  * required tokens). Empty groups dropped. */
+object QueryParser {
+  def parse(query: String): Seq[Seq[String]] =
+    query.split(',').toSeq
+      .map(g => g.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        .flatMap(w => CodeAnalyzer.analyze(w)).distinct)
+      .filter(_.nonEmpty)
+}

@@ -1,0 +1,147 @@
+package graft.index
+
+import graft.analyze.CodeAnalyzer
+import graft.table.IcebergLite
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Read path: BM25 top-k over the committed index — the engine-side
+ * replacement for the ES `_search` ranking the reference relies on
+ * (analyzed fields /root/reference/sentiment.py:782-793; dashboard reads
+ * /root/reference/export.json).
+ *
+ * Plan shape (scale-first):
+ *   dict lookup (parquet filtered on term => row-group pruned, tiny)
+ *   -> postings scan filtered to the query terms (pushed to parquet;
+ *      files are sorted by (shard, term) at build time so min/max stats
+ *      prune row groups)
+ *   -> per document-shard block-max WAND top-k (groupByKey(shard) —
+ *      shards score in parallel, the ES "query phase")
+ *   -> global top-k merge: orderBy(score desc, docId asc).limit(k),
+ *      planned as TakeOrderedAndProject (the ES "reduce phase")
+ *   -> docmeta fetch for the k winners only (IN-filter, pushed down).
+ *
+ * A driver fast path handles small posting volumes (p95 latency: one job,
+ * no shuffle) — the distributed path is the 10^12-doc route; selection is
+ * automatic from the dictionary's df totals.
+ */
+final class QueryEngine(spark: SparkSession, val root: String,
+                        driverPathMaxPostings: Long = 2000000L) extends Serializable {
+  import spark.implicits._
+
+  private val tbl = new IcebergLite(root)
+  val manifest = tbl.currentManifest()
+    .getOrElse(throw new IllegalStateException(s"no committed snapshot at $root"))
+  val bm25: Bm25 = Bm25(manifest.numDocs, manifest.avgdl)
+
+  private val postingPaths = manifest.segments.map(s => s"$root/${s.name}/postings")
+  private val docmetaPaths = manifest.segments.map(s => s"$root/${s.name}/docmeta")
+
+  def postings: DataFrame = spark.read.parquet(postingPaths: _*)
+  def docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
+  def dict: DataFrame = spark.read.parquet(tbl.dictPath)
+
+  /** (term -> global df) for the query's terms; missing terms dropped. */
+  private def termDfs(terms: Seq[String]): Map[String, Long] =
+    if (terms.isEmpty) Map.empty
+    else dict.where(col("term").isin(terms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+
+  private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
+      : Map[String, PostingCursor] =
+    rows.groupBy(_.term).map { case (t, subs) =>
+      val sorted = subs.sortBy(_.skips.head.firstDoc)
+      t -> new PostingCursor(t, bm25.idf(dfs(t)),
+        sorted.map(r => (r.blocks, r.skips)), bm25)
+    }
+
+  /** Disjunctive BM25 top-k; returns (docId, score) best-first. */
+  def topK(query: String, k: Int): Seq[ScoredDoc] = {
+    val terms = CodeAnalyzer.analyzeQuery(query)
+    val dfs = termDfs(terms)
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return Nil
+    val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
+    val totalPostings = dfs.values.sum
+    val shardTop: Seq[ScoredDoc] =
+      if (totalPostings <= driverPathMaxPostings) {
+        // driver fast path: postings for these terms are small; single job
+        rows.collect().groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+          WandScorer.topK(present, cursors(rs.toSeq, dfs), k)
+        }
+      } else {
+        val (bm, pr, dfsB) = (bm25, present, dfs)
+        rows.groupByKey(_.shard).flatMapGroups { (_, it) =>
+          val rs = it.toSeq
+          val cur = rs.groupBy(_.term).map { case (t, subs) =>
+            val sorted = subs.sortBy(_.skips.head.firstDoc)
+            t -> new PostingCursor(t, bm.idf(dfsB(t)),
+              sorted.map(r => (r.blocks, r.skips)), bm)
+          }
+          WandScorer.topK(pr, cur, k).iterator
+        }.collect().toSeq
+      }
+    shardTop.sorted(ScoredDoc.betterOrdering).take(k)
+  }
+
+  /** Boolean keyword query: "spaces are ANDs commas are ORs"
+    * (/root/reference/sentiment.py:638-641). Doc score = max over
+    * matching AND-groups of the group's summed BM25. */
+  def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
+    val groups = QueryParser.parse(query)
+    if (groups.isEmpty) return Nil
+    val allTerms = groups.flatten.distinct
+    val dfs = termDfs(allTerms)
+    // a group with any absent term can never match
+    val valid = groups.filter(_.forall(dfs.contains))
+    if (valid.isEmpty) return Nil
+    val validTerms = valid.flatten.distinct
+    val rows = postings.where(col("term").isin(validTerms: _*)).as[PostingRow]
+    val (bm, dfsB, validB) = (bm25, dfs, valid)
+
+    def scoreShard(rs: Seq[PostingRow], k: Int): Seq[ScoredDoc] = {
+      val best = scala.collection.mutable.HashMap.empty[Long, Double]
+      validB.foreach { group =>
+        val cur = rs.filter(r => group.contains(r.term))
+          .groupBy(_.term).map { case (t, subs) =>
+            val sorted = subs.sortBy(_.skips.head.firstDoc)
+            t -> new PostingCursor(t, bm.idf(dfsB(t)),
+              sorted.map(r => (r.blocks, r.skips)), bm)
+          }
+        WandScorer.conjunctive(group, cur).foreach { sd =>
+          val prev = best.get(sd.docId)
+          if (prev.isEmpty || sd.score > prev.get) best(sd.docId) = sd.score
+        }
+      }
+      val top = new ScoredDoc.TopK(k)
+      best.toSeq.sortBy(_._1).foreach { case (id, s) => top.offer(ScoredDoc(id, s)) }
+      top.result()
+    }
+
+    val totalPostings = validTerms.map(dfs).sum
+    val shardTop: Seq[ScoredDoc] =
+      if (totalPostings <= driverPathMaxPostings)
+        rows.collect().groupBy(_.shard).toSeq.flatMap { case (_, rs) => scoreShard(rs.toSeq, k) }
+      else
+        rows.groupByKey(_.shard)
+          .flatMapGroups((_, it) => scoreShard(it.toSeq, k).iterator)
+          .collect().toSeq
+    shardTop.sorted(ScoredDoc.betterOrdering).take(k)
+  }
+
+  /** Top-k as a DataFrame (docId, score) — for the driver contract. */
+  def topKDF(query: String, k: Int): DataFrame =
+    topK(query, k).toDF("docId", "score")
+
+  /** Top-k joined with document metadata (repo/path/commit/lang/sha256). */
+  def search(query: String, k: Int): DataFrame = {
+    val hits = topK(query, k)
+    if (hits.isEmpty)
+      return spark.emptyDataFrame
+    val ids = hits.map(_.docId)
+    val meta = docmeta.where(col("docId").isin(ids: _*)) // IN-pushdown, k rows
+    meta.join(broadcast(hits.toDF("docId", "score")), Seq("docId"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.index
+
+import graft.table._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/**
+ * Hierarchical segment merge (the ES/Lucene tiered-merge analogue):
+ * compacts all committed segments into one. Because docIds are globally
+ * unique and ascending across (batch, shard) by construction (see
+ * IndexBuilder docId layout), merging posting lists is a pure
+ * concatenation of sub-lists ordered by firstDoc — NO docID remapping, no
+ * re-scoring, deterministic output. Sub-lists are re-blocked into fresh
+ * 128-entry blocks so skip density is restored after many small ingests.
+ *
+ * Plan: union segment postings -> shuffle on (shard, term) -> stream
+ * re-encode runs -> new immutable segment + snapshot commit. Old segment
+ * files are left in place (snapshot isolation; readers of the old
+ * manifest stay correct) — physical GC is a trivial follow-up.
+ */
+object SegmentMerge {
+
+  def merge(spark: SparkSession, root: String): Manifest = {
+    import spark.implicits._
+    val tbl = new IcebergLite(root)
+    val prev = tbl.currentManifest()
+      .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
+    if (prev.segments.size <= 1) return prev
+
+    val postingPaths = prev.segments.map(s => s"$root/${s.name}/postings")
+    val docmetaPaths = prev.segments.map(s => s"$root/${s.name}/docmeta")
+    val segName = s"seg-merged-${prev.version}"
+    val segRoot = s"$root/$segName"
+
+    spark.read.parquet(postingPaths: _*).as[PostingRow]
+      .repartition(col("shard"), col("term"))
+      .map(r => (r.shard, r.term, r.skips.head.firstDoc, r))
+      .toDF("shard", "term", "firstDoc", "row")
+      .sortWithinPartitions("shard", "term", "firstDoc")
+      .as[(Int, String, Long, PostingRow)]
+      .mapPartitions { it =>
+        val in = it.map(_._4).buffered
+        new Iterator[PostingRow] {
+          def hasNext: Boolean = in.hasNext
+          def next(): PostingRow = {
+            val head = in.head
+            val subs = mutable.ArrayBuffer.empty[PostingRow]
+            while (in.hasNext && in.head.shard == head.shard &&
+                   in.head.term == head.term) subs += in.next()
+            // decode in firstDoc order, concatenate, re-block
+            val docs = mutable.ArrayBuilder.make[Long]
+            val tfs = mutable.ArrayBuilder.make[Int]
+            val dls = mutable.ArrayBuilder.make[Int]
+            var df = 0L
+            subs.foreach { r =>
+              val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
+                .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
+              val (d, t, l) = Codec.decodeAll(enc)
+              docs ++= d; tfs ++= t; dls ++= l; df += r.df
+            }
+            val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
+            PostingRow(head.shard, head.term, df, enc.blocks.toSeq,
+              enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
+          }
+        }
+      }
+      .write.mode("overwrite").parquet(s"$segRoot/postings")
+
+    spark.read.parquet(docmetaPaths: _*)
+      .write.mode("overwrite").parquet(s"$segRoot/docmeta")
+
+    val pst = spark.read.parquet(s"$segRoot/postings")
+    val mrow = pst.agg(count(lit(1)), sum("df"),
+      sum(aggregate(col("blocks"), lit(0L), (acc, b) => acc + length(b)))).head()
+    val metrics = SegmentMetrics(prev.numDocs, mrow.getLong(0),
+      mrow.getLong(1), mrow.getLong(2))
+
+    val seg = SegmentInfo(0, segName,
+      prev.segments.flatMap(_.shards).distinct.sorted, metrics,
+      Map("mergedFrom" -> prev.segments.map(_.name).mkString(",")))
+    val manifest = Manifest(prev.version + 1, prev.numShards, Seq(seg),
+      prev.numDocs, prev.totalTokens)
+
+    spark.read.parquet(s"$segRoot/postings")
+      .groupBy("term").agg(sum("df").as("df"), count(lit(1)).as("subLists"))
+      .write.mode("overwrite").parquet(tbl.dictPath)
+
+    tbl.commit(manifest)
+    manifest
+  }
+}

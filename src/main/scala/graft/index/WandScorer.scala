@@ -1,0 +1,207 @@
+package graft.index
+
+import scala.collection.mutable
+
+/**
+ * Posting-list cursor over the encoded sub-lists of ONE term within ONE
+ * document shard (sub-lists from multiple segments, pre-sorted by
+ * firstDoc; docId ranges are disjoint and ascending by construction —
+ * see IndexBuilder docId layout). Blocks are decoded lazily: advanceTo()
+ * walks skip entries and only decodes the landing block, which is the
+ * practical win of block-structured postings (Lucene skip data; block-max
+ * metadata per Ding & Suel, WSDM 2011).
+ */
+final class PostingCursor(val term: String, val idf: Double,
+                          subLists: Seq[(Seq[Array[Byte]], Seq[SkipRow])],
+                          bm25: Bm25) {
+  // flatten: global block arrays, ordered by firstDoc
+  private val blocks: Array[Array[Byte]] = subLists.iterator.flatMap(_._1).toArray
+  private val skips: Array[SkipRow] = subLists.iterator.flatMap(_._2).toArray
+  require(blocks.length == skips.length)
+
+  /** Safe global upper bound of this term's contribution to any doc. */
+  val maxScore: Double = {
+    var m = 0.0
+    var i = 0
+    while (i < skips.length) {
+      val ub = bm25.upperBound(idf, skips(i).maxTf, skips(i).minDl)
+      if (ub > m) m = ub
+      i += 1
+    }
+    m
+  }
+
+  private var blockIdx = 0
+  private var docs: Array[Long] = _
+  private var tfs: Array[Int] = _
+  private var dls: Array[Int] = _
+  private var inBlock = 0
+  private var finished = blocks.isEmpty
+  if (!finished) loadBlock(0)
+
+  private def loadBlock(b: Int): Unit = {
+    blockIdx = b
+    val (d, t, l) = Codec.decodeBlock(blocks(b), skips(b).firstDoc)
+    docs = d; tfs = t; dls = l; inBlock = 0
+  }
+
+  def exhausted: Boolean = finished
+  def curDoc: Long = docs(inBlock)
+  def curScore: Double = bm25.score(idf, tfs(inBlock), dls(inBlock))
+  /** Upper bound of the current block (valid for docs <= blockLastDoc). */
+  def blockMaxScore: Double =
+    bm25.upperBound(idf, skips(blockIdx).maxTf, skips(blockIdx).minDl)
+  def blockLastDoc: Long = skips(blockIdx).lastDoc
+
+  def nextDoc(): Unit = {
+    inBlock += 1
+    if (inBlock >= docs.length) {
+      if (blockIdx + 1 < blocks.length) loadBlock(blockIdx + 1)
+      else finished = true
+    }
+  }
+
+  /** Position at first doc >= target. Skips whole blocks via skip entries
+    * (no decode), binary-searches within the landing block. */
+  def advanceTo(target: Long): Unit = {
+    if (finished || curDoc >= target) return
+    if (target > skips(blockIdx).lastDoc) {
+      // find first block with lastDoc >= target (blocks sorted by firstDoc)
+      var lo = blockIdx + 1
+      var hi = blocks.length - 1
+      if (lo > hi || skips(hi).lastDoc < target) { finished = true; return }
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (skips(mid).lastDoc < target) lo = mid + 1 else hi = mid
+      }
+      loadBlock(lo)
+    }
+    // within-block: first idx with doc >= target
+    var lo = inBlock
+    var hi = docs.length - 1
+    if (docs(hi) < target) { // can't happen (lastDoc >= target), defensive
+      finished = true; return
+    }
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (docs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    inBlock = lo
+  }
+}
+
+/**
+ * Exact top-k scorers over one shard's posting cursors.
+ * Exactness is property-tested against exhaustive scoring (WandSpec):
+ * pruning only uses safe upper bounds and keeps candidates whose bound
+ * TIES the threshold (tie-breaks are by docId and must be evaluated).
+ */
+object WandScorer {
+
+  /** Disjunctive BM25 top-k via WAND (Broder et al., CIKM 2003) with
+    * block-level skipping. `queryOrder` fixes the float summation order.
+    * Cursors map must be keyed by term. */
+  def topK(queryOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
+           k: Int): Seq[ScoredDoc] = {
+    val top = new ScoredDoc.TopK(k)
+    val live = mutable.ArrayBuffer.empty[PostingCursor]
+    queryOrder.foreach(t => cursorsByTerm.get(t).foreach { c =>
+      if (!c.exhausted) live += c
+    })
+    val ordered: Array[PostingCursor] =
+      queryOrder.flatMap(cursorsByTerm.get).toArray // frozen sum order
+
+    while (live.nonEmpty) {
+      val sorted = live.sortBy(_.curDoc)
+      // pivot: first index where cumulative UB could reach the threshold
+      val theta = top.threshold
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < sorted.length && p < 0) {
+        acc += sorted(i).maxScore
+        if (!top.isFull || acc >= theta) p = i
+        i += 1
+      }
+      if (p < 0) return top.result() // no doc can make the heap
+      val pivotDoc = sorted(p).curDoc
+      if (sorted.head.curDoc == pivotDoc) {
+        // block-max refinement: bound using current blocks of cursors at
+        // or before the pivot; strictly below a full heap's theta => the
+        // pivot doc itself cannot enter — advance past it cheaply.
+        var blockUb = 0.0
+        var j = 0
+        while (j <= p) { blockUb += sorted(j).blockMaxScore; j += 1 }
+        var j2 = p + 1
+        while (j2 < sorted.length && sorted(j2).curDoc == pivotDoc) {
+          blockUb += sorted(j2).blockMaxScore; j2 += 1
+        }
+        if (top.isFull && blockUb < theta) {
+          var j3 = 0
+          while (j3 <= p) { sorted(j3).advanceTo(pivotDoc + 1); j3 += 1 }
+        } else {
+          // full evaluation, summing in query-term order
+          var s = 0.0
+          var q = 0
+          while (q < ordered.length) {
+            val c = ordered(q)
+            if (!c.exhausted && c.curDoc == pivotDoc) s += c.curScore
+            q += 1
+          }
+          top.offer(ScoredDoc(pivotDoc, s))
+          var j3 = 0
+          while (j3 < sorted.length && sorted(j3).curDoc == pivotDoc) {
+            sorted(j3).nextDoc(); j3 += 1
+          }
+        }
+      } else {
+        // advance cursors before the pivot up to the pivot doc
+        var j = 0
+        while (j < p) { sorted(j).advanceTo(pivotDoc); j += 1 }
+      }
+      live.filterInPlace(!_.exhausted)
+    }
+    top.result()
+  }
+
+  /** Conjunctive (AND-group) scoring: leapfrog intersection, rarest list
+    * leads. Emits every matching doc with the group's summed score
+    * (groupOrder fixes the float order). */
+  def conjunctive(groupOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor])
+      : Iterator[ScoredDoc] = {
+    val cursors = groupOrder.flatMap(cursorsByTerm.get).toArray
+    if (cursors.length < groupOrder.length || cursors.exists(_.exhausted))
+      return Iterator.empty
+    new Iterator[ScoredDoc] {
+      private var nextHit: ScoredDoc = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        while (true) {
+          if (cursors.exists(_.exhausted)) { done = true; return }
+          var target = cursors(0).curDoc
+          var aligned = true
+          var i = 1
+          while (i < cursors.length) {
+            if (cursors(i).curDoc > target) { target = cursors(i).curDoc; aligned = false }
+            else if (cursors(i).curDoc < target) aligned = false
+            i += 1
+          }
+          if (aligned) {
+            var s = 0.0
+            var q = 0
+            while (q < cursors.length) { s += cursors(q).curScore; q += 1 }
+            nextHit = ScoredDoc(target, s)
+            cursors(0).nextDoc()
+            return
+          } else {
+            var j = 0
+            while (j < cursors.length) { cursors(j).advanceTo(target); j += 1 }
+          }
+        }
+      }
+      def hasNext: Boolean = !done
+      def next(): ScoredDoc = { val h = nextHit; advance(); h }
+    }
+  }
+}
