@@ -1,0 +1,187 @@
+package graft
+
+import graft.analyze.CodeAnalyzer
+import graft.corpus.CorpusGen
+import graft.index._
+import graft.table.IcebergLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The parity gate (BASELINE.md): the Spark engine must reproduce the
+  * in-memory oracle's top-k docIDs AND scores rank-identically on the
+  * reference query set, keep sha256(content) equality per row, resume
+  * from per-shard checkpoints, and merge segments without changing
+  * query results. */
+class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val nDocs = 600L
+  private val numShards = 8
+  private lazy val work = Files.createTempDirectory(
+    Paths.get("/root/repo/target"), "idx-e2e").toString
+
+  /** Reference query set (frozen; also exercised by Bench). */
+  private val refQueries = ReferenceQueries.all
+
+  private lazy val corpusDocs = (0L until nDocs).map(i => CorpusGen.doc(42L, i))
+
+  private lazy val indexRoot = s"$work/index"
+
+  private lazy val built: BuildReport = {
+    val ds = CorpusGen.dataset(spark, nDocs, 42L, 6)
+    IndexBuilder.build(spark, ds, indexRoot, numShards)
+  }
+
+  private lazy val engine = { built; new QueryEngine(spark, indexRoot) }
+
+  /** Oracle with engine-assigned docIds, read back from docmeta. */
+  private lazy val parityOracle: NaiveIndex = {
+    val meta = engine.docmeta
+      .select("docId", "repo", "path", "commit").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3))))
+    val byKey = corpusDocs.map(d => (d.repo, d.path, d.commit) -> d.content).toMap
+    new NaiveIndex(meta.toSeq.map { case (id, k) => (id, byKey(k)) })
+  }
+
+  test("build commits a manifest with sane metrics") {
+    val m = built.manifest
+    assert(m.numDocs === nDocs)
+    assert(m.segments.nonEmpty)
+    val seg = m.segments.head
+    assert(seg.metrics.docs === nDocs)
+    assert(seg.metrics.terms > 0 && seg.metrics.postings > 0 && seg.metrics.bytes > 0)
+    assert(seg.shards === (0 until numShards))
+    assert(seg.lineage.contains("inputShards"))
+  }
+
+  test("sha256 row invariant: every indexed doc matches the source content") {
+    import spark.implicits._
+    val src = CorpusGen.dataset(spark, nDocs, 42L, 6)
+      .map(d => (d.repo, d.path, d.commit, IndexBuilder.sha256Hex(d.content)))
+      .toDF("repo", "path", "commit", "sha_src")
+    val idx = engine.docmeta.select("repo", "path", "commit", "sha256")
+    val joined = src.join(idx, Seq("repo", "path", "commit"))
+    assert(joined.count() === nDocs)
+    assert(joined.where(col("sha_src") =!= col("sha256")).count() === 0L)
+  }
+
+  test("docIds are unique and shard-consistent") {
+    val ids = engine.docmeta.select("docId", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(ids.map(_._1).distinct.length === ids.length)
+    ids.foreach { case (id, sh) => assert(IndexBuilder.shardOf(id) === sh) }
+  }
+
+  test("PARITY: engine top-10 == oracle top-10 (docIds AND scores) on the reference query set") {
+    refQueries.foreach { q =>
+      val expected = parityOracle.topK(q, 10)
+      val got = engine.topK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score for doc ${g.docId}")
+      }
+    }
+  }
+
+  test("PARITY: boolean OR-of-AND queries match the oracle") {
+    ReferenceQueries.boolQueries.foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score doc ${g.docId}")
+      }
+    }
+  }
+
+  test("distributed scorer path agrees with the driver fast path") {
+    val eng2 = new QueryEngine(spark, indexRoot, driverPathMaxPostings = 0L)
+    refQueries.take(6).foreach { q =>
+      assert(eng2.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
+    }
+  }
+
+  test("search() attaches correct metadata to hits") {
+    val df = engine.search(refQueries.head, 5)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(df.columns.toSet === Set("docId", "repo", "path", "commit",
+      "lang", "sha256", "docLen", "shard", "score"))
+    // best-first ordering
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("RESUME: interrupted build (subset of shards) + resume == same index") {
+    val root2 = s"$work/index-resumed"
+    val ds = CorpusGen.dataset(spark, nDocs, 42L, 6)
+    // pass 1: pretend a crash left only shards 0,1,2 done by checkpointing
+    // a partial run: build only shards 0-2 by marking 3..7 as done, then
+    // clearing their checkpoints (simulates completed-then-lost work for
+    // the remaining shards).
+    val tbl = new IcebergLite(root2)
+    tbl.init()
+    (3 until numShards).foreach(sh => tbl.checkpointShard(sh, "fake", 0L))
+    val r1 = IndexBuilder.build(spark, ds, root2, numShards) // builds 0..2
+    assert(r1.builtShards === (0 until 3))
+    (3 until numShards).foreach { sh =>
+      Files.delete(Paths.get(root2, "checkpoints", s"shard-$sh.json"))
+    }
+    val r2 = IndexBuilder.build(spark, ds, root2, numShards) // resumes 3..7
+    assert(r2.builtShards === (3 until numShards))
+    assert(r2.manifest.numDocs === nDocs)
+
+    // identical query results vs the single-pass index
+    val engResumed = new QueryEngine(spark, root2)
+    refQueries.foreach { q =>
+      assert(engResumed.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
+    }
+    // and identical docmeta (incl. docIds: shard content determines ids)
+    val a = engine.docmeta.orderBy("docId").collect().toSeq
+    val b = engResumed.docmeta.orderBy("docId").collect().toSeq
+    assert(a === b)
+    // a third run is a no-op
+    val r3 = IndexBuilder.build(spark, ds, root2, numShards)
+    assert(r3.builtShards.isEmpty)
+  }
+
+  test("MERGE: merged segments answer identically; blocks re-densified") {
+    val root2 = s"$work/index-resumed" // two segments from the resume test
+    val before = new QueryEngine(spark, root2)
+    assert(before.manifest.segments.size === 2)
+    val m = SegmentMerge.merge(spark, root2)
+    assert(m.segments.size === 1)
+    val after = new QueryEngine(spark, root2)
+    assert(after.manifest.numDocs === nDocs)
+    refQueries.foreach { q =>
+      assert(after.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
+    }
+    ReferenceQueries.boolQueries.foreach { q =>
+      assert(after.booleanTopK(q, 10) === engine.booleanTopK(q, 10), s"bool '$q'")
+    }
+  }
+
+  test("incremental ingest (batch > 0) extends the index consistently") {
+    val root3 = s"$work/index-incr"
+    val ds0 = CorpusGen.dataset(spark, nDocs, 42L, 6)
+    IndexBuilder.build(spark, ds0, root3, numShards, batch = 0)
+    // new docs (different seed region) arrive as batch 1
+    import spark.implicits._
+    val ds1 = spark.range(nDocs, nDocs + 200).map(i => CorpusGen.doc(42L, i))
+    IndexBuilder.build(spark, ds1, root3, numShards, batch = 1)
+    val eng3 = new QueryEngine(spark, root3)
+    assert(eng3.manifest.numDocs === nDocs + 200)
+    // oracle over both batches with engine ids
+    val meta = eng3.docmeta.select("docId", "repo", "path", "commit").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3))))
+    val byKey = (0L until nDocs + 200).map(i => CorpusGen.doc(42L, i))
+      .map(d => (d.repo, d.path, d.commit) -> d.content).toMap
+    val orc = new NaiveIndex(meta.toSeq.map { case (id, k) => (id, byKey(k)) })
+    refQueries.take(6).foreach { q =>
+      val expected = orc.topK(q, 10)
+      val got = eng3.topK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q'")
+      got.zip(expected).foreach { case (g, e) => assert(g.score === e.score) }
+    }
+  }
+}
