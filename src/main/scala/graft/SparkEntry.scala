@@ -1,13 +1,243 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, QueryEngine}
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — queries/oracleSql pairs are the correctness gate
+  * (SURVEY.md §5.2); names and column aliases must match between the
+  * Spark plan and the DuckDB SQL. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: build the real inverted index over the synthetic
+    * source-code corpus and run a BM25 top-10 search with metadata. */
+  def entry(spark: SparkSession): DataFrame = {
+    val root = s"${SearchOps.workDir}/entry-index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val corpus = CorpusGen.dataset(spark, 1500L, 42L, 8)
+    IndexBuilder.build(spark, corpus, root, numShards = 8)
+    new QueryEngine(spark, root).search("buildPostingList mergeSortedRuns", 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dashboard / agg surface (export.json parity)
+    "q01_pricing_summary" -> (DashboardOps.qPricingSummary _),
+    "q02_terms_top5" -> (DashboardOps.qTermsTop5 _),
+    "q03_terms_top25_tokens" -> (DashboardOps.qTermsTop25Tokens _),
+    "q04_datehist_30s" -> (DashboardOps.qDateHistCount _),
+    "q05_datehist_metrics" -> (DashboardOps.qDateHistMetrics _),
+    "q06_stats_value" -> (DashboardOps.qStatsValue _),
+    "q07_sort_recent" -> (DashboardOps.qSortRecent _),
+    "q08_topk_per_key" -> (DashboardOps.qTopPerKey _),
+    "q09_pct_change" -> (DashboardOps.qPctChange _),
+    "q10_running_sum" -> (DashboardOps.qRunningSum _),
+    "q11_join_dims" -> (DashboardOps.qJoinDims _),
+    "q12_join_semi" -> (DashboardOps.qJoinSemi _),
+    "q13_join_anti" -> (DashboardOps.qJoinAnti _),
+    "q14_union_doctypes" -> (DashboardOps.qUnionDocTypes _),
+    "q15_json_extract" -> (DashboardOps.qJsonExtract _),
+    "q16_argmax" -> (DashboardOps.qArgMax _),
+    // reference per-doc pipeline (filters + string fns)
+    "q20_clean_text" -> (TextOps.qCleanText _),
+    "q21_filter_min_tokens" -> (TextOps.qFilterMinTokens _),
+    "q22_filter_blacklist" -> (TextOps.qFilterBlacklist _),
+    "q23_filter_whitelist" -> (TextOps.qFilterWhitelist _),
+    "q24_sentiment_docs" -> (SentimentOps.qSentimentDocs _),
+    "q25_sentiment_agg" -> (SentimentOps.qSentimentAgg _),
+    // text analysis for training-data pipelines
+    "q30_quality" -> (TextOps.qQuality _),
+    "q31_langid" -> (TextOps.qLangId _),
+    "q32_token_counts" -> (TextOps.qTokenCounts _),
+    "q33_fingerprint" -> (TextOps.qFingerprint _),
+    // dedup family
+    "q40_dedup_exact" -> (DedupOps.qDedupExact _),
+    "q41_minhash_sigs" -> (DedupOps.qMinHashSigs _),
+    "q42_minhash_bands" -> (DedupOps.qMinHashBands _),
+    "q43_simhash" -> (DedupOps.qSimHash _),
+    "q44_simhash_buckets" -> (DedupOps.qSimHashBuckets _),
+    "q45_ngram_jaccard" -> (DedupOps.qNgramJaccardTop _),
+    // similarity search
+    "q50_ann_bruteforce" -> (AnnOps.qAnnBruteForce _),
+    "q51_embed_norms" -> (AnnOps.qEmbedNorms _),
+    "q52_ann_lsh_buckets" -> (AnnOps.qAnnLshBuckets _),
+    "q53_ann_lsh_topk" -> (AnnOps.qAnnLshTopK _),
+    // search / index engine
+    "q60_bm25_topk" -> (SearchOps.qBm25TopK _),
+    "q61_engine_search" -> (SearchOps.qEngineSearch _),
+    "q62_engine_bool" -> (SearchOps.qEngineBool _),
+    "q63_index_metrics" -> (SearchOps.qIndexMetrics _),
+    // multimodal plumbing
+    "q70_media_meta" -> (MultimodalOps.qMediaMeta _))
+
+  private val stops = Tables.stopListSql
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_terms_top5" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 5""".stripMargin,
+    "q03_terms_top25_tokens" ->
+      s"""SELECT token, count(*) AS cnt FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+    "q04_datehist_30s" ->
+      """SELECT strftime(time_bucket(INTERVAL '30 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | count(*) AS cnt FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q05_datehist_metrics" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, round(sum(value), 4) AS sum_value,
+        | round(avg(value), 4) AS avg_value, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q06_stats_value" ->
+      """SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value,
+        | round(quantile_cont(value, 0.5), 4) AS median_value,
+        | round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+        | count(DISTINCT user_id) AS n_users FROM events""".stripMargin,
+    "q07_sort_recent" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id,
+        | event_type, round(value, 4) AS value_r
+        |FROM events ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+    "q08_topk_per_key" ->
+      """SELECT user_id, rn, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q09_pct_change" ->
+      """SELECT event_id, event_type, round((value - prev) / prev * 100.0, 4) AS pct_change
+        |FROM (SELECT event_id, event_type, value,
+        |        lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |WHERE prev IS NOT NULL AND prev <> 0.0 ORDER BY event_id""".stripMargin,
+    "q10_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_join_dims" ->
+      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q12_join_semi" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_union_doctypes" ->
+      """SELECT doc_type, count(*) AS cnt, max(id) AS max_id FROM (
+        |  SELECT 'event' AS doc_type, event_id AS id FROM events
+        |  UNION ALL SELECT 'document' AS doc_type, doc_id AS id FROM documents)
+        |GROUP BY doc_type ORDER BY doc_type""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q16_argmax" ->
+      """SELECT user_id, arg_max(event_type, value) AS top_type,
+        | round(max(value), 4) AS top_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_clean_text" ->
+      """SELECT doc_id, clean, length(clean) AS clean_len FROM (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(text, 'https?://\S+', '', 'g'),
+        |    '&[a-zA-Z]+;', '', 'g'), '<[^>]*>', '', 'g'), '\bRT\b', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean FROM documents)
+        |WHERE clean <> '' ORDER BY doc_id""".stripMargin,
+    "q21_filter_min_tokens" ->
+      s"""SELECT doc_id, n_tokens FROM (
+         |  SELECT doc_id, len($toksSql) AS n_tokens FROM documents)
+         |WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin,
+    "q22_filter_blacklist" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE NOT list_has_any($toksSql, ['win', 'giveaway'])
+         |ORDER BY doc_id""".stripMargin,
+    "q23_filter_whitelist" ->
+      s"""SELECT doc_id, n_required FROM (
+         |  SELECT doc_id, len(list_filter(['spark', 'query', 'join'],
+         |    w -> list_contains($toksSql, w))) AS n_required FROM documents)
+         |WHERE n_required >= 2 ORDER BY doc_id""".stripMargin,
+    "q24_sentiment_docs" -> sentimentDocsSql,
+    "q25_sentiment_agg" ->
+      s"""SELECT sentiment, count(*) AS cnt, round(avg(polarity), 4) AS avg_polarity,
+         | round(min(polarity), 4) AS min_polarity, round(max(polarity), 4) AS max_polarity
+         |FROM ($sentimentDocsSql) GROUP BY sentiment ORDER BY sentiment""".stripMargin,
+    "q30_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars2, len(toks) AS n_tokens,
+         | round(CAST(len(list_filter(toks, w -> w IN $stops)) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+         | round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS mean_word_len
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q31_langid" -> langIdSql,
+    "q32_token_counts" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        | round(CAST(length(text) AS DOUBLE) /
+        |   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents ORDER BY doc_id""",
+    "q40_dedup_exact" ->
+      """SELECT sha256(trim(lower(text))) AS content_sha, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q50_ann_bruteforce" ->
+      """SELECT vec_id, label,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q51_embed_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q60_bm25_topk" -> SearchOps.bm25OracleSql)
+
+  private def sentimentDocsSql: String = {
+    val pos = SentimentOps.PosWords.map(w => s"'$w'").mkString("(", ",", ")")
+    val neg = SentimentOps.NegWords.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""SELECT doc_id, round(tb, 4) AS tb, round(vader, 4) AS vader,
+       | CASE WHEN tb < 0 AND vader <= -0.05 THEN 'negative'
+       |      WHEN tb > 0 AND vader >= 0.05 THEN 'positive'
+       |      ELSE 'neutral' END AS sentiment,
+       | round((tb + vader) / 2.0, 4) AS polarity
+       |FROM (SELECT doc_id,
+       |        CASE WHEN p + n > 0 THEN (p - n) / (p + n) ELSE 0.0 END AS tb,
+       |        (p - n) / sqrt((p - n) * (p - n) + 15.0) AS vader
+       |      FROM (SELECT doc_id,
+       |              CAST(len(list_filter(toks, w -> w IN $pos)) AS DOUBLE) AS p,
+       |              CAST(len(list_filter(toks, w -> w IN $neg)) AS DOUBLE) AS n
+       |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val counts = TextOps.langMarkers.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("(", ",", ")")
+      s"len(list_filter(toks, w -> w IN $set)) AS c_$l"
+    }.mkString(", ")
+    val langs = TextOps.langMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val others = langs.zipWithIndex.filter(_._2 != i).map(o => s"c_${o._1}")
+      s"WHEN c_$l >= GREATEST(${others.mkString(", ")}) THEN '$l'"
+    }.mkString(" ")
+    val greatestAll = s"GREATEST(${langs.map(l => s"c_$l").mkString(", ")})"
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | CASE $cases END AS predicted_lang,
+       | $greatestAll AS marker_hits
+       |FROM (SELECT doc_id, lang, $counts
+       |      FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The cross-document query surface the reference provisions in ES/Kibana
+ * (metric aggs, terms top-k, date_histogram, sort — declarations at
+ * /root/reference/export.json:49,63,77,91,105) plus the join/window
+ * operators of SURVEY.md §2.6/§2.7, expressed as pure Catalyst plans over
+ * the driver testdata. Partial+final hash aggregation, broadcast joins
+ * for the small dimensions and TakeOrderedAndProject for top-k come free
+ * from Catalyst — verified via .explain in PlanShapeSpec.
+ */
+object DashboardOps {
+  import Tables._
+
+  /** A1-ish pricing summary (partial+final agg; maps the metric aggs of
+    * export.json:49 onto lineitem). */
+  def qPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A6 terms agg, top-5 by count desc (export.json:63), deterministic
+    * tie-break on the key. */
+  def qTermsTop5(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("o_orderpriority"))
+      .limit(5)
+
+  /** A7 terms agg, top-25 tokens (word-cloud, export.json:105). */
+  def qTermsTop25Tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(25)
+
+  /** A8/A10 date_histogram (30s buckets, min_doc_count:1 — empty buckets
+    * naturally absent; export.json:77,91). */
+  def qDateHistCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "30 seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("cnt"))
+      .orderBy("bucket")
+
+  /** A9 composite date_histogram x metrics (price chart, export.json:77)
+    * on 1-hour buckets. */
+  def qDateHistMetrics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(round(sum("value"), 4).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("sum_value"), col("avg_value"), col("cnt"))
+      .orderBy("bucket", "event_type")
+
+  /** A2/A3/A4 metric aggs incl. exact median (ES median is t-digest; we
+    * expose the exact percentile so the DuckDB oracle can match it). */
+  def qStatsValue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").agg(
+      count(lit(1)).as("cnt"),
+      round(avg("value"), 4).as("avg_value"),
+      round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+      round(min("value"), 4).as("min_value"),
+      round(max("value"), 4).as("max_value"),
+      countDistinct("user_id").as("n_users"))
+
+  /** O1 sort by date desc + paging (export.json:34-37). */
+  def qSortRecent(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .orderBy(desc("ts"), asc("event_id"))
+      .limit(100)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+
+  /** O3 per-key cap: first 3 events per user (row_number window). */
+  def qTopPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type")
+      .orderBy("user_id", "rn")
+  }
+
+  /** T9 percent change vs previous value (lag window — the reference's
+    * stock change%, /root/reference/stockprice.py:65-72). */
+  def qPctChange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(asc("ts"), asc("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev", lag("value", 1).over(w))
+      .where(col("prev").isNotNull && col("prev") =!= 0.0)  // F11 null guard
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("prev")) / col("prev") * 100.0, 4).as("pct_change"))
+      .orderBy("event_id")
+  }
+
+  /** Running sum per user (accumulating metric). */
+  def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 4).as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Broadcast dimension join chain (customer -> nation -> region). */
+  def qJoinDims(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("cnt"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("r_name")
+
+  /** J3 semi join: orders that have lineitems, per status. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** J3 anti join: customers with no urgent orders. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J2 union of doc types under one schema + per-type filter/count
+    * (the reference's single index with 3 mapping types). */
+  def qUnionDocTypes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(lit("event").as("doc_type"), col("event_id").as("id"))
+    val docs = t(spark, dir, "documents")
+      .select(lit("document").as("doc_type"), col("doc_id").as("id"))
+    ev.unionByName(docs)
+      .groupBy("doc_type").agg(count(lit(1)).as("cnt"), max("id").as("max_id"))
+      .orderBy("doc_type")
+  }
+
+  /** T7 JSON shredding (the reference's Yahoo chart JSON extraction,
+    * /root/reference/stockprice.py:60-81). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  /** arg-max: highest-value event type per user (max_by). */
+  def qArgMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("max_by(event_type, value)").as("top_type"),
+        round(max("value"), 4).as("top_value"))
+      .orderBy("user_id")
+}

