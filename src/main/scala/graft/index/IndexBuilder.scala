@@ -32,7 +32,7 @@ final case class SkipRow(firstDoc: Long, lastDoc: Long, maxTf: Int, minDl: Int)
   * posting lists bound every shuffle group by the shard size — the hot-term
   * skew defuser: "def"'s postings are numShards bounded groups, never one
   * giant reducer (the built-in salting required by the north rule). */
-final case class PostingRow(shard: Int, term: String, df: Long,
+final case class PostingRow(shard: Int, term: String, df: Long, bytes: Long,
                             blocks: Seq[Array[Byte]], skips: Seq[SkipRow])
 
 final case class BuildReport(manifest: Manifest, segment: Option[SegmentInfo],
@@ -98,7 +98,8 @@ object IndexBuilder {
           docs += p.docId; tfs += p.tf; dls += p.dl; n += 1
         }
         val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-        PostingRow(head.shard, head.term, n, enc.blocks.toSeq,
+        PostingRow(head.shard, head.term, n,
+          enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
           enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
       }
     }
@@ -151,35 +152,50 @@ object IndexBuilder {
     val segName = s"seg-$batch-${prev.segments.size}"
     val segRoot = s"$root/$segName"
 
-    // 3. docmeta segment
-    analyzed
-      .map(a => DocMeta(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256,
-        a.docLen, shardOf(a.docId)))
-      .write.mode("overwrite").parquet(s"$segRoot/docmeta")
+    // 2b. materialize the analysis once, then run the two independent
+    //     segment writes CONCURRENTLY (driver-side parallel job
+    //     submission — keeps all executor slots busy across the narrow
+    //     tail of each stage).
+    analyzed.count()
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // 3. docmeta segment; doc/token metrics ride the write job via
+    //    observe() (A11 stream-counter analogue) — no extra pass.
+    val docObs = org.apache.spark.sql.Observation(s"docmeta-$segName")
+    val docmetaJob = Future {
+      analyzed
+        .map(a => DocMeta(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256,
+          a.docLen, shardOf(a.docId)))
+        .observe(docObs, count(lit(1)).as("docs"), sum("docLen").as("tokens"))
+        .write.mode("overwrite").parquet(s"$segRoot/docmeta")
+    }
 
     // 4. postings: shuffle on (shard, term) [pre-salted], stream-build runs,
     //    store sorted by (shard, term) for parquet min/max pruning on term.
-    analyzed
-      .flatMap(a => a.terms.iterator.map(tf =>
-        TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen)))
-      .repartition(col("shard"), col("term"))
-      .sortWithinPartitions("shard", "term", "docId")
-      .mapPartitions(buildRuns)
-      .write.mode("overwrite").parquet(s"$segRoot/postings")
-
-    // 5. segment metrics from the committed files (re-run safe, exact)
-    val pst = spark.read.parquet(s"$segRoot/postings")
-    val Seq(termRows, postingCount, byteCount) = {
-      val r = pst.agg(
-        count(lit(1)), sum("df"),
-        sum(aggregate(col("blocks"), lit(0L), (acc, b) => acc + length(b)))).head()
-      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    //    Explicit partition count: AQE must not coalesce the encode stage.
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val pstObs = org.apache.spark.sql.Observation(s"postings-$segName")
+    val postingsJob = Future {
+      analyzed
+        .flatMap(a => a.terms.iterator.map(tf =>
+          TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen)))
+        .repartition(shufflePartitions, col("shard"), col("term"))
+        .sortWithinPartitions("shard", "term", "docId")
+        .mapPartitions(buildRuns)
+        .observe(pstObs, count(lit(1)).as("terms"), sum("df").as("postings"),
+          sum("bytes").as("bytes"))
+        .write.mode("overwrite").parquet(s"$segRoot/postings")
     }
-    val dm = spark.read.parquet(s"$segRoot/docmeta")
-    val Seq(docCount, tokCount) = {
-      val r = dm.agg(count(lit(1)), sum("docLen")).head()
-      Seq(r.getLong(0), r.getLong(1))
-    }
+    Await.result(docmetaJob, Duration.Inf)
+    Await.result(postingsJob, Duration.Inf)
+    val docCount = docObs.get("docs").asInstanceOf[Long]
+    val tokCount = docObs.get("tokens").asInstanceOf[Long]
+    val termRows = pstObs.get("terms").asInstanceOf[Long]
+    val postingCount = pstObs.get("postings").asInstanceOf[Long]
+    val byteCount = pstObs.get("bytes").asInstanceOf[Long]
     analyzed.unpersist()
 
     val seg = SegmentInfo(
@@ -190,13 +206,12 @@ object IndexBuilder {
         "inputShards" -> todo.mkString(","),
         "source" -> "corpus(repo,path,commit,lang,content)"))
 
-    // 6. global dictionary (term -> df) over ALL segments
+    // 6. NOTE: no global dictionary on the ingest path — per-term global
+    //    df is derived at query time (sum of sub-list dfs) or materialized
+    //    by SegmentMerge compaction; keeps the build free of a second
+    //    whole-postings aggregation per ingest batch.
     val manifest = Manifest(prev.version + 1, numShards,
       prev.segments :+ seg, prev.numDocs + docCount, prev.totalTokens + tokCount)
-    val allPostings = manifest.segments.map(s => s"$root/${s.name}/postings")
-    spark.read.parquet(allPostings: _*)
-      .groupBy("term").agg(sum("df").as("df"), count(lit(1)).as("subLists"))
-      .write.mode("overwrite").parquet(tbl.dictPath)
 
     // 7. checkpoints (bulk build only) then atomic snapshot commit
     if (batch == 0) todo.foreach(sh => tbl.checkpointShard(sh, segName, docCount))

@@ -38,15 +38,37 @@ final class QueryEngine(spark: SparkSession, val root: String,
   private val postingPaths = manifest.segments.map(s => s"$root/${s.name}/postings")
   private val docmetaPaths = manifest.segments.map(s => s"$root/${s.name}/docmeta")
 
-  def postings: DataFrame = spark.read.parquet(postingPaths: _*)
-  def docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
-  def dict: DataFrame = spark.read.parquet(tbl.dictPath)
+  // lazy vals: file listings + parquet footers are resolved once per
+  // engine, not once per query (ES analogue: segments held open).
+  lazy val postings: DataFrame = spark.read.parquet(postingPaths: _*)
+  lazy val docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
+  /** Global (term -> df): the materialized dictionary when a compaction
+    * has written one, else derived from the postings (column-pruned scan;
+    * the per-query path filters on term first, so it stays cheap). */
+  lazy val dict: DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(tbl.dictPath)))
+      spark.read.parquet(tbl.dictPath)
+    else postings.groupBy("term").agg(sum("df").as("df"))
+
+  /** Driver-resident term dictionary, like Lucene's in-memory terms dict —
+    * loaded once when the vocabulary is small enough; huge vocabularies
+    * fall back to a pushdown-filtered parquet lookup per query. */
+  private val maxResidentDictTerms = 5000000L
+  private lazy val residentDict: Option[Map[String, Long]] = {
+    val subListRows = manifest.segments.map(_.metrics.terms).sum
+    if (subListRows <= maxResidentDictTerms)
+      Some(dict.select("term", "df").as[(String, Long)].collect().toMap)
+    else None
+  }
 
   /** (term -> global df) for the query's terms; missing terms dropped. */
   private def termDfs(terms: Seq[String]): Map[String, Long] =
     if (terms.isEmpty) Map.empty
-    else dict.where(col("term").isin(terms: _*))
-      .select("term", "df").as[(String, Long)].collect().toMap
+    else residentDict match {
+      case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None => dict.where(col("term").isin(terms: _*))
+        .select("term", "df").as[(String, Long)].collect().toMap
+    }
 
   private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
       : Map[String, PostingCursor] =

@@ -34,7 +34,8 @@ object SegmentMerge {
     val segRoot = s"$root/$segName"
 
     spark.read.parquet(postingPaths: _*).as[PostingRow]
-      .repartition(col("shard"), col("term"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("shard"), col("term"))
       .map(r => (r.shard, r.term, r.skips.head.firstDoc, r))
       .toDF("shard", "term", "firstDoc", "row")
       .sortWithinPartitions("shard", "term", "firstDoc")
@@ -60,7 +61,8 @@ object SegmentMerge {
               docs ++= d; tfs ++= t; dls ++= l; df += r.df
             }
             val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-            PostingRow(head.shard, head.term, df, enc.blocks.toSeq,
+            PostingRow(head.shard, head.term, df,
+              enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
               enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
           }
         }
@@ -71,8 +73,7 @@ object SegmentMerge {
       .write.mode("overwrite").parquet(s"$segRoot/docmeta")
 
     val pst = spark.read.parquet(s"$segRoot/postings")
-    val mrow = pst.agg(count(lit(1)), sum("df"),
-      sum(aggregate(col("blocks"), lit(0L), (acc, b) => acc + length(b)))).head()
+    val mrow = pst.agg(count(lit(1)), sum("df"), sum("bytes")).head()
     val metrics = SegmentMetrics(prev.numDocs, mrow.getLong(0),
       mrow.getLong(1), mrow.getLong(2))
 
