@@ -39,6 +39,8 @@ object SparkEntry {
     "q14_union_doctypes" -> (DashboardOps.qUnionDocTypes _),
     "q15_json_extract" -> (DashboardOps.qJsonExtract _),
     "q16_argmax" -> (DashboardOps.qArgMax _),
+    "q17_json_array_fallback" -> (DashboardOps.qJsonArrayFallback _),
+    "q19_asof_join" -> (DashboardOps.qAsofJoin _),
     // reference per-doc pipeline (filters + string fns)
     "q20_clean_text" -> (TextOps.qCleanText _),
     "q21_filter_min_tokens" -> (TextOps.qFilterMinTokens _),
@@ -46,11 +48,16 @@ object SparkEntry {
     "q23_filter_whitelist" -> (TextOps.qFilterWhitelist _),
     "q24_sentiment_docs" -> (SentimentOps.qSentimentDocs _),
     "q25_sentiment_agg" -> (SentimentOps.qSentimentAgg _),
+    "q26_link_merge" -> (SentimentOps.qLinkMerge _),
     // text analysis for training-data pipelines
     "q30_quality" -> (TextOps.qQuality _),
     "q31_langid" -> (TextOps.qLangId _),
     "q32_token_counts" -> (TextOps.qTokenCounts _),
     "q33_fingerprint" -> (TextOps.qFingerprint _),
+    "q34_url_extract" -> (TextOps.qUrlExtract _),
+    "q35_lang_filter" -> (TextOps.qLangFilter _),
+    "q36_contains_filter" -> (TextOps.qContainsFilter _),
+    "q37_date_parse" -> (TextOps.qDateParse _),
     // dedup family
     "q40_dedup_exact" -> (DedupOps.qDedupExact _),
     "q41_minhash_sigs" -> (DedupOps.qMinHashSigs _),
@@ -148,6 +155,17 @@ object SparkEntry {
       """SELECT user_id, arg_max(event_type, value) AS top_type,
         | round(max(value), 4) AS top_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_json_array_fallback" ->
+      """SELECT event_id, round(coalesce(
+        |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[1]') AS DOUBLE),
+        |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[0]') AS DOUBLE)), 4) AS last_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q19_asof_join" ->
+      """WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT a.event_id, a.user_id, round(b.value, 4) AS asof_value
+        |FROM a ASOF JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin,
     "q20_clean_text" ->
       """SELECT doc_id, clean, length(clean) AS clean_len FROM (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
@@ -173,6 +191,11 @@ object SparkEntry {
       s"""SELECT sentiment, count(*) AS cnt, round(avg(polarity), 4) AS avg_polarity,
          | round(min(polarity), 4) AS min_polarity, round(max(polarity), 4) AS max_polarity
          |FROM ($sentimentDocsSql) GROUP BY sentiment ORDER BY sentiment""".stripMargin,
+    "q26_link_merge" ->
+      """SELECT user_id,
+        | round(list_reduce(list(value ORDER BY ts, event_id),
+        |   (a, x) -> (a + x) / 2.0), 4) AS merged
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_quality" ->
       s"""SELECT doc_id, length(text) AS n_chars2, len(toks) AS n_tokens,
          | round(CAST(len(list_filter(toks, w -> w IN $stops)) AS DOUBLE) / len(toks), 4) AS stop_ratio,
@@ -189,6 +212,24 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents ORDER BY doc_id""",
+    "q34_url_extract" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(u, 'https?://[^\s]+')) AS n_urls,
+        | regexp_extract(u, 'https?://([^/\s]+)', 1) AS host1
+        |FROM (SELECT doc_id,
+        |  'see https://example.com/' || source || '/x?q=1 mid http://foo-' || lang || '.org/page end' AS u
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q35_lang_filter" ->
+      """SELECT source, count(*) AS cnt FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q36_contains_filter" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE NOT contains(text, 'spark') GROUP BY lang ORDER BY lang""".stripMargin,
+    "q37_date_parse" ->
+      """SELECT event_id,
+        | strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'),
+        |   '%Y-%m-%dT%H:%M:%S') AS iso_ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT sha256(trim(lower(text))) AS content_sha, min(doc_id) AS keep_id,
         | count(*) AS n_copies

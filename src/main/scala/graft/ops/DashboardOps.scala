@@ -166,6 +166,38 @@ object DashboardOps {
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k")
 
+  /** T7+T8: JSON array shredding with last-non-null fallback (the
+    * reference's Yahoo-chart `close[-1] ?? close[-2]` pattern,
+    * /root/reference/stockprice.py:60-81): build a JSON array whose last
+    * slot is null, parse, take element_at(-1) with fallback to (-2). */
+  def qJsonArrayFallback(spark: SparkSession, dir: String): DataFrame = {
+    val js = concat(lit("["), col("value").cast("string"), lit(",null]"))
+    val arr = from_json(js, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        round(coalesce(element_at(arr, -1), element_at(arr, -2)), 4).as("last_value"))
+      .orderBy("event_id")
+  }
+
+  /** J1 as-of join: each 'click' event gets the latest prior 'view'
+    * value of the same user (the sentiment-vs-price correlation shape —
+    * the question the reference's shared-date-axis dashboard asks,
+    * /root/reference/README.md:9). Implemented shuffle-once: filter ->
+    * per-user ordered window -> last-non-null carry-forward; the classic
+    * Spark as-of without a range join. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.where(col("event_type").isin("click", "view"))
+      .withColumn("view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "click" && col("view_value").isNotNull)
+      .select(col("event_id"), col("user_id"), round(col("view_value"), 4).as("asof_value"))
+      .orderBy("event_id")
+  }
+
   /** arg-max: highest-value event type per user (max_by). */
   def qArgMax(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

@@ -47,6 +47,25 @@ object SentimentOps {
       .select(col("doc_id") +: scored(col("text")): _*)
       .orderBy("doc_id")
 
+  /** U6 link-sentiment merge: the reference folds per-link scores with a
+    * running pairwise average acc=(acc+x)/2 — order-dependent, so the
+    * fold runs over the (ts, event_id)-sorted value list exactly
+    * (/root/reference/sentiment.py:201-222). Pure higher-order exprs. */
+  def qLinkMerge(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr(
+        "sort_array(collect_list(named_struct('ts', ts, 'event_id', event_id, 'value', value)))")
+        .as("ordered"))
+      .select(col("user_id"),
+        round(expr(
+          "aggregate(transform(ordered, o -> o.value), " +
+          "named_struct('started', false, 'acc', cast(0.0 as double)), " +
+          "(s, x) -> named_struct('started', true, " +
+          "'acc', IF(s.started, (s.acc + x) / 2.0, x)), " +
+          "s -> s.acc)"), 4).as("merged"))
+      .orderBy("user_id")
+
   /** Dashboard rollup: terms agg over sentiment + avg/median polarity
     * (export.json:49,63 shape). */
   def qSentimentAgg(spark: SparkSession, dir: String): DataFrame =

@@ -134,6 +134,46 @@ object TextOps {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), 4).as("chars_per_token")
     ).orderBy("doc_id")
 
+  /** T5/T10 URL extraction + host parse over synthesized URL-bearing
+    * text (/root/reference/sentiment.py:89-90,343). */
+  def qUrlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val withUrls = concat(lit("see https://example.com/"), col("source"),
+      lit("/x?q=1 mid http://foo-"), col("lang"), lit(".org/page end"))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(withUrls, lit("https?://[^\\s]+"), lit(0)))
+        .cast("long").as("n_urls"),
+      regexp_extract(withUrls, "https?://([^/\\s]+)", 1).as("host1")
+    ).orderBy("doc_id")
+  }
+
+  /** F9 language filter (server-side `languages=['en']`,
+    * /root/reference/sentiment.py:965): predicate -> partition pruning
+    * on a lang-partitioned corpus. */
+  def qLangFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .where(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .orderBy("source")
+
+  /** F12 marker-phrase skip filter (drop docs containing a marker,
+    * /root/reference/sentiment.py:538-541). */
+  def qContainsFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .where(!col("text").contains("spark"))
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang")
+
+  /** T6 date parse/format roundtrip (twitter created_at handling,
+    * /root/reference/sentiment.py:101-103): format to string, parse
+    * back, emit ISO (second precision). */
+  def qDateParse(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      date_format(to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts")
+    ).orderBy("event_id")
+
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
