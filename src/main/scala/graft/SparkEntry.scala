@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_simhash" -> (DedupOps.qSimHash _),
     "q44_simhash_buckets" -> (DedupOps.qSimHashBuckets _),
     "q45_ngram_jaccard" -> (DedupOps.qNgramJaccardTop _),
+    "q46_minhash_pairs" -> (DedupOps.qMinHashPairs _),
     // similarity search
     "q50_ann_bruteforce" -> (AnnOps.qAnnBruteForce _),
     "q51_embed_norms" -> (AnnOps.qEmbedNorms _),

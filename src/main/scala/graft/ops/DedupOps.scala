@@ -91,6 +91,12 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** Registered near-dup query: LSH candidate pairs with MinHash-estimated
+    * jaccard >= 0.8 (the driver testdata contains genuine near-dup pairs). */
+  def qMinHashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidates(spark, dir, simThreshold = 0.8)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
   /** SimHash (64-bit) per document: tf-weighted sign aggregation of
     * token hashes. Typed map (per-row scalar; Expression candidate). */
   def qSimHash(spark: SparkSession, dir: String): DataFrame = {

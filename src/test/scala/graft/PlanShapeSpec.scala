@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the plans must stay the ones we'd want
+  * at 100 TB — filters pushed to the parquet scan, column pruning, top-k
+  * as TakeOrderedAndProject, dimension joins broadcast, aggregates
+  * partial+final, whole-stage codegen on the hot paths. Guards against
+  * silent plan regressions (the "first plan that passed" trap). */
+class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k by count plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(DashboardOps.qTermsTop5(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), "should not full-sort then limit")
+  }
+
+  test("dimension joins broadcast (no shuffle join for nation/region)") {
+    val p = plan(DashboardOps.qJoinDims(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations are partial+final hash aggregates") {
+    val p = plan(DashboardOps.qPricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, "expect partial + final")
+  }
+
+  test("lang filter is pushed to the parquet scan") {
+    val p = plan(TextOps.qLangFilter(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]")
+      || p.contains("EqualTo(lang,en)"), p)
+  }
+
+  test("column pruning: token top-25 reads only the text column") {
+    val p = plan(DashboardOps.qTermsTop25Tokens(spark, sf))
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("BM25 DataFrame plan: single scan family, broadcast stats, codegen") {
+    val df = SearchOps.qBm25TopK(spark, sf)
+    df.collect() // finalize AQE so the executed plan shows codegen stages
+    val p = plan(df)
+    assert(p.contains("*("), s"expected WholeStageCodegen spans (*(n)):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("engine postings read prunes on term (pushed IN-filter)") {
+    val eng = SearchOps.docEngine(spark, sf)
+    val filtered = eng.postings.where(
+      org.apache.spark.sql.functions.col("term").isin("spark", "query"))
+    val p = plan(filtered)
+    assert(p.contains("PushedFilters") && p.contains("In(term"), p)
+  }
+
+  test("docmeta point-lookup pushes the docId IN-filter") {
+    val eng = SearchOps.docEngine(spark, sf)
+    val p = plan(eng.docmeta.where(
+      org.apache.spark.sql.functions.col("docId").isin(1L, 2L, 3L)))
+    assert(p.contains("In(docId"), p)
+  }
+
+  test("semi/anti joins plan as semi/anti (no row explosion)") {
+    assert(plan(DashboardOps.qJoinSemi(spark, sf)).contains("LeftSemi"))
+    assert(plan(DashboardOps.qJoinAnti(spark, sf)).contains("LeftAnti"))
+  }
+}
