@@ -119,6 +119,11 @@ object IndexBuilder {
     require(prev.segments.isEmpty || prev.numShards == numShards,
       s"index at $root was created with numShards=${prev.numShards}")
 
+    // idempotence for streaming re-delivery (W5): a batchId whose segment
+    // already committed is a no-op re-run.
+    if (batch > 0 && prev.segments.exists(_.lineage.get("batch").contains(batch.toString)))
+      return BuildReport(prev, None, Nil, 0L)
+
     val done: Set[Int] =
       if (resume && batch == 0) tbl.completedShards() else Set.empty
     val todo = (0 until numShards).filterNot(done)

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.corpus.CorpusDoc
+import graft.index.IndexBuilder
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/**
+ * Streaming side of the engine (SURVEY.md §2.9) — the reference ingests
+ * forever from a push stream + 120 s polls (/root/reference/
+ * sentiment.py:886-896,336-337); here that becomes Structured Streaming
+ * micro-batches over an arriving corpus directory:
+ *
+ *  - W1: `readStream` over the corpus table dir; each micro-batch is
+ *    indexed as ONE ingest batch (docId space (batchId+1) << 52), so
+ *    segments stay immutable and merge-free ingest just appends.
+ *  - W5: exactly-once: foreachBatch + the builder's idempotence guard
+ *    (a re-delivered batchId finds its segment in the manifest and
+ *    no-ops) + the streaming checkpoint.
+ *  - W2/W3: tumbling-window aggregation with a watermark (the dashboard's
+ *    30 s date_histogram as a live stream).
+ *  - W4: dedup with BOUNDED state (`dropDuplicatesWithinWatermark`) —
+ *    the reference's in-memory `tweet_ids` list grows forever
+ *    (/root/reference/sentiment.py:54,158); the watermark bounds ours.
+ */
+object StreamIngest {
+
+  /** Continuous index ingest from a directory of arriving parquet files
+    * with the corpus schema. Returns the started query. */
+  def indexStream(spark: SparkSession, sourceDir: String, indexRoot: String,
+                  numShards: Int, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[CorpusDoc].schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .as[CorpusDoc]
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+        // batch 0 is reserved for the bulk build; stream batches are 1-based
+        IndexBuilder.build(batch.sparkSession, batch, indexRoot, numShards,
+          batch = (batchId + 1).toInt, resume = false)
+        ()
+      }
+      .start()
+  }
+
+  /** W2/W3: the dashboard's date_histogram as a stream — tumbling 30 s
+    * windows with a 2 min watermark (late rows beyond it are dropped,
+    * a documented completeness tradeoff vs the reference's
+    * recompute-over-everything model). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "30 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("cnt"))
+
+  /** W4: bounded-state dedup by content hash within the watermark —
+    * replaces the reference's unbounded in-memory dedup lists. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sha256")
+}
