@@ -46,12 +46,16 @@ object ScoredDoc {
     private val heap = new java.util.PriorityQueue[ScoredDoc](
       math.max(1, k), betterOrdering.reverse)
     def offer(d: ScoredDoc): Unit = {
+      if (k <= 0) return
       if (heap.size < k) heap.add(d)
       else if (betterOrdering.compare(d, heap.peek) < 0) { heap.poll(); heap.add(d) }
     }
-    /** Current kth-best score threshold (theta); -inf while not full. */
+    /** Current kth-best score threshold (theta); -inf while not full,
+      * +inf for k<=0 (nothing can enter). */
     def threshold: Double =
-      if (heap.size < k) Double.NegativeInfinity else heap.peek.score
+      if (k <= 0) Double.PositiveInfinity
+      else if (heap.size < k) Double.NegativeInfinity
+      else heap.peek.score
     def isFull: Boolean = heap.size >= k
     def result(): Seq[ScoredDoc] = {
       val arr = heap.toArray(new Array[ScoredDoc](heap.size))

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, QueryEngine}
+import org.apache.spark.sql.SparkSession
+
+/** Adversarial probes at the library surface (edge inputs a user would
+  * hit): empty/garbage queries, unknown terms, punctuation-only text,
+  * rebuild-over-existing-index, wrong numShards. Scratch tool, not part
+  * of the driver contract. */
+object VerifyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = "/root/repo/target/graftwork/probe-index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val corpus = CorpusGen.dataset(spark, 300, 42L, 4)
+    IndexBuilder.build(spark, corpus, root, numShards = 4)
+    val eng = new QueryEngine(spark, root)
+
+    println("PROBE unknown-term topK -> " + eng.topK("zzzznotaterm qqqqq", 10))
+    println("PROBE empty-query topK -> " + eng.topK("", 10))
+    println("PROBE punct-only query -> " + eng.topK("!!! ??? ...", 10))
+    println("PROBE stopword-only query -> " + eng.topK("the and of", 10))
+    println("PROBE bool with dead group -> " +
+      eng.booleanTopK("zzzznotaterm qqq, def return", 3).size + " hits (dead AND-group dropped)")
+    println("PROBE bool all-dead -> " + eng.booleanTopK("zzzz, qqqq", 3))
+    println("PROBE k=0 -> " + eng.topK("def", 0))
+    println("PROBE huge k -> " + eng.topK("computeHashValue", 100000).size + " hits")
+    println("PROBE search no hits -> " + eng.search("zzzznotaterm", 5).count() + " rows")
+
+    // rebuild over a committed index: must be a no-op (all shards done)
+    val r = IndexBuilder.build(spark, corpus, root, numShards = 4)
+    println("PROBE rebuild over done index -> builtShards=" + r.builtShards)
+
+    // wrong numShards on an existing index: must fail loudly, not corrupt
+    try {
+      IndexBuilder.build(spark, corpus, root, numShards = 8)
+      println("PROBE wrong-shards -> NO ERROR (BAD)")
+    } catch {
+      case e: IllegalArgumentException =>
+        println("PROBE wrong-shards -> rejected: " + e.getMessage.take(80))
+    }
+
+    // open an engine on a nonexistent index
+    try { new QueryEngine(spark, "/root/repo/target/graftwork/nope"); println("PROBE open-missing -> NO ERROR (BAD)") }
+    catch { case e: IllegalStateException => println("PROBE open-missing -> rejected: " + e.getMessage.take(60)) }
+
+    spark.stop()
+  }
+}
