@@ -14,21 +14,121 @@ final case class Skip(firstDoc: Long, lastDoc: Long, maxTf: Int, minDl: Int)
 final case class EncodedPostings(blocks: Array[Array[Byte]], skips: Array[Skip], count: Long)
 
 /**
- * Postings codec: per block of up to 128 postings
- *   varint(n)
- *   n-1 docId deltas, varint   (first docId lives in the skip entry)
- *   n   tf values, varint
- *   n   docLen values, varint  (dl stored inline => posting lists are
- *                               self-contained, no norms join at query time;
- *                               Lucene's equivalent is the per-doc norm)
+ * Postings codec: per block of up to 128 postings, three delta/value
+ * arrays (docId deltas — first docId lives in the skip entry —, tfs,
+ * docLens; dl stored inline => posting lists are self-contained, no
+ * norms join at query time; Lucene's equivalent is the per-doc norm).
  *
+ * Two block formats, tagged by a leading format byte:
+ *   0 = VARINT: each array LEB128-varint encoded.
+ *   1 = PFOR:   patched frame-of-reference (Zukowski et al., ICDE 2006;
+ *       the NewPFD "exceptions as (idx, value) patch list" variant):
+ *       per array choose the bit width w minimizing
+ *       packed-bits + exception bytes, bit-pack the low w bits of every
+ *       value, and patch the outliers from a varint exception list.
+ *
+ * PFOR is the default build format (smaller and decode is branch-light);
+ * VARINT kept for cross-checking and as the simple reference decoder.
  * Property-tested in CodecSpec: decode(encode(xs)) == xs for arbitrary
- * sorted distinct docId lists incl. block-boundary sizes and varint edge
- * values. PForDelta-style exception patching is a planned v2 — the block
- * layout (fixed 128) is already FOR-compatible.
+ * sorted distinct docId lists incl. block-boundary sizes, both formats.
  */
 object Codec {
   val BlockSize = 128
+
+  sealed trait Format { def tag: Byte }
+  case object Varint extends Format { val tag: Byte = 0 }
+  case object Pfor extends Format { val tag: Byte = 1 }
+  val DefaultFormat: Format = Pfor
+
+  @inline private def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v | 1L)
+
+  /** PFOR-pack one array: varint(n), byte(w), varint(nExc),
+    * ceil(n*w/8) packed bytes, then nExc * (varint idx, varint value). */
+  private[index] def packArray(buf: mutable.ArrayBuilder[Byte], vs: Array[Long]): Unit = {
+    val n = vs.length
+    writeVarLong(buf, n.toLong)
+    if (n == 0) return
+    // choose w minimizing packed size + exception cost
+    val bits = vs.map(bitsOf)
+    var bestW = 64
+    var bestCost = Long.MaxValue
+    var w = 0
+    while (w <= 64) {
+      var exc = 0L
+      var excBytes = 0L
+      var i = 0
+      while (i < n) {
+        if (bits(i) > w) { exc += 1; excBytes += 2 + (bits(i) + 6) / 7 }
+        i += 1
+      }
+      val cost = (n.toLong * w + 7) / 8 + excBytes
+      if (cost < bestCost) { bestCost = cost; bestW = w }
+      w += 1
+    }
+    val width = bestW
+    buf += width.toByte
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    var nExc = 0
+    var i = 0
+    while (i < n) { if (bits(i) > width) nExc += 1; i += 1 }
+    writeVarLong(buf, nExc.toLong)
+    // bit-pack low `width` bits, LSB-first within a little-endian stream
+    val packedLen = ((n.toLong * width + 7) / 8).toInt
+    val packed = new Array[Byte](packedLen)
+    var bitPos = 0L
+    i = 0
+    while (i < n) {
+      val v = vs(i) & mask
+      var b = 0
+      while (b < width) {
+        if (((v >>> b) & 1L) != 0L) {
+          val p = bitPos + b
+          packed((p >>> 3).toInt) = (packed((p >>> 3).toInt) | (1 << (p & 7)).toByte).toByte
+        }
+        b += 1
+      }
+      bitPos += width
+      i += 1
+    }
+    packed.foreach(buf += _)
+    i = 0
+    while (i < n) {
+      if (bits(i) > width) { writeVarLong(buf, i.toLong); writeVarLong(buf, vs(i)) }
+      i += 1
+    }
+  }
+
+  private[index] def unpackArray(r: Reader, bytes: Array[Byte]): Array[Long] = {
+    val n = r.readVarLong().toInt
+    val out = new Array[Long](n)
+    if (n == 0) return out
+    val width = bytes(r.pos) & 0xff; r.pos += 1
+    val nExc = r.readVarLong().toInt
+    val packedLen = ((n.toLong * width + 7) / 8).toInt
+    val base = r.pos
+    var i = 0
+    var bitPos = 0L
+    while (i < n) {
+      var v = 0L
+      var b = 0
+      while (b < width) {
+        val p = bitPos + b
+        if ((bytes(base + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
+        b += 1
+      }
+      out(i) = v
+      bitPos += width
+      i += 1
+    }
+    r.pos = base + packedLen
+    var e = 0
+    while (e < nExc) {
+      val idx = r.readVarLong().toInt
+      out(idx) = r.readVarLong()
+      e += 1
+    }
+    out
+  }
 
   def writeVarLong(buf: mutable.ArrayBuilder[Byte], v0: Long): Unit = {
     var v = v0
@@ -58,7 +158,8 @@ object Codec {
 
   /** docIds must be sorted strictly ascending; tfs/dls parallel arrays. */
   def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-             blockSize: Int = BlockSize): EncodedPostings = {
+             blockSize: Int = BlockSize,
+             format: Format = DefaultFormat): EncodedPostings = {
     require(docIds.length == tfs.length && tfs.length == dls.length)
     val nBlocks = (docIds.length + blockSize - 1) / blockSize
     val blocks = new Array[Array[Byte]](nBlocks)
@@ -69,15 +170,32 @@ object Codec {
       val end = math.min(start + blockSize, docIds.length)
       val n = end - start
       val buf = mutable.ArrayBuilder.make[Byte]
-      writeVarLong(buf, n.toLong)
-      var i = start + 1
-      while (i < end) { writeVarLong(buf, docIds(i) - docIds(i - 1)); i += 1 }
-      i = start
+      buf += format.tag
+      format match {
+        case Varint =>
+          writeVarLong(buf, n.toLong)
+          var i = start + 1
+          while (i < end) { writeVarLong(buf, docIds(i) - docIds(i - 1)); i += 1 }
+          i = start
+          while (i < end) { writeVarLong(buf, tfs(i).toLong); i += 1 }
+          i = start
+          while (i < end) { writeVarLong(buf, dls(i).toLong); i += 1 }
+        case Pfor =>
+          val deltas = new Array[Long](n - 1)
+          var i = start + 1
+          while (i < end) { deltas(i - start - 1) = docIds(i) - docIds(i - 1); i += 1 }
+          packArray(buf, deltas)
+          packArray(buf, Array.tabulate(n)(j => tfs(start + j).toLong))
+          packArray(buf, Array.tabulate(n)(j => dls(start + j).toLong))
+      }
       var maxTf = 0
-      while (i < end) { writeVarLong(buf, tfs(i).toLong); if (tfs(i) > maxTf) maxTf = tfs(i); i += 1 }
-      i = start
       var minDl = Int.MaxValue
-      while (i < end) { writeVarLong(buf, dls(i).toLong); if (dls(i) < minDl) minDl = dls(i); i += 1 }
+      var i = start
+      while (i < end) {
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls(i) < minDl) minDl = dls(i)
+        i += 1
+      }
       blocks(b) = buf.result()
       skips(b) = Skip(docIds(start), docIds(end - 1), maxTf, if (n == 0) 0 else minDl)
       b += 1
@@ -85,23 +203,42 @@ object Codec {
     EncodedPostings(blocks, skips, docIds.length.toLong)
   }
 
-  /** Decodes one block. firstDoc comes from the matching skip entry. */
+  /** Decodes one block (format-dispatched on the leading tag byte).
+    * firstDoc comes from the matching skip entry. */
   def decodeBlock(bytes: Array[Byte], firstDoc: Long): (Array[Long], Array[Int], Array[Int]) = {
     val r = new Reader(bytes)
-    val n = r.readVarLong().toInt
-    val docs = new Array[Long](n)
-    val tfs = new Array[Int](n)
-    val dls = new Array[Int](n)
-    if (n > 0) {
-      docs(0) = firstDoc
-      var i = 1
-      while (i < n) { docs(i) = docs(i - 1) + r.readVarLong(); i += 1 }
-      i = 0
-      while (i < n) { tfs(i) = r.readVarLong().toInt; i += 1 }
-      i = 0
-      while (i < n) { dls(i) = r.readVarLong().toInt; i += 1 }
+    val tag = bytes(r.pos); r.pos += 1
+    tag match {
+      case 0 => // VARINT
+        val n = r.readVarLong().toInt
+        val docs = new Array[Long](n)
+        val tfs = new Array[Int](n)
+        val dls = new Array[Int](n)
+        if (n > 0) {
+          docs(0) = firstDoc
+          var i = 1
+          while (i < n) { docs(i) = docs(i - 1) + r.readVarLong(); i += 1 }
+          i = 0
+          while (i < n) { tfs(i) = r.readVarLong().toInt; i += 1 }
+          i = 0
+          while (i < n) { dls(i) = r.readVarLong().toInt; i += 1 }
+        }
+        (docs, tfs, dls)
+      case 1 => // PFOR
+        val deltas = unpackArray(r, bytes)
+        val tfsL = unpackArray(r, bytes)
+        val dlsL = unpackArray(r, bytes)
+        val n = tfsL.length
+        val docs = new Array[Long](n)
+        if (n > 0) {
+          docs(0) = firstDoc
+          var i = 1
+          while (i < n) { docs(i) = docs(i - 1) + deltas(i - 1); i += 1 }
+        }
+        (docs, tfsL.map(_.toInt), dlsL.map(_.toInt))
+      case other =>
+        throw new IllegalStateException(s"unknown postings block format $other")
     }
-    (docs, tfs, dls)
   }
 
   def decodeAll(p: EncodedPostings): (Array[Long], Array[Int], Array[Int]) = {

@@ -18,17 +18,48 @@ class CodecSpec extends AnyFunSuite {
     (docs, tfs, dls)
   }
 
-  test("roundtrip property: decode(encode(xs)) == xs (200 random lists)") {
+  test("roundtrip property: decode(encode(xs)) == xs (200 random lists, both formats)") {
     val rnd = new Random(42)
-    (1 to 200).foreach { _ =>
+    (1 to 200).foreach { i =>
       val (docs, tfs, dls) = randomList(rnd)
-      val enc = Codec.encode(docs, tfs, dls)
+      val fmt = if (i % 2 == 0) Codec.Varint else Codec.Pfor
+      val enc = Codec.encode(docs, tfs, dls, format = fmt)
       val (d2, t2, l2) = Codec.decodeAll(enc)
       assert(d2.toSeq === docs.toSeq)
       assert(t2.toSeq === tfs.toSeq)
       assert(l2.toSeq === dls.toSeq)
       assert(enc.count === docs.length.toLong)
     }
+  }
+
+  test("PFOR with skewed values (exception patching) roundtrips and is smaller") {
+    val rnd = new Random(99)
+    // mostly-small deltas with rare huge outliers — PFOR's target shape
+    var doc = 0L
+    val docs = Array.fill(2000) {
+      doc += (if (rnd.nextInt(100) == 0) 1L << 40 else 1 + rnd.nextInt(30).toLong)
+      doc
+    }
+    val tfs = Array.fill(2000)(if (rnd.nextInt(50) == 0) 30000 else 1 + rnd.nextInt(4))
+    val dls = Array.fill(2000)(100 + rnd.nextInt(50))
+    val pf = Codec.encode(docs, tfs, dls, format = Codec.Pfor)
+    val vi = Codec.encode(docs, tfs, dls, format = Codec.Varint)
+    val (d2, t2, l2) = Codec.decodeAll(pf)
+    assert(d2.toSeq === docs.toSeq && t2.toSeq === tfs.toSeq && l2.toSeq === dls.toSeq)
+    val pfBytes = pf.blocks.map(_.length).sum
+    val viBytes = vi.blocks.map(_.length).sum
+    assert(pfBytes < viBytes, s"pfor $pfBytes vs varint $viBytes")
+  }
+
+  test("mixed-format lists decode seamlessly (old varint segments + new pfor)") {
+    val docs = Array.tabulate(300)(i => i.toLong * 3 + 1)
+    val tfs = Array.tabulate(300)(i => (i % 7) + 1)
+    val dls = Array.tabulate(300)(_ => 42)
+    val a = Codec.encode(docs.take(150), tfs.take(150), dls.take(150), format = Codec.Varint)
+    val b = Codec.encode(docs.drop(150), tfs.drop(150), dls.drop(150), format = Codec.Pfor)
+    val merged = graft.index.EncodedPostings(a.blocks ++ b.blocks, a.skips ++ b.skips, 300L)
+    val (d2, t2, l2) = Codec.decodeAll(merged)
+    assert(d2.toSeq === docs.toSeq && t2.toSeq === tfs.toSeq && l2.toSeq === dls.toSeq)
   }
 
   test("block boundary sizes and skip metadata") {
