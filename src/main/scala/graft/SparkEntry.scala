@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_ann_lsh_topk" -> (AnnOps.qAnnLshTopK _),
     // search / index engine
     "q60_bm25_topk" -> (SearchOps.qBm25TopK _),
+    "q64_code_tokenize" -> (SearchOps.qCodeTokenize _),
     "q61_engine_search" -> (SearchOps.qEngineSearch _),
     "q62_engine_bool" -> (SearchOps.qEngineBool _),
     "q63_index_metrics" -> (SearchOps.qIndexMetrics _),
@@ -244,7 +245,8 @@ object SparkEntry {
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q60_bm25_topk" -> SearchOps.bm25OracleSql)
+    "q60_bm25_topk" -> SearchOps.bm25OracleSql,
+    "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql)
 
   private def sentimentDocsSql: String = {
     val pos = SentimentOps.PosWords.map(w => s"'$w'").mkString("(", ",", ")")

@@ -87,6 +87,28 @@ object SearchOps {
        |WHERE score_raw > 0.0 ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** The code-aware analyzer exposed to SQL as a native codegen'd
+    * Catalyst expression (graft.functions.CodeTokenize). On the plain
+    * lowercase `documents` text the analyzer reduces to the filtered
+    * whitespace split, so this one IS DuckDB-oracle-able; the camelCase /
+    * snake_case paths are frozen by AnalyzerSpec + FunctionSpec. */
+  def qCodeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_toks,
+        |       element_at(toks, 1) AS first_tok, element_at(toks, -1) AS last_tok
+        |FROM (SELECT doc_id, code_tokenize(text) AS toks FROM graft_docs)
+        |WHERE size(toks) > 0 ORDER BY doc_id""".stripMargin)
+  }
+
+  def codeTokenizeOracleSql: String =
+    s"""SELECT doc_id, len(toks) AS n_toks, toks[1] AS first_tok, toks[-1] AS last_tok
+       |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |  w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |       AND w NOT IN $stopListSql) AS toks FROM documents)
+       |WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+
   // ---- real engine over documents-as-corpus ------------------------------
 
   private val engineCache = scala.collection.mutable.HashMap.empty[String, QueryEngine]
