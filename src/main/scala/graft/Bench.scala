@@ -128,8 +128,11 @@ object Bench {
       "q50_ann_bruteforce", "q60_bm25_topk")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm
-      val (_, sec) = timed(fn(spark, sfDir).count())
+      val out = s"$work/bench-op/$name"
+      def run(): Unit = fn(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(out) // full materialization
+      run() // warm
+      val (_, sec) = timed(run())
       name -> sec
     }
     spark.stop()

