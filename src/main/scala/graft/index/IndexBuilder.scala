@@ -79,9 +79,11 @@ object IndexBuilder {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Streaming run-builder: consumes (shard, term, docId, tf, dl) sorted by
-    * (shard, term, docId) and emits one PostingRow per run, holding only a
-    * single run's postings (bounded by shard size) in memory. */
+  /** Streaming run-builder: consumes token postings sorted with contiguous
+    * (term, shard) runs (either sort major works — the run boundary checks
+    * both fields; docId ascending within a run) and emits one PostingRow
+    * per run, holding only a single run's postings (bounded by shard size)
+    * in memory. */
   def buildRuns(it: Iterator[TokenPosting]): Iterator[PostingRow] = {
     val in = it.buffered
     new Iterator[PostingRow] {
@@ -188,11 +190,18 @@ object IndexBuilder {
         .flatMap(a => a.terms.iterator.map(tf =>
           TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen)))
         .repartition(shufflePartitions, col("shard"), col("term"))
-        .sortWithinPartitions("shard", "term", "docId")
+        // TERM-major sort: parquet min/max stats on `term` then actually
+        // prune row groups for the query path's term-IN filter (shard-major
+        // made every row group span the whole term range — measured 30x
+        // slower hot-term queries at 220k docs). Small row groups give the
+        // pruning its granularity.
+        .sortWithinPartitions("term", "shard", "docId")
         .mapPartitions(buildRuns)
         .observe(pstObs, count(lit(1)).as("terms"), sum("df").as("postings"),
           sum("bytes").as("bytes"))
-        .write.mode("overwrite").parquet(s"$segRoot/postings")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(s"$segRoot/postings")
     }
     Await.result(docmetaJob, Duration.Inf)
     Await.result(postingsJob, Duration.Inf)

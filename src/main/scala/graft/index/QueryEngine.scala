@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  * automatic from the dictionary's df totals.
  */
 final class QueryEngine(spark: SparkSession, val root: String,
-                        driverPathMaxPostings: Long = 2000000L) extends Serializable {
+                        driverPathMaxPostings: Long = 8000000L) extends Serializable {
   import spark.implicits._
 
   private val tbl = new IcebergLite(root)

@@ -38,7 +38,7 @@ object SegmentMerge {
         col("shard"), col("term"))
       .map(r => (r.shard, r.term, r.skips.head.firstDoc, r))
       .toDF("shard", "term", "firstDoc", "row")
-      .sortWithinPartitions("shard", "term", "firstDoc")
+      .sortWithinPartitions("term", "shard", "firstDoc")
       .as[(Int, String, Long, PostingRow)]
       .mapPartitions { it =>
         val in = it.map(_._4).buffered
@@ -67,7 +67,9 @@ object SegmentMerge {
           }
         }
       }
-      .write.mode("overwrite").parquet(s"$segRoot/postings")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
+      .parquet(s"$segRoot/postings")
 
     spark.read.parquet(docmetaPaths: _*)
       .write.mode("overwrite").parquet(s"$segRoot/docmeta")

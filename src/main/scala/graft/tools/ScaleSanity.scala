@@ -1,0 +1,47 @@
+package graft.tools
+import graft.corpus.CorpusGen
+import graft.index._
+import org.apache.spark.sql.SparkSession
+object ScaleSanity {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = "/root/repo/target/graftwork/scale-index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def timed[A](n: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $n%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s"); r
+    }
+    // two batches then a merge: the full lifecycle at scale
+    val r1 = timed(s"build batch0 ${nDocs}") {
+      IndexBuilder.build(spark, CorpusGen.dataset(spark, nDocs, 42L, 128), root, 64)
+    }
+    println(s"[scale] batch0 docs/sec note: segments=${r1.manifest.segments.size} docs=${r1.manifest.numDocs}")
+    import spark.implicits._
+    timed("build batch1 +20k") {
+      IndexBuilder.build(spark,
+        spark.range(nDocs, nDocs + 20000).map(i => CorpusGen.doc(42L, i)), root, 64, batch = 1)
+    }
+    val eng0 = new QueryEngine(spark, root)
+    val m = eng0.manifest
+    println(s"[scale] manifest: docs=${m.numDocs} segs=${m.segments.size} " +
+      m.segments.map(s => s"${s.name}(terms=${s.metrics.terms},postings=${s.metrics.postings},MB=${s.metrics.bytes/1024/1024})").mkString(" "))
+    val hits = timed("query warm+3") {
+      ReferenceQueries.all.take(3).foreach(q => eng0.topK(q, 10))
+      ReferenceQueries.all.map(q => eng0.topK(q, 10).size).sum
+    }
+    println(s"[scale] total hits over query set: $hits")
+    timed("merge") { SegmentMerge.merge(spark, root) }
+    val eng1 = new QueryEngine(spark, root)
+    val agree = ReferenceQueries.all.forall(q => eng1.topK(q, 10) == eng0.topK(q, 10))
+    println(s"[scale] post-merge identical results: $agree; segs=${eng1.manifest.segments.size}")
+    // latency at this scale
+    val lats = (1 to 2).flatMap(_ => ReferenceQueries.all.map { q =>
+      val t0 = System.nanoTime(); eng1.topK(q, 10); (System.nanoTime()-t0)/1e9 })
+    println(f"[scale] p50=${lats.sorted.apply(lats.size/2)}%.3f p95=${lats.sorted.apply((lats.size*95)/100 min (lats.size-1))}%.3f")
+    spark.stop()
+  }
+}
