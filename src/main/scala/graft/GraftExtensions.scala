@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.{CodeTokenize, MinHashSig}
+import graft.plans.MatchStrategy
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session wiring for the engine's Catalyst extensions:
+  *   spark.sql.extensions=graft.GraftExtensions
+  * injects the MatchTopK planner strategy and the native expressions
+  * (code_tokenize, minhash_sig) into every session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => MatchStrategy)
+    e.injectFunction((
+      FunctionIdentifier("code_tokenize"),
+      new ExpressionInfo(classOf[CodeTokenize].getName, null, "code_tokenize",
+        "code_tokenize(str) - code-aware analyzer token array", ""),
+      (exprs: Seq[Expression]) => CodeTokenize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, null, "minhash_sig",
+        "minhash_sig(array<string>) - 64-slot MinHash signature", ""),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.index.QueryEngine
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Full-text BM25 search as a first-class Catalyst operator (SURVEY.md
+ * §4.3 stretch: the `IndexScan` strategy): a logical leaf that names an
+ * index and a query, planned by a custom SparkStrategy into a physical
+ * node that runs the engine's coordinator path — the shape ES exposes as
+ * `/index/_search`. Registered via SparkSessionExtensions
+ * (graft.GraftExtensions), so `--conf spark.sql.extensions=
+ * graft.GraftExtensions` wires it into any session.
+ */
+case class MatchTopK(indexRoot: String, query: String, k: Int,
+                     boolMode: Boolean,
+                     override val output: Seq[Attribute] = MatchTopK.freshOutput())
+    extends LeafNode
+
+object MatchTopK {
+  /** Output carried as a constructor field so tree copies keep the same
+    * exprIds (the LocalRelation pattern) — a regenerated `val output`
+    * breaks attribute binding in parent operators. */
+  def freshOutput(): Seq[Attribute] = schema
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  val schema: StructType = StructType(Seq(
+    StructField("docId", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("sha256", StringType)))
+}
+
+case class MatchTopKExec(plan: MatchTopK) extends LeafExecNode {
+  override val output: Seq[Attribute] = plan.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Coordinator phase runs driver-side (it launches its own Spark jobs,
+    // like a broadcast-exchange build); the k result rows come back as a
+    // one-partition RDD.
+    val spark = SparkSession.active
+    val eng = MatchTopKExec.engineFor(spark, plan.indexRoot)
+    val hits =
+      if (plan.boolMode) eng.booleanTopK(plan.query, plan.k)
+      else eng.topK(plan.query, plan.k)
+    val rows: Seq[InternalRow] =
+      if (hits.isEmpty) Nil
+      else {
+        val ids = hits.map(_.docId)
+        val meta = eng.docmeta
+          .where(org.apache.spark.sql.functions.col("docId").isin(ids: _*))
+          .select("docId", "repo", "path", "commit", "lang", "sha256")
+          .collect()
+          .map(r => r.getLong(0) -> r).toMap
+        hits.map { h =>
+          val m = meta(h.docId)
+          InternalRow(h.docId, h.score,
+            UTF8String.fromString(m.getString(1)), UTF8String.fromString(m.getString(2)),
+            UTF8String.fromString(m.getString(3)), UTF8String.fromString(m.getString(4)),
+            UTF8String.fromString(m.getString(5)))
+        }
+      }
+    sparkContext.parallelize(rows, 1).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(MatchTopK.schema)
+      it.map(r => proj(r).copy())
+    }
+  }
+}
+
+object MatchTopKExec {
+  private val engines = scala.collection.mutable.HashMap.empty[String, QueryEngine]
+  def engineFor(spark: SparkSession, root: String): QueryEngine = synchronized {
+    engines.getOrElseUpdate(root, new QueryEngine(spark, root))
+  }
+}
+
+object MatchStrategy extends SparkStrategy {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[SparkPlan] = plan match {
+    case m: MatchTopK => MatchTopKExec(m) :: Nil
+    case _ => Nil
+  }
+}
