@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
  *      planned as TakeOrderedAndProject (the ES "reduce phase")
  *   -> docmeta fetch for the k winners only (IN-filter, pushed down).
  *
- * A driver fast path handles small posting volumes (p95 latency: one job,
- * no shuffle) — the distributed path is the 10^12-doc route; selection is
- * automatic from the dictionary's df totals.
+ * A driver fast path handles small posting volumes (one job, no shuffle;
+ * wins below ~0.5M postings) — the distributed per-shard path is the
+ * 10^12-doc route and already wins at 1M docs (measured p95 0.30s vs
+ * 5.7s driver-side). Selection is automatic from the dictionary's df
+ * totals.
  */
 final class QueryEngine(spark: SparkSession, val root: String,
-                        driverPathMaxPostings: Long = 8000000L) extends Serializable {
+                        driverPathMaxPostings: Long = 500000L) extends Serializable {
   import spark.implicits._
 
   private val tbl = new IcebergLite(root)
