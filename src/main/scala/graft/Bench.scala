@@ -77,7 +77,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "80000").toLong
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "100000").toLong
     val work = SearchOps_workDir
 
     // JIT/classload warmup: one small build+query pass so the measured
@@ -90,9 +90,10 @@ object Bench {
     // raw-CPU 4x-core aggregate ceiling: 0.91 at 2->8, 0.85 at 8->32;
     // see BASELINE.md). The 8->32 level is reported as well.
     // This host's throughput drifts minute-to-minute (shared VM), so each
-    // level is built `reps` times INTERLEAVED and the fastest run counts
-    // (min = least-interference estimate; same treatment for each level).
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    // level is built `reps` times INTERLEAVED; throughput/latency report
+    // each level's best run, while efficiency is the MEDIAN of per-rep
+    // pairs (adjacent-in-time runs cancel the drift).
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
     val levels = Seq(2, 8, cpus).distinct
     val runs: Seq[Seq[Map[String, Double]]] = (1 to reps).map { _ =>
       levels.map(n => runLevel(n, cpus, cpus, nDocs, s"$work/bench-idx-n$n"))
@@ -117,7 +118,18 @@ object Bench {
       s"query_p50_sec_n$cpus" -> best(cpus, "query_p50_sec", _.min),
       s"query_p95_sec_n$cpus" -> best(cpus, "query_p95_sec", _.min),
       s"bool_p95_sec_n$cpus" -> best(cpus, "bool_p95_sec", _.min))
-    val eff = mBig("docs_per_sec_n8") / (4.0 * mSmall("docs_per_sec_n2"))
+    // Efficiency is computed PER REP (the n2 and n8 runs of one rep are
+    // adjacent in time, so host-throughput drift cancels within a pair);
+    // the median pair is the robust estimate and all pairs are reported
+    // for transparency.
+    val effReps = runs.map { r =>
+      r(levels.indexOf(8))("docs_per_sec_n8") /
+        (4.0 * r(levels.indexOf(2))("docs_per_sec_n2"))
+    }
+    // median of the per-rep pairs (robust to the +/-50% host swings in
+    // both directions; a >1.0 pair is measurement noise, so clamp).
+    val effSorted = effReps.sorted
+    val eff = math.min(1.0, effSorted(effSorted.size / 2))
     val eff832 = mFull(s"docs_per_sec_n$cpus") / (4.0 * mBig("docs_per_sec_n8"))
 
     // representative operators at the driver's SF
@@ -145,7 +157,7 @@ object Bench {
     val qJson = queries.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_8_$cpus":${f(eff832)},"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
+      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
   }
 
   private def SearchOps_workDir: String = graft.ops.SearchOps.workDir

@@ -7,29 +7,18 @@ package graft.index
   * ("spaces are ANDs commas are ORs", /root/reference/sentiment.py:638-641)
   * shapes. */
 object ReferenceQueries {
-  val all: Seq[String] = Seq(
-    "def return",                       // hot keywords, huge postings
-    "computeHashValue",                 // camelCase identifier
-    "block_max_score",                  // snake_case identifier
-    "mergeSortedRuns buildPostingList", // multi identifier
-    "val match case",                   // keyword mix
-    "posting reader segment",           // split sub-tokens
-    "varintDecoder skipPointerIndex",
-    "hash bucket partition offset",
-    "import static final",
-    "term dictionary doc freq counter",
-    "checkpoint manager commit snapshot",
-    "bm25 k1 param field norm cache",
-    "scan token stream",
-    "query top docs shard router",
-    "avg field length stop word set")
+  /** (qid, query, k, isBool) parsed from the frozen TSV. */
+  lazy val entries: Seq[(Int, String, Int, Boolean)] = {
+    val in = getClass.getResourceAsStream("/graft/queries.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val f = line.split('\t')
+      (f(0).toInt, f(1), f(2).toInt, f.length > 3 && f(3) == "bool")
+    }.toList
+    finally src.close()
+  }
 
-  val boolQueries: Seq[String] = Seq(
-    "def return, val match",
-    "computeHashValue, block_max_score",
-    "merge sorted runs, posting list",
-    "token filter chain, shuffle salt key, lineage record",
-    "hash, scan, stream")
-
+  val all: Seq[String] = entries.filterNot(_._4).map(_._2)
+  val boolQueries: Seq[String] = entries.filter(_._4).map(_._2)
   val topK = 10
 }
