@@ -71,6 +71,8 @@ object SparkEntry {
     "q51_embed_norms" -> (AnnOps.qEmbedNorms _),
     "q52_ann_lsh_buckets" -> (AnnOps.qAnnLshBuckets _),
     "q53_ann_lsh_topk" -> (AnnOps.qAnnLshTopK _),
+    "q54_ann_ivf_assign" -> (AnnOps.qAnnIvfAssign _),
+    "q55_ann_ivf_topk" -> (AnnOps.qAnnIvfTopK _),
     // search / index engine
     "q60_bm25_topk" -> (SearchOps.qBm25TopK _),
     "q64_code_tokenize" -> (SearchOps.qCodeTokenize _),

@@ -81,6 +81,94 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 4
+  val IvfIters = 3
+
+  /** IVF coarse quantizer: deterministic k-means (centroids seeded from
+    * the first k vectors by vec_id, `IvfIters` Lloyd rounds computed as
+    * DataFrame aggregations — each round is one broadcast-assign +
+    * groupBy-average, the textbook scale shape). Returns the centroid
+    * matrix. At 100 TB the same two jobs run over a sample. */
+  def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .as[(Long, Seq[Double])]
+    var cents: Array[Array[Double]] = emb
+      .filter(_._1 < IvfCentroids).collect().sortBy(_._1)
+      .map(_._2.toArray)
+    (1 to IvfIters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val next = emb.map { case (_, e) =>
+        (nearestCentroid(e.toArray, bc.value), (e.toArray, 1L))
+      }.rdd.reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+        val s = new Array[Double](x._1.length)
+        var d = 0
+        while (d < s.length) { s(d) = x._1(d) + y._1(d); d += 1 }
+        (s, x._2 + y._2)
+      }.collect().toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        next.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  def nearestCentroid(e: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      val cv = cents(c)
+      while (i < e.length && i < cv.length) {
+        val x = e(i) - cv(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF assignment table: (vec_id, centroid). The inverted-file lists. */
+  def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroids(spark, dir)
+    val bc = spark.sparkContext.broadcast(cents)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, e) => (id, nearestCentroid(e.toArray, bc.value)) }
+      .toDF("vec_id", "centroid")
+      .orderBy("vec_id")
+  }
+
+  /** IVF top-k: probe the query's `IvfProbes` nearest inverted lists,
+    * exact cosine only inside them — the standard recall/cost dial. */
+  def qAnnIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroids(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val probed: Seq[Int] = cents.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val x = qv(i) - cents(c)(i); d += x * x; i += 1 }
+        d
+      }.take(IvfProbes)
+    val assign = qAnnIvfAssign(spark, dir)
+    emb.join(assign, "vec_id")
+      .where(col("centroid").isin(probed.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(emb.where(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv"))))
+      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Bucketed ANN: exact cosine only among candidates whose coarse
     * 6-bit LSH bucket matches the query's (multi-resolution probing —
     * the 100 TB path: candidates shrink by the bucket fan-out, the

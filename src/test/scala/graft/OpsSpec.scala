@@ -76,6 +76,19 @@ class OpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(lsh.length >= 1)
   }
 
+  test("IVF: assignment covers all vectors; probed top-k recalls the true top-1") {
+    val assign = AnnOps.qAnnIvfAssign(spark, sf).collect()
+    assert(assign.length === 500)
+    val nCents = assign.map(_.getInt(1)).distinct.length
+    assert(nCents > 1 && nCents <= AnnOps.IvfCentroids)
+    val ivf = AnnOps.qAnnIvfTopK(spark, sf).collect()
+    assert(ivf.head.getLong(0) === 0L) // query vector's own list is probed
+    // recall vs exact brute force on the top result set
+    val bf = AnnOps.qAnnBruteForce(spark, sf).collect().map(_.getLong(0)).toSet
+    val got = ivf.map(_.getLong(0)).toSet
+    assert((bf intersect got).size >= 5, s"IVF recall too low: $got vs $bf")
+  }
+
   test("embedding norms are positive and stable") {
     val norms = AnnOps.qEmbedNorms(spark, sf).collect().map(_.getDouble(1))
     assert(norms.forall(n => n > 0.0 && !n.isNaN))
