@@ -51,7 +51,7 @@ final case class BuildReport(manifest: Manifest, segment: Option[SegmentInfo],
  *    shard = pmod(murmur3(repo,path,commit), numShards), which is exactly
  *    Spark's HashPartitioning id — so `repartition(numShards, keys)` makes
  *    partitionId == shard with no extra pass.
- *  - docId = (batch << 52) | (shard << 40) | localIdx: dense within a
+ *  - docId = (batch << 52) | (shard << 32) | localIdx: dense within a
  *    shard (delta-friendly), globally unique across shards and ingest
  *    batches, deterministic under resume (a shard is always built whole,
  *    in exactly one pass). Merges therefore never remap docIDs.
@@ -69,10 +69,20 @@ object IndexBuilder {
   def shardExpr(numShards: Int) =
     pmod(hash(col("repo"), col("path"), col("commit")), lit(numShards))
 
-  def docIdFor(batch: Int, shard: Int, idx: Long): Long =
-    (batch.toLong << 52) | (shard.toLong << 40) | idx
+  /** docId bit budget, sized for the 10^12-file target: 11-bit ingest
+    * batch | 20-bit shard (up to ~1M document shards => ~1M docs/shard at
+    * 10^12 files, so a full stopword posting sub-list stays ~8 MB) |
+    * 32-bit local index (4.3B docs per shard per batch headroom). */
+  val IdxBits = 32
+  val ShardBits = 20
 
-  def shardOf(docId: Long): Int = ((docId >> 40) & 0xfff).toInt
+  def docIdFor(batch: Int, shard: Int, idx: Long): Long = {
+    require(idx < (1L << IdxBits) && shard < (1 << ShardBits))
+    (batch.toLong << (IdxBits + ShardBits)) | (shard.toLong << IdxBits) | idx
+  }
+
+  def shardOf(docId: Long): Int =
+    ((docId >> IdxBits) & ((1L << ShardBits) - 1)).toInt
 
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
