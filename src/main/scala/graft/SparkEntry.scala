@@ -40,6 +40,7 @@ object SparkEntry {
     "q15_json_extract" -> (DashboardOps.qJsonExtract _),
     "q16_argmax" -> (DashboardOps.qArgMax _),
     "q17_json_array_fallback" -> (DashboardOps.qJsonArrayFallback _),
+    "q18_datehist_dense" -> (DashboardOps.qDateHistDense _),
     "q19_asof_join" -> (DashboardOps.qAsofJoin _),
     // reference per-doc pipeline (filters + string fns)
     "q20_clean_text" -> (TextOps.qCleanText _),
@@ -164,6 +165,16 @@ object SparkEntry {
         |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[1]') AS DOUBLE),
         |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[0]') AS DOUBLE)), 4) AS last_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q18_datehist_dense" ->
+      """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                      date_trunc('hour', max(ts)) AS hi FROM events),
+        |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts FROM bounds),
+        |counts AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS cnt
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT strftime(axis.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       coalesce(counts.cnt, 0) AS cnt
+        |FROM axis LEFT JOIN counts ON axis.bucket_ts = counts.bucket_ts
+        |ORDER BY bucket""".stripMargin,
     "q19_asof_join" ->
       """WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
         |     b AS (SELECT * FROM events WHERE event_type = 'view')

@@ -44,13 +44,11 @@ final class QueryEngine(spark: SparkSession, val root: String,
   // engine, not once per query (ES analogue: segments held open).
   lazy val postings: DataFrame = spark.read.parquet(postingPaths: _*)
   lazy val docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
-  /** Global (term -> df): the materialized dictionary when a compaction
-    * has written one, else derived from the postings (column-pruned scan;
-    * the per-query path filters on term first, so it stays cheap). */
+  /** Global (term -> df), derived from this snapshot's immutable
+    * postings (column-pruned scan) — never a shared mutable file, so
+    * snapshot isolation holds for readers pinned to old manifests. */
   lazy val dict: DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(tbl.dictPath)))
-      spark.read.parquet(tbl.dictPath)
-    else postings.groupBy("term").agg(sum("df").as("df"))
+    postings.groupBy("term").agg(sum("df").as("df"))
 
   /** Driver-resident term dictionary, like Lucene's in-memory terms dict —
     * loaded once when the vocabulary is small enough; huge vocabularies

@@ -85,10 +85,6 @@ object SegmentMerge {
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(seg),
       prev.numDocs, prev.totalTokens)
 
-    spark.read.parquet(s"$segRoot/postings")
-      .groupBy("term").agg(sum("df").as("df"), count(lit(1)).as("subLists"))
-      .write.mode("overwrite").parquet(tbl.dictPath)
-
     tbl.commit(manifest)
     manifest
   }

@@ -66,6 +66,27 @@ object DashboardOps {
         col("event_type"), col("sum_value"), col("avg_value"), col("cnt"))
       .orderBy("bucket", "event_type")
 
+  /** A8 variant: date_histogram with min_doc_count:0 — ES materializes
+    * EMPTY buckets too; Spark's groupBy naturally drops them, so the
+    * bucket axis is generated (sequence + explode) and left-joined.
+    * 1-hour buckets over the events span. */
+  def qDateHistDense(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val bounds = ev.agg(
+      date_trunc("hour", min("ts")).as("lo"),
+      date_trunc("hour", max("ts")).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 HOUR"))).as("bucket_ts"))
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("event_type") === "signup")
+    axis.join(counts, Seq("bucket_ts"), "left")
+      .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   /** A2/A3/A4 metric aggs incl. exact median (ES median is t-digest; we
     * expose the exact percentile so the DuckDB oracle can match it). */
   def qStatsValue(spark: SparkSession, dir: String): DataFrame =
