@@ -75,9 +75,20 @@ object IndexBuilder {
     * 32-bit local index (4.3B docs per shard per batch headroom). */
   val IdxBits = 32
   val ShardBits = 20
+  val BatchBits = 11 // leaves the sign bit clear: docIds stay non-negative
 
+  /** All three fields are range-checked so overflow fails LOUDLY instead
+    * of silently corrupting the docId space: batch 2048 would set the sign
+    * bit (negative docIds break the frozen score-desc/docId-asc ties) and
+    * batch 4096 would wrap onto batch 0. Streams that outlive 2047
+    * micro-batches must compact-and-rebase into a fresh index root (a
+    * batch-id remap job) — documented re-batch policy, not silent wrap. */
   def docIdFor(batch: Int, shard: Int, idx: Long): Long = {
-    require(idx < (1L << IdxBits) && shard < (1 << ShardBits))
+    require(idx >= 0 && idx < (1L << IdxBits), s"local idx $idx out of range")
+    require(shard >= 0 && shard < (1 << ShardBits), s"shard $shard out of range")
+    require(batch >= 0 && batch < (1 << BatchBits),
+      s"ingest batch $batch exceeds the ${1 << BatchBits}-batch docId budget; " +
+        "compact and rebase the index to reset batch ids")
     (batch.toLong << (IdxBits + ShardBits)) | (shard.toLong << IdxBits) | idx
   }
 
@@ -118,12 +129,21 @@ object IndexBuilder {
   }
 
   /**
-   * Build (or resume) the index for `corpus` under `root`.
+   * Build (or resume) one pass of the index for `corpus` under `root`.
+   * The committed manifest is the ONLY checkpoint state: a pass that
+   * crashes mid-build commits nothing, so resume re-runs exactly the
+   * shards no committed segment covers (never trusting side files that a
+   * crash between data write and commit could leave inconsistent).
+   *
    * @param batch ingest batch id (0 = initial bulk build; streaming
    *              ingest increments it per micro-batch)
+   * @param maxShardsThisPass checkpoint granularity for bulk builds: at
+   *              most this many input shards are built and committed per
+   *              call (use [[buildAll]] to loop passes to completion).
    */
   def build(spark: SparkSession, corpus: Dataset[CorpusDoc], root: String,
-            numShards: Int, batch: Int = 0, resume: Boolean = true): BuildReport = {
+            numShards: Int, batch: Int = 0, resume: Boolean = true,
+            maxShardsThisPass: Int = Int.MaxValue): BuildReport = {
     import spark.implicits._
     val tbl = new IcebergLite(root)
     tbl.init()
@@ -131,14 +151,17 @@ object IndexBuilder {
     require(prev.segments.isEmpty || prev.numShards == numShards,
       s"index at $root was created with numShards=${prev.numShards}")
 
-    // idempotence for streaming re-delivery (W5): a batchId whose segment
-    // already committed is a no-op re-run.
-    if (batch > 0 && prev.segments.exists(_.lineage.get("batch").contains(batch.toString)))
+    // idempotence for streaming re-delivery (W5): a batchId whose docs are
+    // already in a committed segment is a no-op re-run. Consults the full
+    // batch lineage ("batches"), which compaction is required to propagate
+    // — a micro-batch re-delivered after a merge must stay a no-op.
+    if (batch > 0 && prev.segments.exists(s => IcebergLite.batchesOf(s).contains(batch)))
       return BuildReport(prev, None, Nil, 0L)
 
     val done: Set[Int] =
-      if (resume && batch == 0) tbl.completedShards() else Set.empty
-    val todo = (0 until numShards).filterNot(done)
+      if (resume && batch == 0) IcebergLite.completedShards(prev) else Set.empty
+    val todo = (0 until numShards).filterNot(done).take(
+      if (batch == 0) maxShardsThisPass else Int.MaxValue)
     if (todo.isEmpty)
       return BuildReport(prev, None, Nil, 0L)
 
@@ -227,19 +250,43 @@ object IndexBuilder {
       metrics = SegmentMetrics(docCount, termRows, postingCount, byteCount),
       lineage = Map(
         "batch" -> batch.toString,
+        "batches" -> batch.toString,
         "inputShards" -> todo.mkString(","),
-        "source" -> "corpus(repo,path,commit,lang,content)"))
+        "source" -> "corpus(repo,path,commit,lang,content)") ++
+        (if (batch == 0) Map("batch0Shards" -> todo.mkString(",")) else Map.empty))
 
     // 6. NOTE: no global dictionary on the ingest path — per-term global
     //    df is derived at query time (sum of sub-list dfs) or materialized
     //    by SegmentMerge compaction; keeps the build free of a second
     //    whole-postings aggregation per ingest batch.
+    // a materialized dict (from an earlier compaction) no longer covers
+    // the new segment's postings — new manifest falls back to derived dfs
+    // until the next compaction re-materializes it.
     val manifest = Manifest(prev.version + 1, numShards,
-      prev.segments :+ seg, prev.numDocs + docCount, prev.totalTokens + tokCount)
+      prev.segments :+ seg, prev.numDocs + docCount, prev.totalTokens + tokCount,
+      dict = None)
 
-    // 7. checkpoints (bulk build only) then atomic snapshot commit
-    if (batch == 0) todo.foreach(sh => tbl.checkpointShard(sh, segName, docCount))
+    // 7. atomic snapshot commit — the commit IS the per-pass checkpoint
     tbl.commit(manifest)
     BuildReport(manifest, Some(seg), todo, docCount)
+  }
+
+  /** Bulk build to completion in passes of `shardsPerPass` input shards,
+    * committing a segment (= a durable checkpoint) after each pass. A
+    * crash loses at most the current pass; re-calling buildAll resumes
+    * from the committed manifest. Finer passes = finer checkpoints at the
+    * cost of more (small) segments — SegmentMerge compacts afterwards. */
+  def buildAll(spark: SparkSession, corpus: Dataset[CorpusDoc], root: String,
+               numShards: Int, shardsPerPass: Int): BuildReport = {
+    var rep = build(spark, corpus, root, numShards, maxShardsThisPass = shardsPerPass)
+    var docs = rep.docs
+    var built = rep.builtShards
+    while (rep.builtShards.nonEmpty &&
+           IcebergLite.completedShards(rep.manifest).size < numShards) {
+      rep = build(spark, corpus, root, numShards, maxShardsThisPass = shardsPerPass)
+      docs += rep.docs
+      built = built ++ rep.builtShards
+    }
+    BuildReport(rep.manifest, rep.segment, built, docs)
   }
 }

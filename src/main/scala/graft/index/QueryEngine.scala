@@ -44,11 +44,16 @@ final class QueryEngine(spark: SparkSession, val root: String,
   // engine, not once per query (ES analogue: segments held open).
   lazy val postings: DataFrame = spark.read.parquet(postingPaths: _*)
   lazy val docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
-  /** Global (term -> df), derived from this snapshot's immutable
-    * postings (column-pruned scan) — never a shared mutable file, so
-    * snapshot isolation holds for readers pinned to old manifests. */
-  lazy val dict: DataFrame =
-    postings.groupBy("term").agg(sum("df").as("df"))
+  /** Global (term -> df). Compacted snapshots ship a materialized,
+    * per-version dict file (SegmentMerge) — the right call at 10^12 docs,
+    * where deriving dfs from postings at engine-open is a real job;
+    * pre-compaction snapshots derive it from the immutable postings
+    * (column-pruned scan). Either way the source is owned by THIS
+    * snapshot, so readers pinned to old manifests stay isolated. */
+  lazy val dict: DataFrame = manifest.dict match {
+    case Some(d) => spark.read.parquet(s"$root/$d")
+    case None => postings.groupBy("term").agg(sum("df").as("df"))
+  }
 
   /** Driver-resident term dictionary, like Lucene's in-memory terms dict —
     * loaded once when the vocabulary is small enough; huge vocabularies
@@ -122,19 +127,31 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val rows = postings.where(col("term").isin(validTerms: _*)).as[PostingRow]
     val (bm, dfsB, validB) = (bm25, dfs, valid)
 
+    // Memory-bounded EXACT scoring: each AND-group keeps only its own
+    // TopK(k) while streaming its intersection (never the full match set —
+    // two hot terms AND-ed would otherwise accumulate O(matches) entries).
+    // Exactness: a doc's final score is max over groups of the group sum;
+    // if the doc is in the global top-k, then in its best-scoring group
+    // fewer than k docs beat it (any group-mate with a higher group score
+    // has a final score at least that high), so the doc survives that
+    // group's TopK(k) and the merge sees its true max. Merge state is
+    // O(groups * k).
     def scoreShard(rs: Seq[PostingRow], k: Int): Seq[ScoredDoc] = {
-      val best = scala.collection.mutable.HashMap.empty[Long, Double]
-      validB.foreach { group =>
+      val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
         val cur = rs.filter(r => group.contains(r.term))
           .groupBy(_.term).map { case (t, subs) =>
             val sorted = subs.sortBy(_.skips.head.firstDoc)
             t -> new PostingCursor(t, bm.idf(dfsB(t)),
               sorted.map(r => (r.blocks, r.skips)), bm)
           }
-        WandScorer.conjunctive(group, cur).foreach { sd =>
-          val prev = best.get(sd.docId)
-          if (prev.isEmpty || sd.score > prev.get) best(sd.docId) = sd.score
-        }
+        val groupTop = new ScoredDoc.TopK(k)
+        WandScorer.conjunctive(group, cur).foreach(groupTop.offer)
+        groupTop.result()
+      }
+      val best = scala.collection.mutable.HashMap.empty[Long, Double]
+      perGroup.iterator.flatten.foreach { sd =>
+        val prev = best.get(sd.docId)
+        if (prev.isEmpty || sd.score > prev.get) best(sd.docId) = sd.score
       }
       val top = new ScoredDoc.TopK(k)
       best.toSeq.sortBy(_._1).foreach { case (id, s) => top.offer(ScoredDoc(id, s)) }
@@ -159,8 +176,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
   /** Top-k joined with document metadata (repo/path/commit/lang/sha256). */
   def search(query: String, k: Int): DataFrame = {
     val hits = topK(query, k)
-    if (hits.isEmpty)
-      return spark.emptyDataFrame
+    if (hits.isEmpty) // zero hits: empty DF with the REAL output schema,
+      return docmeta.withColumn("score", lit(0.0)).where(lit(false))
     val ids = hits.map(_.docId)
     val meta = docmeta.where(col("docId").isin(ids: _*)) // IN-pushdown, k rows
     meta.join(broadcast(hits.toDF("docId", "score")), Seq("docId"))

@@ -17,7 +17,8 @@ import scala.collection.mutable
  * Plan: union segment postings -> shuffle on (shard, term) -> stream
  * re-encode runs -> new immutable segment + snapshot commit. Old segment
  * files are left in place (snapshot isolation; readers of the old
- * manifest stay correct) — physical GC is a trivial follow-up.
+ * manifest stay correct) until `IcebergLite.gc(keepManifests)` physically
+ * deletes everything unreachable from the kept snapshot horizon.
  */
 object SegmentMerge {
 
@@ -79,11 +80,28 @@ object SegmentMerge {
     val metrics = SegmentMetrics(prev.numDocs, mrow.getLong(0),
       mrow.getLong(1), mrow.getLong(2))
 
+    // Materialize the global term dictionary (term -> df) at compaction:
+    // at 10^12 docs, deriving dfs from postings at every engine open is a
+    // real job; the compacted snapshot ships it precomputed. Named per
+    // version (immutable) so readers pinned to older manifests keep their
+    // own view — snapshot isolation holds.
+    val dictName = s"dict-v${prev.version + 1}"
+    pst.groupBy("term").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$root/$dictName")
+
+    // Lineage: the merged segment must carry the UNION of its inputs'
+    // ingest-batch ids (IndexBuilder's streaming idempotence guard checks
+    // them — a micro-batch re-delivered after compaction stays a no-op)
+    // and their bulk-build shard coverage (drives bulk resume).
+    val batches = prev.segments.flatMap(IcebergLite.batchesOf).distinct.sorted
+    val b0Shards = prev.segments.flatMap(IcebergLite.batch0Shards).distinct.sorted
     val seg = SegmentInfo(0, segName,
       prev.segments.flatMap(_.shards).distinct.sorted, metrics,
-      Map("mergedFrom" -> prev.segments.map(_.name).mkString(",")))
+      Map("mergedFrom" -> prev.segments.map(_.name).mkString(","),
+        "batches" -> batches.mkString(","),
+        "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(seg),
-      prev.numDocs, prev.totalTokens)
+      prev.numDocs, prev.totalTokens, dict = Some(dictName))
 
     tbl.commit(manifest)
     manifest

@@ -77,9 +77,22 @@ case class MatchTopKExec(plan: MatchTopK) extends LeafExecNode {
 }
 
 object MatchTopKExec {
-  private val engines = scala.collection.mutable.HashMap.empty[String, QueryEngine]
+  // Cached per index root, KEYED BY SNAPSHOT VERSION: a long-lived session
+  // would otherwise stay pinned to whatever snapshot was current at first
+  // use and never see later commits (streaming ingest / compaction). The
+  // version check is one small JSON read per query — cheap next to a scan.
+  private val engines =
+    scala.collection.mutable.HashMap.empty[String, (Int, QueryEngine)]
   def engineFor(spark: SparkSession, root: String): QueryEngine = synchronized {
-    engines.getOrElseUpdate(root, new QueryEngine(spark, root))
+    val version = new graft.table.IcebergLite(root)
+      .currentManifest().map(_.version).getOrElse(-1)
+    engines.get(root) match {
+      case Some((v, eng)) if v == version => eng
+      case _ =>
+        val eng = new QueryEngine(spark, root)
+        engines(root) = (version, eng)
+        eng
+    }
   }
 }
 

@@ -11,14 +11,18 @@ final case class SegmentMetrics(docs: Long, terms: Long, postings: Long, bytes: 
 
 /** One immutable index segment: a docmeta dir + a postings dir produced by
   * a single (possibly resumed) build pass, covering a set of input shards.
-  * `segId` feeds the docId layout: docId = (segId<<50)|(shard<<40)|localIdx
-  * — globally unique, so segment merge never needs a docID remap. */
+  * Lineage keys: `batches` = comma-joined ingest batch ids whose docs this
+  * segment (transitively) contains; `batch0Shards` = the bulk-build input
+  * shards it covers (drives resume). docId layout (IndexBuilder.docIdFor):
+  * docId = (batch << 52) | (shard << 32) | localIdx — globally unique, so
+  * segment merge never needs a docID remap. */
 final case class SegmentInfo(segId: Int, name: String, shards: Seq[Int],
                              metrics: SegmentMetrics,
                              lineage: Map[String, String])
 
 final case class Manifest(version: Int, numShards: Int, segments: Seq[SegmentInfo],
-                          numDocs: Long, totalTokens: Long) {
+                          numDocs: Long, totalTokens: Long,
+                          dict: Option[String] = None) {
   def avgdl: Double = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs
 }
 
@@ -27,20 +31,26 @@ final case class Manifest(version: Int, numShards: Int, segments: Seq[SegmentInf
  * sandbox — see SURVEY.md §7.0): immutable parquet data files + JSON
  * manifests + an atomically-committed snapshot pointer. Gives the pieces
  * the north rule needs from "tracked in Iceberg": immutable segments,
- * snapshot isolation for readers, resumable builds via per-shard
- * checkpoint records, and lineage (input partition -> segment).
+ * snapshot isolation for readers, resumable builds, and lineage
+ * (input partition -> segment).
  *
  * Layout under an index root:
  *   snapshot.json                 -> {"manifest": "manifest-<v>.json"}
  *   manifest-<v>.json             -> Manifest (segments, metrics, lineage)
- *   checkpoints/shard-<n>.json    -> per-input-shard completion record
  *   seg-<k>/docmeta/<files>.parquet
  *   seg-<k>/postings/<files>.parquet
- *   dict/<files>.parquet                -> global (term, df) stats
+ *   dict-v<v>/<files>.parquet     -> global (term, df), materialized at
+ *                                    compaction, referenced by manifest
  *
  * Commit protocol: write manifest-<v+1>.json, then atomic-rename a temp
  * snapshot over snapshot.json. Readers resolve snapshot -> manifest ->
  * segment paths; a crashed build leaves only unreachable files.
+ *
+ * Resume protocol (no side files): the committed manifest IS the
+ * checkpoint. A bulk build commits one segment per pass, each recording
+ * the input shards it covers in lineage("batch0Shards"); a crashed pass
+ * commits nothing, so `completedShards` (derived purely from the current
+ * manifest) is always consistent with the data files a reader can see.
  */
 final class IcebergLite(val root: String) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
@@ -48,7 +58,7 @@ final class IcebergLite(val root: String) {
 
   def exists: Boolean = Files.exists(p("snapshot.json"))
 
-  def init(): Unit = Files.createDirectories(p("checkpoints"))
+  def init(): Unit = Files.createDirectories(Paths.get(root))
 
   def currentManifest(): Option[Manifest] = {
     if (!exists) return None
@@ -78,47 +88,97 @@ final class IcebergLite(val root: String) {
           })
       }.toSeq,
       numDocs = n.get("numDocs").asLong(),
-      totalTokens = n.get("totalTokens").asLong())
+      totalTokens = n.get("totalTokens").asLong(),
+      dict = Option(n.get("dict")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Atomic snapshot commit: manifest file then rename-over pointer. */
   def commit(m: Manifest): Unit = {
     Files.createDirectories(Paths.get(root))
     val mfName = s"manifest-${m.version}.json"
-    Files.writeString(p(mfName), mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(Map(
-        "version" -> m.version, "numShards" -> m.numShards,
-        "numDocs" -> m.numDocs, "totalTokens" -> m.totalTokens,
-        "segments" -> m.segments.map(s => Map(
-          "segId" -> s.segId, "name" -> s.name, "shards" -> s.shards,
-          "metrics" -> Map("docs" -> s.metrics.docs, "terms" -> s.metrics.terms,
-            "postings" -> s.metrics.postings, "bytes" -> s.metrics.bytes),
-          "lineage" -> s.lineage)))))
+    val base: Map[String, Any] = Map(
+      "version" -> m.version, "numShards" -> m.numShards,
+      "numDocs" -> m.numDocs, "totalTokens" -> m.totalTokens,
+      "segments" -> m.segments.map(s => Map(
+        "segId" -> s.segId, "name" -> s.name, "shards" -> s.shards,
+        "metrics" -> Map("docs" -> s.metrics.docs, "terms" -> s.metrics.terms,
+          "postings" -> s.metrics.postings, "bytes" -> s.metrics.bytes),
+        "lineage" -> s.lineage)))
+    val full = m.dict.fold(base)(d => base + ("dict" -> d))
+    Files.writeString(p(mfName),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(full))
     val tmp = p(s"snapshot.json.tmp-${m.version}")
     Files.writeString(tmp, mapper.writeValueAsString(Map("manifest" -> mfName)))
     Files.move(tmp, p("snapshot.json"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Per-input-shard checkpoint records (resume = skip completed shards). */
-  def completedShards(): Set[Int] = {
-    val dir = p("checkpoints")
-    if (!Files.exists(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("shard-") && s.endsWith(".json") =>
-        s.stripPrefix("shard-").stripSuffix(".json").toInt }
-      .toSet
+  /** Bulk-build shards already committed, derived from the CURRENT
+    * manifest only (never from side files a crash could leave stale —
+    * a shard counts as done iff a committed, reader-visible segment
+    * contains its batch-0 documents). */
+  def completedShards(): Set[Int] =
+    currentManifest().map(IcebergLite.completedShards).getOrElse(Set.empty)
+
+  /** S12 index delete as an API: retract the snapshot pointer FIRST (new
+    * readers immediately see "no table"; an engine pinned to an already-
+    * resolved manifest keeps its immutable files until the dir removal),
+    * then remove the data. Idempotent. */
+  def drop(): Unit = {
+    Files.deleteIfExists(p("snapshot.json"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
-  def checkpointShard(shard: Int, segName: String, docs: Long): Unit = {
-    Files.createDirectories(p("checkpoints"))
-    Files.writeString(p("checkpoints", s"shard-$shard.json"),
-      mapper.writeValueAsString(Map(
-        "shard" -> shard, "segment" -> segName, "docs" -> docs)))
+  /** Physical GC after compaction: keep the `keepManifests` most recent
+    * manifest versions (snapshot history horizon); delete segment dirs,
+    * dict dirs and manifest files only reachable from older versions.
+    * Readers pinned to a kept manifest stay correct; pins older than the
+    * horizon are invalidated by design (documented retention contract). */
+  def gc(keepManifests: Int = 1): Seq[String] = {
+    val current = currentManifest().getOrElse(return Nil)
+    val all = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val manifestVersions = all
+      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-").stripSuffix(".json").toInt }
+      .sorted
+    val keepVs = manifestVersions.takeRight(math.max(1, keepManifests))
+      .toSet + current.version
+    val keptManifests = keepVs.map(v => readManifest(s"manifest-$v.json"))
+    val liveDirs: Set[String] =
+      keptManifests.flatMap(m => m.segments.map(_.name) ++ m.dict)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    all.foreach { name =>
+      val isOldManifest = name.startsWith("manifest-") && name.endsWith(".json") &&
+        !keepVs.contains(name.stripPrefix("manifest-").stripSuffix(".json").toInt)
+      val isDeadDir = (name.startsWith("seg-") || name.startsWith("dict-v")) &&
+        !liveDirs.contains(name)
+      if (isOldManifest || isDeadDir) {
+        org.apache.commons.io.FileUtils.deleteQuietly(p(name).toFile)
+        deleted += name
+      }
+    }
+    deleted.toSeq
   }
 
   def segPath(seg: SegmentInfo, sub: String): String =
     Paths.get(root, seg.name, sub).toString
-  def dictPath: String = Paths.get(root, "dict").toString
+}
+
+object IcebergLite {
+  /** Ingest batch ids whose documents a segment contains ("batches" after
+    * a merge; "batch" on freshly built segments). */
+  def batchesOf(s: SegmentInfo): Set[Int] =
+    s.lineage.get("batches").orElse(s.lineage.get("batch")).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.trim.toInt).toSet
+
+  /** Bulk-build (batch 0) input shards covered by a segment. */
+  def batch0Shards(s: SegmentInfo): Set[Int] =
+    s.lineage.get("batch0Shards") match {
+      case Some(v) => v.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
+      case None => if (batchesOf(s).contains(0)) s.shards.toSet else Set.empty
+    }
+
+  def completedShards(m: Manifest): Set[Int] =
+    m.segments.flatMap(batch0Shards).toSet
 }

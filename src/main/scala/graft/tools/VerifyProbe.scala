@@ -44,6 +44,17 @@ object VerifyProbe {
         println("PROBE wrong-shards -> rejected: " + e.getMessage.take(80))
     }
 
+    // S11/S12 lifecycle: create -> drop -> recreate over the same root
+    val lifeRoot = "/root/repo/target/graftwork/probe-lifecycle"
+    val lifeTbl = new graft.table.IcebergLite(lifeRoot)
+    IndexBuilder.build(spark, corpus, lifeRoot, numShards = 4)
+    lifeTbl.drop()
+    println("PROBE drop -> exists=" + lifeTbl.exists +
+      " manifest=" + lifeTbl.currentManifest())
+    val re = IndexBuilder.build(spark, corpus, lifeRoot, numShards = 4)
+    println("PROBE recreate after drop -> docs=" + re.manifest.numDocs)
+    lifeTbl.drop()
+
     // open an engine on a nonexistent index
     try { new QueryEngine(spark, "/root/repo/target/graftwork/nope"); println("PROBE open-missing -> NO ERROR (BAD)") }
     catch { case e: IllegalStateException => println("PROBE open-missing -> rejected: " + e.getMessage.take(60)) }

@@ -112,23 +112,35 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
   }
 
-  test("RESUME: interrupted build (subset of shards) + resume == same index") {
+  test("RESUME: a build killed LIVE mid-pass resumes from the committed manifest") {
     val root2 = s"$work/index-resumed"
     val ds = CorpusGen.dataset(spark, nDocs, 42L, 6)
-    // pass 1: pretend a crash left only shards 0,1,2 done by checkpointing
-    // a partial run: build only shards 0-2 by marking 3..7 as done, then
-    // clearing their checkpoints (simulates completed-then-lost work for
-    // the remaining shards).
-    val tbl = new IcebergLite(root2)
-    tbl.init()
-    (3 until numShards).foreach(sh => tbl.checkpointShard(sh, "fake", 0L))
-    val r1 = IndexBuilder.build(spark, ds, root2, numShards) // builds 0..2
+    // pass 1: first 3 shards, committed (manifest = the only checkpoint)
+    val r1 = IndexBuilder.build(spark, ds, root2, numShards, maxShardsThisPass = 3)
     assert(r1.builtShards === (0 until 3))
-    (3 until numShards).foreach { sh =>
-      Files.delete(Paths.get(root2, "checkpoints", s"shard-$sh.json"))
+    assert(new IcebergLite(root2).completedShards() === (0 until 3).toSet)
+
+    // pass 2 is killed FOR REAL: a poison marker makes every running task
+    // throw, aborting the live Spark job mid-build. Nothing is pre-seeded;
+    // the crash must leave the pass-1 manifest as the resume state.
+    val markerPath = s"$work/poison-marker"
+    Files.createFile(Paths.get(markerPath))
+    import spark.implicits._
+    val poisoned = ds.map { d =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(markerPath)))
+        throw new RuntimeException("injected mid-build crash")
+      d
     }
-    val r2 = IndexBuilder.build(spark, ds, root2, numShards) // resumes 3..7
-    assert(r2.builtShards === (3 until numShards))
+    val ex = intercept[Exception] {
+      IndexBuilder.build(spark, poisoned, root2, numShards)
+    }
+    assert(ex.getMessage != null)
+    // the aborted pass committed nothing: still exactly shards 0..2 done
+    assert(new IcebergLite(root2).completedShards() === (0 until 3).toSet)
+
+    Files.delete(Paths.get(markerPath))
+    val r2 = IndexBuilder.buildAll(spark, ds, root2, numShards, shardsPerPass = 3)
+    assert(r2.builtShards.sorted === (3 until numShards))
     assert(r2.manifest.numDocs === nDocs)
 
     // identical query results vs the single-pass index
@@ -140,25 +152,86 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     val a = engine.docmeta.orderBy("docId").collect().toSeq
     val b = engResumed.docmeta.orderBy("docId").collect().toSeq
     assert(a === b)
-    // a third run is a no-op
+    // a further run is a no-op
     val r3 = IndexBuilder.build(spark, ds, root2, numShards)
     assert(r3.builtShards.isEmpty)
   }
 
-  test("MERGE: merged segments answer identically; blocks re-densified") {
-    val root2 = s"$work/index-resumed" // two segments from the resume test
+  test("MERGE: merged segments answer identically; dict materialized") {
+    val root2 = s"$work/index-resumed" // three segments from the resume test
     val before = new QueryEngine(spark, root2)
-    assert(before.manifest.segments.size === 2)
+    assert(before.manifest.segments.size === 3)
+    assert(before.manifest.dict.isEmpty)
     val m = SegmentMerge.merge(spark, root2)
     assert(m.segments.size === 1)
     val after = new QueryEngine(spark, root2)
     assert(after.manifest.numDocs === nDocs)
+    // compaction materialized the dictionary; it must equal the derived one
+    assert(after.manifest.dict.contains(s"dict-v${m.version}"))
+    val derived = after.postings.groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val materialized = after.dict.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(materialized === derived)
     refQueries.foreach { q =>
       assert(after.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
     }
     ReferenceQueries.boolQueries.foreach { q =>
       assert(after.booleanTopK(q, 10) === engine.booleanTopK(q, 10), s"bool '$q'")
     }
+  }
+
+  test("GC: unreachable segments physically deleted; current reader unaffected") {
+    val root2 = s"$work/index-resumed" // compacted by the MERGE test
+    val tbl = new IcebergLite(root2)
+    val deleted = tbl.gc(keepManifests = 1)
+    // the three pre-merge segments and their manifests are gone from disk
+    assert(deleted.exists(_.startsWith("seg-0-")))
+    (0 until 3).foreach { i =>
+      assert(!Files.exists(Paths.get(root2, s"seg-0-$i")), s"seg-0-$i survived gc")
+    }
+    // the compacted snapshot still answers identically
+    val eng = new QueryEngine(spark, root2)
+    refQueries.take(4).foreach { q =>
+      assert(eng.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
+    }
+    // gc is idempotent
+    assert(tbl.gc(keepManifests = 1).isEmpty)
+  }
+
+  test("DROP: index delete API retracts the snapshot then removes data") {
+    val root4 = s"$work/index-dropped"
+    val ds = CorpusGen.dataset(spark, 100L, 7L, 4)
+    IndexBuilder.build(spark, ds, root4, numShards = 4)
+    val tbl = new IcebergLite(root4)
+    assert(tbl.exists)
+    tbl.drop()
+    assert(!tbl.exists && !Files.exists(Paths.get(root4)))
+    assert(tbl.currentManifest().isEmpty)
+    // recreate over the same root works (S11 idempotent create analogue)
+    val r = IndexBuilder.build(spark, ds, root4, numShards = 4)
+    assert(r.manifest.numDocs === 100L)
+    tbl.drop()
+  }
+
+  test("docId bit budgets are guarded (batch overflow fails loudly)") {
+    IndexBuilder.docIdFor(2047, 0, 0) // max valid batch
+    intercept[IllegalArgumentException](IndexBuilder.docIdFor(2048, 0, 0))
+    intercept[IllegalArgumentException](IndexBuilder.docIdFor(-1, 0, 0))
+    intercept[IllegalArgumentException](IndexBuilder.docIdFor(0, 1 << 20, 0))
+    intercept[IllegalArgumentException](IndexBuilder.docIdFor(0, 0, 1L << 32))
+    // max-everything docId stays non-negative (sign bit clear)
+    assert(IndexBuilder.docIdFor(2047, (1 << 20) - 1, (1L << 32) - 1) > 0L)
+  }
+
+  test("search() with zero hits returns an empty, correctly-typed DataFrame") {
+    val df = engine.search("zzzznotaterm qqqqnotaterm", 5)
+    assert(df.count() === 0L)
+    assert(df.columns.toSet === Set("docId", "repo", "path", "commit",
+      "lang", "sha256", "docLen", "shard", "score"))
+    // downstream projections must not throw on the empty result
+    assert(df.select("path", "score").collect().isEmpty)
   }
 
   test("incremental ingest (batch > 0) extends the index consistently") {
