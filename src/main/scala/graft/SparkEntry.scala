@@ -67,6 +67,7 @@ object SparkEntry {
     "q44_simhash_buckets" -> (DedupOps.qSimHashBuckets _),
     "q45_ngram_jaccard" -> (DedupOps.qNgramJaccardTop _),
     "q46_minhash_pairs" -> (DedupOps.qMinHashPairs _),
+    "q47_ngram_cap_metrics" -> (DedupOps.qNgramCapMetrics _),
     // similarity search
     "q50_ann_bruteforce" -> (AnnOps.qAnnBruteForce _),
     "q51_embed_norms" -> (AnnOps.qEmbedNorms _),
@@ -259,7 +260,8 @@ object SparkEntry {
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q60_bm25_topk" -> SearchOps.bm25OracleSql,
-    "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql)
+    "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql) ++
+    DedupOps.oracles ++ AnnOps.oracles
 
   private def sentimentDocsSql: String = {
     val pos = SentimentOps.PosWords.map(w => s"'$w'").mkString("(", ",", ")")

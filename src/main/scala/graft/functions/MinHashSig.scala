@@ -7,43 +7,48 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** One-pass 64-slot MinHash over word 3-gram shingles of a token array.
-  * The pure-`aggregate`/`zip_with` formulation allocates a 64-element
-  * array per shingle (measured ~4 ms/doc at 5k docs); this native
-  * expression is a tight primitive loop (~50 us/doc), the justified
-  * "graduate the hot scalar to a codegen Expression" case. */
+/** One-pass 64-slot MinHash over word 3-gram shingles of a token array,
+  * on the PORTABLE hash scheme (graft.functions.PortableHash): shingle
+  * key = md5-hex60 of the space-joined 3 tokens, slot i = min over
+  * shingles of (a_i*key + b_i) mod (2^31-1) — bit-identical to the DuckDB
+  * oracle SQL. A native expression because the pure `aggregate`/`zip_with`
+  * formulation allocates a 64-element array per shingle (measured
+  * ~80x slower at sf0.1) and CollapseProject would re-evaluate a projected
+  * shingle array once per lambda use; here everything is one tight loop. */
 object MinHashHelper {
-  val NumHashes = 64
+  import PortableHash.{NumHashes, P, SeedA, SeedB}
+
   val ShingleSize = 3
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private val seeds: Array[Long] = Array.tabulate(NumHashes)(i => mix(1337L * (i + 1)))
-
-  /** FNV-1a 64 over UTF-8 bytes. */
-  @inline private def fnv(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+  /** Build the j-th shingle string "tok_j tok_j+1 tok_j+2" as UTF-8. */
+  @inline private def shingleBytes(toks: Array[Array[Byte]], j: Int, w: Int): Array[Byte] = {
+    var len = w - 1
     var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
-    h
+    while (i < w) { len += toks(j + i).length; i += 1 }
+    val out = new Array[Byte](len)
+    var pos = 0
+    i = 0
+    while (i < w) {
+      val t = toks(j + i)
+      System.arraycopy(t, 0, out, pos, t.length)
+      pos += t.length
+      if (i < w - 1) { out(pos) = ' '; pos += 1 }
+      i += 1
+    }
+    out
   }
 
   def sig(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
-    val th = new Array[Long](n)
+    val tb = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { th(i) = fnv(tokens.getUTF8String(i)); i += 1 }
+    while (i < n) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
     val mins = Array.fill(NumHashes)(Long.MaxValue)
-    @inline def absorb(s: Long): Unit = {
+    @inline def absorb(key60: Long): Unit = {
+      val x = key60 % P
       var k = 0
       while (k < NumHashes) {
-        val v = mix(s ^ seeds(k))
+        val v = (SeedA(k) * x + SeedB(k)) % P
         if (v < mins(k)) mins(k) = v
         k += 1
       }
@@ -51,17 +56,46 @@ object MinHashHelper {
     if (n >= ShingleSize) {
       var j = 0
       while (j + ShingleSize - 1 < n) {
-        absorb(mix(mix(th(j)) ^ mix(th(j + 1) + 0x1b873593L) ^ (th(j + 2) * 0xcc9e2d51L)))
+        absorb(PortableHash.hex60(shingleBytes(tb, j, ShingleSize)))
         j += 1
       }
     } else {
-      // short doc: one whole-doc shingle (chain the token hashes)
-      var s = 0x51ed270bL
-      var j = 0
-      while (j < n) { s = mix(s ^ th(j)); j += 1 }
-      absorb(s)
+      // short doc: a single whole-doc shingle (all tokens space-joined)
+      absorb(PortableHash.hex60(shingleBytes(tb, 0, n)))
     }
     new GenericArrayData(mins)
+  }
+}
+
+/** Portable tf-weighted 60-bit SimHash of a token array: token hash =
+  * md5-hex60; bit b is set iff tokens-with-bit-b (counted WITH
+  * multiplicity — that is the tf weighting) are a strict majority.
+  * Reproducible in DuckDB with shift/mask arithmetic over the same md5
+  * base hash. */
+object SimHashHelper {
+  import PortableHash.SimHashBits
+
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val counts = new Array[Int](SimHashBits)
+    var i = 0
+    while (i < n) {
+      val h = PortableHash.hex60(tokens.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < SimHashBits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < SimHashBits) {
+      if (2 * counts(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 }
 
@@ -83,6 +117,24 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"simhash64 needs array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SimHashHelper.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashHelper.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
 object MinHashFunctions {
   def register(spark: SparkSession): Unit = {
     val info = new ExpressionInfo(classOf[MinHashSig].getName, null,
@@ -90,5 +142,10 @@ object MinHashFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), info,
       (exprs: Seq[Expression]) => MinHashSig(exprs.head))
+    val info2 = new ExpressionInfo(classOf[SimHash64].getName, null,
+      "simhash64", "simhash64(array<string>) - 60-bit tf-weighted SimHash", "")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), info2,
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
   }
 }

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /**
  * Similarity search over the `embeddings` table (vec_id, embedding:
- * array<float>[64], label). Brute-force cosine top-k as the exact
+ * array<float>[64], label). Brute-force cosine top-k is the exact
  * baseline (pure `aggregate`/`zip_with` expressions — codegen'd, no UDF,
- * trivially parallel: score is a map, top-k is TakeOrdered), plus a
- * random-hyperplane LSH bucketing as the scale path (candidates only ever
- * meet inside a bucket).
+ * trivially parallel). The scale paths query the MATERIALIZED AnnIndex
+ * structures (built once, partitioned by probe key): an LSH query reads
+ * only its bucket partition and an IVF query only its probed centroid
+ * partitions — partition pruning does the candidate narrowing, no full
+ * scan per query. Every query here has an exact DuckDB oracle (the hash
+ * planes / seed centroids are SQL-reproducible).
  */
 object AnnOps {
   import Tables._
+  import AnnIndex.{IvfCentroids, IvfProbes, NumPlanes, Dim, Bucket6Mask}
 
   /** Cast to double once; all math in doubles (matches the DuckDB oracle). */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -44,145 +48,130 @@ object AnnOps {
       .select(col("vec_id"), round(l2(asDouble(col("embedding"))), 6).as("norm"))
       .orderBy("vec_id")
 
-  val NumPlanes = 16
-
-  /** Deterministic pseudo-random hyperplane weight (plane p, dim d) in
-    * [-1, 1] — splitmix64 on (p, d), public-domain mixer. */
-  def planeWeight(p: Int, d: Int): Double = {
-    var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  /** The query vector (vec_id = 0) as a driver-side double array —
+    * point lookup, row-group pruned on vec_id. */
+  private def queryVec(spark: SparkSession, dir: String): Array[Double] = {
+    import spark.implicits._
+    t(spark, dir, "embeddings").where(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).as[Seq[Double]].head().toArray
   }
 
-  /** Sign-random-projection LSH: 16-bit bucket per vector. Typed map
-    * with the plane matrix in the closure (per-row scalar). */
+  /** LSH bucket inventory — reads the MATERIALIZED table, which the
+    * oracle recomputes from raw embeddings: the materialization itself
+    * is hash-verified. */
   def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val planes: Array[Array[Double]] =
-      Array.tabulate(NumPlanes, 64)((p, d) => planeWeight(p, d))
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) =>
-        var bucket = 0
-        var p = 0
-        while (p < planes.length) {
-          var s = 0.0
-          var d = 0
-          while (d < emb.length && d < 64) { s += planes(p)(d) * emb(d); d += 1 }
-          if (s > 0) bucket |= (1 << p)
-          p += 1
-        }
-        (id, bucket)
-      }
-      .toDF("vec_id", "bucket")
+    val paths = AnnIndex.ensure(spark, dir)
+    spark.read.parquet(paths.lsh)
+      .select(col("vec_id"), col("bucket16").as("bucket"))
       .orderBy("vec_id")
   }
 
-  val IvfCentroids = 16
-  val IvfProbes = 4
-  val IvfIters = 3
-
-  /** IVF coarse quantizer: deterministic k-means (centroids seeded from
-    * the first k vectors by vec_id, `IvfIters` Lloyd rounds computed as
-    * DataFrame aggregations — each round is one broadcast-assign +
-    * groupBy-average, the textbook scale shape). Returns the centroid
-    * matrix. At 100 TB the same two jobs run over a sample. */
-  def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+  /** Bucketed ANN top-10: the query's coarse bucket is computed driver-
+    * side, then ONLY that bucket6 partition is read (partition pruning —
+    * the 100 TB path: per-query work is the bucket size, not the corpus). */
+  def qAnnLshTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .as[(Long, Seq[Double])]
-    var cents: Array[Array[Double]] = emb
-      .filter(_._1 < IvfCentroids).collect().sortBy(_._1)
-      .map(_._2.toArray)
-    (1 to IvfIters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(cents)
-      val next = emb.map { case (_, e) =>
-        (nearestCentroid(e.toArray, bc.value), (e.toArray, 1L))
-      }.rdd.reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
-        val s = new Array[Double](x._1.length)
-        var d = 0
-        while (d < s.length) { s(d) = x._1(d) + y._1(d); d += 1 }
-        (s, x._2 + y._2)
-      }.collect().toMap
-      cents = cents.zipWithIndex.map { case (old, c) =>
-        next.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(old)
-      }
-    }
-    cents
+    val paths = AnnIndex.ensure(spark, dir)
+    val qv = queryVec(spark, dir)
+    val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & Bucket6Mask
+    val cand = spark.read.parquet(paths.lsh)
+      .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
+    val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
+    cand.crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
   }
 
-  def nearestCentroid(e: Array[Double], cents: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cents.length) {
-      var d = 0.0
-      var i = 0
-      val cv = cents(c)
-      while (i < e.length && i < cv.length) {
-        val x = e(i) - cv(i); d += x * x; i += 1
-      }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
-
-  /** IVF assignment table: (vec_id, centroid). The inverted-file lists. */
+  /** IVF assignment inventory — reads the materialized inverted lists;
+    * the oracle recomputes argmin-to-seed-centroids from raw embeddings. */
   def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cents = ivfCentroids(spark, dir)
-    val bc = spark.sparkContext.broadcast(cents)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, e) => (id, nearestCentroid(e.toArray, bc.value)) }
-      .toDF("vec_id", "centroid")
+    val paths = AnnIndex.ensure(spark, dir)
+    spark.read.parquet(paths.ivf)
+      .select(col("vec_id"), col("centroid").cast("long").as("centroid"))
       .orderBy("vec_id")
   }
 
-  /** IVF top-k: probe the query's `IvfProbes` nearest inverted lists,
-    * exact cosine only inside them — the standard recall/cost dial. */
+  /** IVF top-10: probe the IvfProbes nearest centroids (16-row driver
+    * lookup), read ONLY those centroid partitions, exact cosine inside —
+    * the standard recall/cost dial, with pruning in the plan. */
   def qAnnIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cents = ivfCentroids(spark, dir)
-    val emb = t(spark, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0)
-      .select(asDouble(col("embedding"))).as[Seq[Double]].head().toArray
-    val probed: Seq[Int] = cents.indices
-      .sortBy { c =>
-        var d = 0.0; var i = 0
-        while (i < qv.length) { val x = qv(i) - cents(c)(i); d += x * x; i += 1 }
-        d
-      }.take(IvfProbes)
-    val assign = qAnnIvfAssign(spark, dir)
-    emb.join(assign, "vec_id")
-      .where(col("centroid").isin(probed.map(Integer.valueOf): _*))
-      .crossJoin(broadcast(emb.where(col("vec_id") === 0)
-        .select(asDouble(col("embedding")).as("qv"))))
-      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
+    val paths = AnnIndex.ensure(spark, dir)
+    val qv = queryVec(spark, dir)
+    val cents = spark.read.parquet(paths.centroids)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val probed: Seq[Long] = cents.map { case (c, ce) =>
+      var d = 0.0
+      var i = 0
+      val n = math.min(qv.length, ce.length)
+      while (i < n) { val x = qv(i) - ce(i); d += x * x; i += 1 }
+      (c, d)
+    }.sortBy { case (c, d) => (d, c) }.take(IvfProbes).map(_._1).toSeq
+    val cand = spark.read.parquet(paths.ivf)
+      .where(col("centroid").isin(probed: _*)) // partition filter
+    val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
+    cand.crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }
 
-  /** Bucketed ANN: exact cosine only among candidates whose coarse
-    * 6-bit LSH bucket matches the query's (multi-resolution probing —
-    * the 100 TB path: candidates shrink by the bucket fan-out, the
-    * cosine is only evaluated inside the bucket). Top-10 of the bucket. */
-  def qAnnLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = qAnnLshBuckets(spark, dir)
-      .select(col("vec_id"), (col("bucket").bitwiseAND(lit(0x3f))).as("bucket"))
-    val emb = t(spark, dir, "embeddings").join(buckets, "vec_id")
-    val qRow = emb.where(col("vec_id") === 0)
-      .select(asDouble(col("embedding")).as("qv"), col("bucket").as("qbucket"))
-    emb.crossJoin(broadcast(qRow))
-      .where(col("bucket") === col("qbucket"))
-      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
-  }
+  // ---- DuckDB oracles (planes/centroids are SQL-reproducible) ---------
+
+  private def planeList(p: Int): String =
+    (0 until Dim).map(d => AnnIndex.planeWeight(p, d).toString)
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Sequential-fold dot product of the embedding with plane p (bit-exact
+    * vs the Scala while-loop: same operands, same order). */
+  private def planeDot(p: Int): String =
+    s"list_reduce(list_transform(list_zip(e, ${planeList(p)}), z -> z[1] * z[2]), (a, b) -> a + b)"
+
+  private def bucketExpr(planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${planeDot(p)} > 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+
+  private val eCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** Squared L2 between two double lists, sequential fold. */
+  private def distSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range($Dim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
+
+  private val assignCtes =
+    s"""c AS (SELECT vec_id AS centroid, e AS ce FROM e WHERE vec_id < $IvfCentroids),
+       |d AS (SELECT e.vec_id, c.centroid, ${distSql("e.e", "c.ce")} AS dist FROM e, c),
+       |assign AS (SELECT vec_id, centroid FROM (
+       |  SELECT vec_id, centroid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid) AS rn
+       |  FROM d) WHERE rn = 1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q52_ann_lsh_buckets" ->
+      s"""WITH $eCte
+         |SELECT vec_id, ${bucketExpr(NumPlanes)} AS bucket
+         |FROM e ORDER BY vec_id""".stripMargin,
+    "q53_ann_lsh_topk" ->
+      s"""WITH $eCte,
+         |b AS (SELECT vec_id, e, ${bucketExpr(6)} AS b6 FROM e),
+         |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(b.e, q.qe), 6) AS cos
+         |FROM b, q WHERE b.b6 = q.qb6
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q54_ann_ivf_assign" ->
+      s"""WITH $eCte, $assignCtes
+         |SELECT vec_id, centroid FROM assign ORDER BY vec_id""".stripMargin,
+    "q55_ann_ivf_topk" ->
+      s"""WITH $eCte, $assignCtes,
+         |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+         |qd AS (SELECT c.centroid, ${distSql("q.qe", "c.ce")} AS dist FROM c, q),
+         |probes AS (SELECT centroid FROM qd ORDER BY dist, centroid LIMIT $IvfProbes)
+         |SELECT vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos
+         |FROM e JOIN assign USING (vec_id), q
+         |WHERE assign.centroid IN (SELECT centroid FROM probes)
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
 }

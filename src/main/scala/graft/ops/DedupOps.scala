@@ -1,47 +1,75 @@
 package graft.ops
 
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /**
  * Deduplication operators for a large-scale training-data pipeline, over
  * the `documents` table. All the heavy lifting stays in codegen'd column
- * expressions (no UDFs): shingling via slice/transform, MinHash via
- * xxhash64 over a seed sequence, banding via explode — so the plan is a
- * scan -> project -> (optional) shuffle, exactly what survives a 100x
- * scale-up. Candidate-pair generation only ever joins on band buckets
- * (LSH) or capped-df shingles, never all-pairs.
+ * expressions or native Catalyst expressions (no UDFs): shingling via
+ * transform/element_at, MinHash/SimHash via graft.functions.{MinHashSig,
+ * SimHash64} — so the plan is scan -> project -> (optional) shuffle,
+ * exactly what survives a 100x scale-up. Candidate-pair generation only
+ * ever joins on band buckets (LSH) or capped-df shingles, never all-pairs.
+ *
+ * Every signature here uses the PORTABLE md5-hex60 hash scheme
+ * (graft.functions.PortableHash), so each query has an exact DuckDB
+ * oracle (`oracles` below) — the whole family is hash-verified
+ * end-to-end, not just spec-tested.
  */
 object DedupOps {
   import Tables._
 
-  val NumHashes = 64
+  val NumHashes = PortableHash.NumHashes
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
   val ShingleSize = 3
+  /** Shingles present in more than DfCap docs are dropped from n-gram
+    * Jaccard pair generation (anti-blowup guard); the dropped volume is
+    * REPORTED by qNgramCapMetrics (q47), not silently truncated. */
+  val DfCap = 50
 
-  /** 64-bit hashes of the word 3-gram shingles, computed in ONE pass with
-    * O(1) element_at lookups (building shingle strings via slice/concat
-    * is O(n^2) per doc and was 1000x slower at 5k docs — measured). */
-  def shingleHashes(text: Column): Column = {
+  /** Word 3-gram shingle strings, built in one O(n) pass (element_at is
+    * O(1); building via slice/concat was O(n^2) per doc — measured). */
+  def shingleStrs(text: Column): Column = {
     val tk = toks(text)
     when(size(tk) >= ShingleSize,
       transform(sequence(lit(1), size(tk) - (ShingleSize - 1)),
-        j => xxhash64(element_at(tk, j), element_at(tk, j + 1),
+        j => concat_ws(" ", element_at(tk, j), element_at(tk, j + 1),
           element_at(tk, j + 2))))
-      .otherwise(array(xxhash64(concat_ws(" ", tk))))
+      .otherwise(array(concat_ws(" ", tk)))
   }
 
-  /** (doc_id, sig) via the native MinHashSig Catalyst expression
-    * (graft.functions.MinHashSig) — one tight pass per row; the pure
-    * aggregate/zip_with formulation allocated a 64-slot array per
-    * shingle and was ~80x slower (measured at sf0.1). */
+  /** Portable 60-bit shingle keys: conv(substr(md5(s),1,15),16,10) ==
+    * DuckDB ('0x' || substr(md5(s),1,15))::BIGINT. Pure built-ins. */
+  def shingleKeys(text: Column): Column =
+    transform(shingleStrs(text),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
+  /** (doc_id, sig) via the native MinHashSig Catalyst expression — one
+    * tight pass per row (the pure aggregate/zip_with formulation was ~80x
+    * slower at sf0.1, and CollapseProject re-evaluates projected arrays
+    * once per lambda use — measured; see MinHashSig scaladoc). */
   def sigsDF(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashFunctions.register(spark)
     t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .selectExpr("doc_id", "minhash_sig(tk) AS sig")
   }
+
+  /** LSH banding: one row per (doc, band) with a portable md5 bucket key
+    * over the band's 4 signature slots. */
+  def bandsDF(spark: SparkSession, dir: String): DataFrame =
+    sigsDF(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        md5(concat_ws("_", col("band").cast("string") +:
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), (col("band") * RowsPerBand + r + 1).cast("int"))
+              .cast("string")): _*)).as("bucket"))
 
   /** Exact dedup: group by content hash, keep lowest doc_id (F4/F5 —
     * the reference's tweet_id / headline dedup lists,
@@ -58,29 +86,16 @@ object DedupOps {
       .select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
       .orderBy("doc_id")
 
-  /** LSH banding: (doc_id, band, bucket); near-dup candidates are pairs
-    * sharing a bucket — the scale path (bucket join, never all-pairs). */
+  /** LSH banding surface: (doc_id, band, bucket); near-dup candidates are
+    * pairs sharing a bucket — the scale path (bucket join, never all-pairs). */
   def qMinHashBands(spark: SparkSession, dir: String): DataFrame =
-    sigsDF(spark, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
-        col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), concat_ws("_",
-          transform(slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string")))).as("bucket"))
-      .orderBy("doc_id", "band")
+    bandsDF(spark, dir).orderBy("doc_id", "band")
 
   /** Candidate pairs from LSH buckets with verified MinHash similarity. */
   def minhashCandidates(spark: SparkSession, dir: String,
                         simThreshold: Double): DataFrame = {
     val sigs = sigsDF(spark, dir)
-    val bands = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
-        col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), concat_ws("_",
-          transform(slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string")))).as("bucket"))
+    val bands = bandsDF(spark, dir)
     val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b"))
     val cand = a.join(b, Seq("band", "bucket")).where(col("a") < col("b"))
@@ -102,42 +117,19 @@ object DedupOps {
     minhashCandidates(spark, dir, simThreshold = 0.8)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
-  /** SimHash (64-bit) per document: tf-weighted sign aggregation of
-    * token hashes. Typed map (per-row scalar; Expression candidate). */
+  /** SimHash (60-bit, tf-weighted) per document via the native SimHash64
+    * expression — portable scheme, one pass per row. */
   def qSimHash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    graft.functions.MinHashFunctions.register(spark)
     t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .as[(Long, Seq[String])]
-      .map { case (id, tk) => (id, simhash64(tk)) }
-      .toDF("doc_id", "simhash")
+      .selectExpr("doc_id", "simhash64(tk) AS simhash")
       .orderBy("doc_id")
   }
 
-  def simhash64(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
-    val tf = tokens.groupBy(identity).view.mapValues(_.size)
-    tf.foreach { case (tok, f) =>
-      var h = tok.hashCode.toLong * 0x9e3779b97f4a7c15L
-      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-      h = h ^ (h >>> 31)
-      var b = 0
-      while (b < 64) {
-        if (((h >> b) & 1L) == 1L) acc(b) += f else acc(b) -= f
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
-  /** Hamming distance between simhashes of consecutive doc pairs — a
-    * cheap near-dup screen (top-20 most similar pairs by LSH-free
-    * small-scale scan would be O(n^2); at scale, bucket simhash prefixes.
-    * Here: distribution of prefix-bucket sizes, deterministic). */
+  /** SimHash prefix buckets: near-dups collide on low bits far more often
+    * than random docs; at scale, bucket by prefix then verify inside
+    * (here: the deterministic bucket-size distribution, top-50). */
   def qSimHashBuckets(spark: SparkSession, dir: String): DataFrame =
     qSimHash(spark, dir)
       .select((col("simhash").bitwiseAND(lit(0xffffL))).as("prefix16"))
@@ -145,17 +137,30 @@ object DedupOps {
       .orderBy(desc("cnt"), asc("prefix16"))
       .limit(50)
 
+  // ---- n-gram Jaccard ------------------------------------------------
+
+  /** Distinct (doc_id, 60-bit shingle key) pairs, persisted per dataset
+    * dir: q45 uses it twice (sizes + capped join) and q47 reports its cap
+    * metrics — one analysis pass feeds all of them. */
+  private val shingleCache = mutable.HashMap.empty[String, DataFrame]
+  def docShinglesDF(spark: SparkSession, dir: String): DataFrame = synchronized {
+    shingleCache.getOrElseUpdate(dir,
+      t(spark, dir, "documents")
+        .select(col("doc_id"), explode(shingleKeys(col("text"))).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** n-gram Jaccard similarity: top-20 candidate pairs by true Jaccard
     * over 3-word shingles. Pair generation via shingle inverted join
-    * with a df cap (ultra-common shingles dropped — documented coverage
-    * cap; at 100 TB this is the standard anti-blowup guard). */
+    * with a df cap (see qNgramCapMetrics for the reported coverage cap —
+    * at 100 TB this is the standard anti-blowup guard). */
   def qNgramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
-    val docShingles = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("sh"))
-      .distinct()
+    val docShingles = docShinglesDF(spark, dir)
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = docShingles.join(
-      docShingles.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 50),
+      docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= DfCap),
       "sh")
     val pairs = rare.select(col("sh"), col("doc_id").as("a"))
       .join(rare.select(col("sh"), col("doc_id").as("b")), "sh")
@@ -170,4 +175,106 @@ object DedupOps {
       .orderBy(desc("jaccard"), asc("a"), asc("b"))
       .limit(20)
   }
+
+  /** The df-cap surfaced as a first-class, oracled metric: how many
+    * (doc, shingle) rows the q45 pair generation drops (df > DfCap) out
+    * of the total — coverage truncation as output, not a code comment. */
+  def qNgramCapMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ds = docShinglesDF(spark, dir)
+    val dfs = ds.groupBy("sh").agg(count(lit(1)).as("df"))
+    val total = ds.agg(count(lit(1)).as("n_shingle_rows"))
+    val dropped = ds.join(dfs.where(col("df") > DfCap), "sh")
+      .agg(count(lit(1)).as("n_dropped"))
+    val distinctSh = dfs.agg(count(lit(1)).as("n_distinct_shingles"))
+    total.crossJoin(dropped).crossJoin(distinctSh)
+  }
+
+  // ---- DuckDB oracles (generated from the same constants) -------------
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')"
+  private val shsSql =
+    s"""CASE WHEN len(toks) >= $ShingleSize
+       | THEN list_transform(range(1, len(toks) - 1),
+       |        j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private def keysSql =
+    s"list_transform(shs, s -> ${PortableHash.duckHex60("s")} % ${PortableHash.P})"
+  private def sigListSql =
+    (0 until NumHashes).map(i => PortableHash.duckMinHashSlot(i, "ks"))
+      .mkString("[", ", ", "]")
+  private val docsCte = s"docs AS (SELECT doc_id, $toksSql AS toks FROM documents)"
+  private val shsCte = s"shs AS (SELECT doc_id, $shsSql AS shs FROM docs)"
+  private val keysCte = s"keys AS (SELECT doc_id, $keysSql AS ks FROM shs)"
+  private val sigsCte = s"sigs AS (SELECT doc_id, $sigListSql AS sig FROM keys)"
+  private val bandsCte =
+    s"""bands AS (SELECT doc_id, band,
+       |  md5(concat_ws('_', band, ${(1 to RowsPerBand)
+            .map(r => s"sig[$RowsPerBand*band + $r]").mkString(", ")})) AS bucket
+       |FROM sigs, (SELECT unnest(range($Bands)) AS band) AS bb)""".stripMargin
+  private val hsCte =
+    s"""hs AS (SELECT doc_id,
+       |  list_transform(toks, t -> ${PortableHash.duckHex60("t")}) AS hs FROM docs)""".stripMargin
+  private val simhashExpr =
+    s"""CASE WHEN len(hs) = 0 THEN 0 ELSE CAST(list_sum(list_transform(
+       | range(${PortableHash.SimHashBits}),
+       | b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+       |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) END""".stripMargin
+  private val dsCte =
+    s"""ds AS (SELECT DISTINCT doc_id, ${PortableHash.duckHex60("s")} AS sh
+       |  FROM (SELECT doc_id, unnest(shs) AS s FROM shs))""".stripMargin
+
+  /** DuckDB equivalents for every dedup query — same md5-derived hashes,
+    * same arithmetic, exact match expected. */
+  def oracles: Map[String, String] = Map(
+    "q41_minhash_sigs" ->
+      s"""WITH $docsCte, $shsCte, $keysCte
+         |SELECT doc_id, ${(0 until 8).map(i =>
+              s"${PortableHash.duckMinHashSlot(i, "ks")} AS h$i").mkString(", ")}
+         |FROM keys ORDER BY doc_id""".stripMargin,
+    "q42_minhash_bands" ->
+      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte
+         |SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band""".stripMargin,
+    "q43_simhash" ->
+      s"""WITH $docsCte, $hsCte
+         |SELECT doc_id, $simhashExpr AS simhash FROM hs ORDER BY doc_id""".stripMargin,
+    "q44_simhash_buckets" ->
+      s"""WITH $docsCte, $hsCte,
+         |sh AS (SELECT doc_id, $simhashExpr AS simhash FROM hs)
+         |SELECT simhash & 65535 AS prefix16, count(*) AS cnt FROM sh
+         |GROUP BY 1 ORDER BY cnt DESC, prefix16 LIMIT 50""".stripMargin,
+    "q45_ngram_jaccard" ->
+      s"""WITH $docsCte, $shsCte, $dsCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+         |dfs AS (SELECT sh, count(*) AS df FROM ds GROUP BY 1),
+         |rare AS (SELECT ds.doc_id, ds.sh FROM ds JOIN dfs USING (sh)
+         |         WHERE df <= $DfCap),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |          FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, round(shared::DOUBLE / (na + nb - shared), 6) AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id AS a, n_sh AS na FROM sizes) USING (a)
+         |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+    "q46_minhash_pairs" ->
+      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bucket = y.bucket
+         |          AND x.doc_id < y.doc_id),
+         |est AS (SELECT c.a, c.b,
+         |          len(list_filter(range($NumHashes),
+         |            i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $NumHashes AS ej
+         |        FROM cand c JOIN sigs sa ON sa.doc_id = c.a
+         |                    JOIN sigs sb ON sb.doc_id = c.b)
+         |SELECT a, b, round(ej, 4) AS est_jaccard FROM est
+         |WHERE ej >= 0.8 ORDER BY a, b""".stripMargin,
+    "q47_ngram_cap_metrics" ->
+      s"""WITH $docsCte, $shsCte, $dsCte,
+         |dfs AS (SELECT sh, count(*) AS df FROM ds GROUP BY 1)
+         |SELECT (SELECT count(*) FROM ds) AS n_shingle_rows,
+         |       (SELECT count(*) FROM ds JOIN dfs USING (sh)
+         |        WHERE df > $DfCap) AS n_dropped,
+         |       (SELECT count(*) FROM dfs) AS n_distinct_shingles""".stripMargin)
 }

@@ -79,14 +79,52 @@ class OpsSpec extends AnyFunSuite with SparkSessionFixture {
   test("IVF: assignment covers all vectors; probed top-k recalls the true top-1") {
     val assign = AnnOps.qAnnIvfAssign(spark, sf).collect()
     assert(assign.length === 500)
-    val nCents = assign.map(_.getInt(1)).distinct.length
-    assert(nCents > 1 && nCents <= AnnOps.IvfCentroids)
+    val nCents = assign.map(_.getLong(1)).distinct.length
+    assert(nCents > 1 && nCents <= AnnIndex.IvfCentroids)
     val ivf = AnnOps.qAnnIvfTopK(spark, sf).collect()
     assert(ivf.head.getLong(0) === 0L) // query vector's own list is probed
     // recall vs exact brute force on the top result set
     val bf = AnnOps.qAnnBruteForce(spark, sf).collect().map(_.getLong(0)).toSet
     val got = ivf.map(_.getLong(0)).toSet
     assert((bf intersect got).size >= 5, s"IVF recall too low: $got vs $bf")
+  }
+
+  test("IVF/LSH queries read only probed partitions (partition pruning)") {
+    def scanPartitionCount(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+      val scan = root.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      (scan.selectedPartitions.partitionCount,
+        scan.relation.location.inputFiles.length)
+    }
+    val (ivfSel, ivfAll) = scanPartitionCount(AnnOps.qAnnIvfTopK(spark, sf))
+    assert(ivfSel === AnnIndex.IvfProbes, s"ivf probed $ivfSel partitions")
+    assert(ivfAll > ivfSel) // the full table has more cells than the probe set
+    val (lshSel, _) = scanPartitionCount(AnnOps.qAnnLshTopK(spark, sf))
+    assert(lshSel === 1, s"lsh read $lshSel bucket partitions, wanted 1")
+  }
+
+  test("Lloyd-refined IVF build converges and still covers all vectors") {
+    import spark.implicits._
+    val cents0 = AnnIndex.seedCentroids(spark, sf)
+    val cents2 = AnnIndex.lloydRefine(spark, sf, cents0, iters = 2)
+    assert(cents2.length === AnnIndex.IvfCentroids)
+    // refinement moved at least one centroid (data is not already optimal)
+    assert(cents0.zip(cents2).exists { case (a, b) => !a.sameElements(b) })
+    // refined assignments still cover every vector, ids in range
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect()
+    val ids = emb.map { case (_, e) => AnnIndex.nearestCentroid(e.toArray, cents2) }
+    assert(ids.forall(c => c >= 0 && c < AnnIndex.IvfCentroids))
+    assert(ids.distinct.length > 1)
   }
 
   test("embedding norms are positive and stable") {
