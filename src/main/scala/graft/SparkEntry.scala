@@ -50,6 +50,7 @@ object SparkEntry {
     "q24_sentiment_docs" -> (SentimentOps.qSentimentDocs _),
     "q25_sentiment_agg" -> (SentimentOps.qSentimentAgg _),
     "q26_link_merge" -> (SentimentOps.qLinkMerge _),
+    "q27_clean_sentiment" -> (SentimentOps.qCleanSentiment _),
     // text analysis for training-data pipelines
     "q30_quality" -> (TextOps.qQuality _),
     "q31_langid" -> (TextOps.qLangId _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q61_engine_search" -> (SearchOps.qEngineSearch _),
     "q62_engine_bool" -> (SearchOps.qEngineBool _),
     "q63_index_metrics" -> (SearchOps.qIndexMetrics _),
+    "q65_index_stats" -> (SearchOps.qIndexStats _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _))
 
@@ -202,11 +204,9 @@ object SparkEntry {
          |  SELECT doc_id, len(list_filter(['spark', 'query', 'join'],
          |    w -> list_contains($toksSql, w))) AS n_required FROM documents)
          |WHERE n_required >= 2 ORDER BY doc_id""".stripMargin,
-    "q24_sentiment_docs" -> sentimentDocsSql,
-    "q25_sentiment_agg" ->
-      s"""SELECT sentiment, count(*) AS cnt, round(avg(polarity), 4) AS avg_polarity,
-         | round(min(polarity), 4) AS min_polarity, round(max(polarity), 4) AS max_polarity
-         |FROM ($sentimentDocsSql) GROUP BY sentiment ORDER BY sentiment""".stripMargin,
+    "q24_sentiment_docs" -> SentimentOps.sentimentDocsOracle,
+    "q25_sentiment_agg" -> SentimentOps.sentimentAggOracle,
+    "q27_clean_sentiment" -> SentimentOps.cleanSentimentOracle,
     "q26_link_merge" ->
       """SELECT user_id,
         | round(list_reduce(list(value ORDER BY ts, event_id),
@@ -260,26 +260,13 @@ object SparkEntry {
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q60_bm25_topk" -> SearchOps.bm25OracleSql,
-    "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql) ++
+    "q61_engine_search" -> SearchOps.engineSearchOracleSql,
+    "q62_engine_bool" -> SearchOps.engineBoolOracleSql,
+    "q63_index_metrics" -> SearchOps.indexMetricsOracleSql,
+    "q65_index_stats" -> SearchOps.indexStatsOracleSql,
+    "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
+    "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql) ++
     DedupOps.oracles ++ AnnOps.oracles
-
-  private def sentimentDocsSql: String = {
-    val pos = SentimentOps.PosWords.map(w => s"'$w'").mkString("(", ",", ")")
-    val neg = SentimentOps.NegWords.map(w => s"'$w'").mkString("(", ",", ")")
-    s"""SELECT doc_id, round(tb, 4) AS tb, round(vader, 4) AS vader,
-       | CASE WHEN tb < 0 AND vader <= -0.05 THEN 'negative'
-       |      WHEN tb > 0 AND vader >= 0.05 THEN 'positive'
-       |      ELSE 'neutral' END AS sentiment,
-       | round((tb + vader) / 2.0, 4) AS polarity
-       |FROM (SELECT doc_id,
-       |        CASE WHEN p + n > 0 THEN (p - n) / (p + n) ELSE 0.0 END AS tb,
-       |        (p - n) / sqrt((p - n) * (p - n) + 15.0) AS vader
-       |      FROM (SELECT doc_id,
-       |              CAST(len(list_filter(toks, w -> w IN $pos)) AS DOUBLE) AS p,
-       |              CAST(len(list_filter(toks, w -> w IN $neg)) AS DOUBLE) AS n
-       |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
-       |ORDER BY doc_id""".stripMargin
-  }
 
   private def langIdSql: String = {
     val counts = TextOps.langMarkers.map { case (l, ws) =>

@@ -59,7 +59,11 @@ object MultimodalOps {
 
   /** documents -> fake media table -> per-partition batched decode ->
     * typed metadata. mapPartitions keeps the batch shape of a real
-    * vectorized decode (one decoder init per partition, not per row). */
+    * vectorized decode (one decoder init per partition, not per row).
+    * Output = the HEADER fields (deterministic arithmetic a SQL oracle
+    * reproduces: encode -> decode roundtrip is hash-verified); the
+    * derived feature vector is exercised by OpsSpec (byte-level math a
+    * SQL engine can't reach). */
   def qMediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents")
@@ -73,8 +77,19 @@ object MultimodalOps {
           decodeStub(id, kind, media)
         }
       }
-      .select(col("doc_id"), col("kind"), col("width"), col("height"),
-        col("n_bytes"), round(element_at(col("feature"), 1), 4).as("f0"))
+      .select(col("doc_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_bytes"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle: the fake header arithmetic + UTF-8 payload size. */
+  def mediaMetaOracleSql: String =
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      | 64 + abs((doc_id * 2654435761) % 192) AS width,
+      | 64 + abs((doc_id * 40503) % 192) AS height,
+      | 12 + octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

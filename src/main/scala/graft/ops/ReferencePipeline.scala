@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
  *     -> F4 dedup by tweet_id (keep first by ts)
  *     -> F7 blacklist tokens (win/giveaway)
  *     -> F8 whitelist >= nltk_min_tokens distinct required tokens
+ *     -> T2 clean_text_sentiment ([#@]\S+ strip — only the SCORED text,
+ *        the stored message keeps mentions; sentiment.py:184,424-428)
  *     -> U1/U2/U4/U5 sentiment ensemble
  *     -> projection to the stored doc schema
  *
@@ -52,7 +54,8 @@ object ReferencePipeline {
     filtered
       .select(col("tweet_id") +: col("author") +: col("ts") +:
         size(col("tokens")).cast("long").as("n_tokens") +:
-        SentimentOps.scored(col("clean")): _*)                       // U1-U5
+        SentimentOps.scored(
+          SentimentOps.cleanTextSentiment(col("clean"))): _*)        // T2, U1-U5
       .orderBy("tweet_id")
   }
 
@@ -81,7 +84,12 @@ object ReferencePipeline {
       (6L, "2024-01-01 10:00:06", "frank", 4L, 4L, 4L,
         "table scan join group window batch stream"),
       // F1: empty after cleaning
-      (7L, "2024-01-01 10:00:07", "gina", 1L, 1L, 1L, "RT https://only.url &amp;"))
+      (7L, "2024-01-01 10:00:07", "gina", 1L, 1L, 1L, "RT https://only.url &amp;"),
+      // T2 + negation: the mentions hold 'fast' outside the 3-token
+      // negation window until clean_text_sentiment strips them — with T2
+      // the vote flips to negative (without it: neutral)
+      (8L, "2024-01-01 10:00:08", "hank", 6L, 6L, 6L,
+        "not @x1 @x2 @x3 fast merge query running today"))
       .toDF("tweet_id", "ts_s", "author", "friends", "followers", "statuses", "message")
       .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
   }

@@ -22,6 +22,10 @@ object SearchOps {
   import Tables._
 
   val QueryTerms = Seq("spark", "query", "join") // frozen demo query
+  /** Frozen boolean demo: "spark query, merge join" — OR of AND-groups
+    * (/root/reference/sentiment.py:638-641). */
+  val BoolQuery = "spark query, merge join"
+  val BoolGroups: Seq[Seq[String]] = Seq(Seq("spark", "query"), Seq("merge", "join"))
   val K1 = 1.2
   val B = 0.75
 
@@ -58,22 +62,18 @@ object SearchOps {
       .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
   }
 
-  /** The matching DuckDB SQL (same analyzer filter, same formula, same
-    * fixed summation order) — generated so term list/stoplist stay in
-    * lockstep with the Spark plan. */
-  def bm25OracleSql: String = {
+  /** Shared BM25-over-documents CTEs for a term list (same analyzer
+    * filter, same formula, same fixed summation order as the engine) —
+    * generated so term list/stoplist stay in lockstep with the Spark
+    * plan AND the real index engine. */
+  private def bm25Ctes(terms: Seq[String]): String = {
     val stops = stopListSql
-    val tfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, w -> w = '$t')) AS tf$i"
     }.mkString(", ")
-    val dfDefs = QueryTerms.indices.map(i =>
+    val dfDefs = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
-    val scoreExpr = QueryTerms.indices.map(i =>
-      s"(CASE WHEN tf$i > 0 THEN ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
-      s"(CAST(tf$i AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf$i AS DOUBLE) + $K1 * " +
-      s"(1.0 - $B + $B * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END)")
-      .mkString(" + ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
        |    w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
        |         AND w NOT IN $stops) AS toks
@@ -81,10 +81,55 @@ object SearchOps {
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM docs),
        |tf AS (SELECT doc_id, len(toks) AS dl, $tfDefs FROM docs),
-       |dfs AS (SELECT $dfDefs FROM tf),
+       |dfs AS (SELECT $dfDefs FROM tf)""".stripMargin
+  }
+
+  /** Per-term BM25 contribution (Lucene formula, zero when absent). */
+  private def termScoreSql(i: Int): String =
+    s"(CASE WHEN tf$i > 0 THEN ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * " +
+    s"(CAST(tf$i AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf$i AS DOUBLE) + $K1 * " +
+    s"(1.0 - $B + $B * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END)"
+
+  def bm25OracleSql: String = {
+    val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(QueryTerms)},
        |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs)
        |SELECT doc_id, round(score_raw, 4) AS score FROM scored
        |WHERE score_raw > 0.0 ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q61: the REAL engine's disjunctive search against the same formula —
+    * the engine's WAND scores are float-identical to the fixed-order sum
+    * (IndexEndToEndSpec parity), so the SQL oracle covers the full
+    * index-build -> compress -> WAND -> merge path end-to-end. */
+  def engineSearchOracleSql: String = {
+    val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs)
+       |SELECT 'doc_' || doc_id AS path, round(score_raw, 4) AS score FROM scored
+       |WHERE score_raw > 0.0 ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q62: boolean OR-of-ANDs through the engine vs SQL: each AND-group
+    * scores as its fixed-order BM25 sum when ALL its terms match; the doc
+    * score is the max over matching groups; top-10 by (score, docId). */
+  def engineBoolOracleSql: String = {
+    val allTerms = BoolGroups.flatten
+    var idx = -1
+    val groupExprs = BoolGroups.map { g =>
+      val parts = g.map { _ => idx += 1; idx }
+      val cond = parts.map(i => s"tf$i > 0").mkString(" AND ")
+      val sum = parts.map(termScoreSql).mkString(" + ")
+      s"CASE WHEN $cond THEN $sum ELSE NULL END"
+    }
+    val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
+    val names = BoolGroups.indices.map(i => s"g$i")
+    val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
+    val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    s"""WITH ${bm25Ctes(allTerms)},
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs)
+       |SELECT 'doc_' || doc_id AS path, round($best, 4) AS score FROM scored
+       |WHERE $anyMatch ORDER BY $best DESC, doc_id LIMIT 10""".stripMargin
   }
 
   /** The code-aware analyzer exposed to SQL as a native codegen'd
@@ -145,23 +190,59 @@ object SearchOps {
   def qEngineBool(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val eng = docEngine(spark, dir)
-    val hits = eng.booleanTopK("spark query, merge join", 10)
-    hits.map(h => (h.docId, math.rint(h.score * 10000) / 10000))
-      .toDF("docId", "score")
+    val hits = eng.booleanTopK(BoolQuery, 10)
+    hits.map(h => (h.docId, h.score)).toDF("docId", "score_raw")
       .join(eng.docmeta.select("docId", "path"), Seq("docId"))
-      .select(col("path"), col("score"))
+      .select(col("path"), round(col("score_raw"), 4).as("score"))
       .orderBy(desc("score"), asc("path"))
   }
 
-  /** Per-segment doc/term/byte metrics from the committed manifest
-    * (north-rule observability surface). */
+  /** Per-segment metrics from the committed manifest, SQL-checkable
+    * subset: docs + postings are corpus-derivable (postings = sum of
+    * per-doc distinct analyzed terms), so the oracle verifies the
+    * builder's observe() counters end-to-end. terms/bytes (shard- and
+    * codec-dependent) are asserted in IndexEndToEndSpec instead. */
   def qIndexMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val eng = docEngine(spark, dir)
     eng.manifest.segments
-      .map(s => (s.name, s.metrics.docs, s.metrics.terms, s.metrics.postings,
-        s.metrics.bytes))
-      .toDF("segment", "docs", "terms", "postings", "bytes")
+      .map(s => (s.name, s.metrics.docs, s.metrics.postings))
+      .toDF("segment", "docs", "postings")
       .orderBy("segment")
   }
+
+  def indexMetricsOracleSql: String =
+    s"""SELECT 'seg-0-0' AS segment,
+       | (SELECT count(*) FROM documents) AS docs,
+       | (SELECT CAST(sum(len(list_distinct(toks))) AS BIGINT) FROM (
+       |    SELECT list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks FROM documents)) AS postings""".stripMargin
+
+  /** q65: whole-index statistics (the BM25 scoring inputs): N, total
+    * tokens, global distinct terms, total postings, avgdl — every one
+    * re-derivable from the raw corpus by the oracle. */
+  def qIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = docEngine(spark, dir)
+    val m = eng.manifest
+    Seq((m.numDocs, m.totalTokens,
+      m.segments.map(_.metrics.postings).sum))
+      .toDF("num_docs", "total_tokens", "postings")
+      .crossJoin(broadcast(eng.dict.agg(count(lit(1)).as("n_terms"))))
+      .select(col("num_docs"), col("total_tokens"), col("n_terms"),
+        col("postings"),
+        round(col("total_tokens").cast("double") / col("num_docs"), 6).as("avgdl"))
+  }
+
+  def indexStatsOracleSql: String =
+    s"""WITH docs AS (SELECT list_filter(string_split(lower(text), ' '),
+       |    w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |         AND w NOT IN $stopListSql) AS toks FROM documents)
+       |SELECT (SELECT count(*) FROM docs) AS num_docs,
+       | (SELECT CAST(sum(len(toks)) AS BIGINT) FROM docs) AS total_tokens,
+       | (SELECT count(DISTINCT t) FROM (SELECT unnest(toks) AS t FROM docs)) AS n_terms,
+       | (SELECT CAST(sum(len(list_distinct(toks))) AS BIGINT) FROM docs) AS postings,
+       | round((SELECT CAST(sum(len(toks)) AS DOUBLE) FROM docs) /
+       |       (SELECT count(*) FROM docs), 6) AS avgdl""".stripMargin
 }

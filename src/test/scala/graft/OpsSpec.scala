@@ -150,12 +150,21 @@ class OpsSpec extends AnyFunSuite with SparkSessionFixture {
     val out = MultimodalOps.qMediaMeta(spark, sf).collect()
     assert(out.length === 500)
     out.take(20).foreach { r =>
-      assert(r.getInt(2) >= 64 && r.getInt(2) < 256) // width
-      assert(r.getInt(3) >= 64 && r.getInt(3) < 256) // height
-      assert(r.getLong(4) > 12L)                     // header + payload
+      assert(r.getLong(2) >= 64 && r.getLong(2) < 256) // width
+      assert(r.getLong(3) >= 64 && r.getLong(3) < 256) // height
+      assert(r.getLong(4) > 12L)                       // header + payload
     }
     val kinds = out.map(_.getString(1)).toSet
     assert(kinds === Set("image", "audio", "video"))
+    // feature extraction (byte-level math, not SQL-reachable): determinstic
+    // 8-dim vector over payload byte statistics, in [0, 1] per slot
+    val m = MultimodalOps.decodeStub(7L, "image",
+      MultimodalOps.encodeFake(7L, "image", "payload bytes here".getBytes("UTF-8")))
+    assert(m.feature.length === 8)
+    assert(m.feature.forall(f => f >= 0.0 && f <= 1.0))
+    val m2 = MultimodalOps.decodeStub(7L, "image",
+      MultimodalOps.encodeFake(7L, "image", "payload bytes here".getBytes("UTF-8")))
+    assert(m.feature === m2.feature)
   }
 
   test("CorpusGen is deterministic and partition-independent") {
