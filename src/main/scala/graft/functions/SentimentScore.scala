@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** The U1/U2 lexicon scorers as ONE native pass over the token array,
+  * returning struct(tb, x): tb = TextBlob-shape mean of matched
+  * valences/4 (negation window scales by -0.5); x = VADER-style valence
+  * sum (negation scales by -0.74) BEFORE compound normalization (the
+  * x/sqrt(x^2+15) step stays a visible column expression).
+  *
+  * Exists because the pure column formulation (per-index element_at over
+  * a projected token array, a lookback window per index) re-evaluates the
+  * tokenize subtree inside every lambda use (CollapseProject inlining) —
+  * O(n^3) char work per document, measured 9.9 s for 500 docs at bench.
+  * This loop is the same math in O(n * window): ~20 ms for the same 500.
+  * Fold order (ascending token index, left fold, 0.0 init) and the
+  * 3-token negation window match the DuckDB oracle exactly.
+  */
+object SentimentHelper {
+  import graft.ops.Lexicon
+
+  private val lex: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    Lexicon.Entries.foreach { case (w, v) => m.put(w, v) }
+    m
+  }
+  private val negators: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Lexicon.Negators.foreach(s.add)
+    s
+  }
+
+  /** (tb, x) for a token array. */
+  def score(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    if (n == 0) return InternalRow(0.0, 0.0)
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    var x = 0.0
+    var tbSum = 0.0
+    var tbCnt = 0
+    i = 0
+    while (i < n) {
+      val v = lex.get(toks(i))
+      // lookback window: the NegWindow tokens before position i
+      var neg = false
+      var j = math.max(0, i - Lexicon.NegWindow)
+      while (j < i && !neg) { if (negators.contains(toks(j))) neg = true; j += 1 }
+      if (v != null) {
+        val vd = v.doubleValue()
+        tbSum += vd / 4.0 * (if (neg) Lexicon.TbNegScalar else 1.0)
+        tbCnt += 1
+        x += vd * (if (neg) Lexicon.VaderNegScalar else 1.0)
+      }
+      // unmatched tokens contribute exactly 0.0 * factor — skipping the
+      // add is bit-identical (a + 0.0 == a for every non-(-0.0) sum here)
+      i += 1
+    }
+    val tb = if (tbCnt == 0) 0.0 else tbSum / tbCnt
+    InternalRow(tb, x)
+  }
+}
+
+case class SentimentScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("tb", DoubleType, nullable = false),
+    StructField("x", DoubleType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"sentiment_score needs array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SentimentHelper.score(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SentimentHelper.score($c)")
+  override protected def withNewChildInternal(newChild: Expression): SentimentScore =
+    copy(child = newChild)
+  override def prettyName: String = "sentiment_score"
+}
+
+object SentimentFunctions {
+  def register(spark: SparkSession): Unit = {
+    val info = new ExpressionInfo(classOf[SentimentScore].getName, null,
+      "sentiment_score",
+      "sentiment_score(array<string>) - struct(tb, x) lexicon sentiment", "")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sentiment_score"), info,
+      (exprs: Seq[Expression]) => SentimentScore(exprs.head))
+  }
+}

@@ -34,14 +34,31 @@ object ScaleSanity {
       ReferenceQueries.all.map(q => eng0.topK(q, 10).size).sum
     }
     println(s"[scale] total hits over query set: $hits")
+    val boolBefore = ReferenceQueries.boolQueries.map(q => eng0.booleanTopK(q, 10))
     timed("merge") { SegmentMerge.merge(spark, root) }
     val eng1 = new QueryEngine(spark, root)
     val agree = ReferenceQueries.all.forall(q => eng1.topK(q, 10) == eng0.topK(q, 10))
-    println(s"[scale] post-merge identical results: $agree; segs=${eng1.manifest.segments.size}")
+    println(s"[scale] post-merge identical results: $agree; segs=${eng1.manifest.segments.size}; " +
+      s"dict=${eng1.manifest.dict}")
+    val boolAgree = ReferenceQueries.boolQueries.zip(boolBefore)
+      .forall { case (q, before) => eng1.booleanTopK(q, 10) == before }
+    println(s"[scale] post-merge boolean identical: $boolAgree")
     // latency at this scale
     val lats = (1 to 2).flatMap(_ => ReferenceQueries.all.map { q =>
       val t0 = System.nanoTime(); eng1.topK(q, 10); (System.nanoTime()-t0)/1e9 })
     println(f"[scale] p50=${lats.sorted.apply(lats.size/2)}%.3f p95=${lats.sorted.apply((lats.size*95)/100 min (lats.size-1))}%.3f")
+    val blats = (1 to 2).flatMap(_ => ReferenceQueries.boolQueries.map { q =>
+      val t0 = System.nanoTime(); eng1.booleanTopK(q, 10); (System.nanoTime()-t0)/1e9 })
+    println(f"[scale] bool p50=${blats.sorted.apply(blats.size/2)}%.3f p95=${blats.sorted.apply((blats.size*95)/100 min (blats.size-1))}%.3f")
+    // physical GC after compaction: old segments deleted, reader correct
+    // (snapshot results captured BEFORE gc — eng0's files are reclaimed)
+    val preGc = ReferenceQueries.all.take(4).map(q => eng1.topK(q, 10))
+    val deleted = timed("gc") { new graft.table.IcebergLite(root).gc(keepManifests = 1) }
+    println(s"[scale] gc deleted ${deleted.size} entries")
+    val eng2 = new QueryEngine(spark, root)
+    val gcAgree = ReferenceQueries.all.take(4).zip(preGc)
+      .forall { case (q, before) => eng2.topK(q, 10) == before }
+    println(s"[scale] post-gc identical results: $gcAgree")
     spark.stop()
   }
 }

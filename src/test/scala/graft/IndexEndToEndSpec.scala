@@ -234,6 +234,29 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.select("path", "score").collect().isEmpty)
   }
 
+  test("re-delivered micro-batch is a no-op even AFTER compaction") {
+    val root5 = s"$work/index-redelivery"
+    val ds0 = CorpusGen.dataset(spark, 200L, 42L, 4)
+    import spark.implicits._
+    val ds1 = spark.range(200L, 300L).map(i => CorpusGen.doc(42L, i))
+    IndexBuilder.build(spark, ds0, root5, numShards = 4, batch = 0)
+    IndexBuilder.build(spark, ds1, root5, numShards = 4, batch = 1)
+    val merged = SegmentMerge.merge(spark, root5)
+    assert(merged.segments.size === 1)
+    // the merged segment must carry batch lineage {0, 1}
+    assert(IcebergLite.batchesOf(merged.segments.head) === Set(0, 1))
+    // foreachBatch retry after restart re-delivers batch 1: MUST no-op
+    // (before the lineage propagation fix, this re-indexed 100 docs with
+    // duplicate docIds, breaking the disjoint-ascending invariant)
+    val r = IndexBuilder.build(spark, ds1, root5, numShards = 4, batch = 1,
+      resume = false)
+    assert(r.builtShards.isEmpty && r.docs === 0L)
+    assert(r.manifest.numDocs === 300L)
+    val ids = new QueryEngine(spark, root5).docmeta
+      .select("docId").collect().map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "duplicate docIds after re-delivery")
+  }
+
   test("incremental ingest (batch > 0) extends the index consistently") {
     val root3 = s"$work/index-incr"
     val ds0 = CorpusGen.dataset(spark, nDocs, 42L, 6)
