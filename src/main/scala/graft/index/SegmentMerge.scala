@@ -7,7 +7,8 @@ import scala.collection.mutable
 
 /**
  * Hierarchical segment merge (the ES/Lucene tiered-merge analogue):
- * compacts all committed segments into one. Because docIds are globally
+ * `merge` fully compacts to one segment; `tiered` runs the smallest-first
+ * compaction ladder down to a target segment count. Because docIds are globally
  * unique and ascending across (batch, shard) by construction (see
  * IndexBuilder docId layout), merging posting lists is a pure
  * concatenation of sub-lists ordered by firstDoc — NO docID remapping, no
@@ -22,15 +23,49 @@ import scala.collection.mutable
  */
 object SegmentMerge {
 
+  /** Full compaction: all committed segments -> one. */
   def merge(spark: SparkSession, root: String): Manifest = {
-    import spark.implicits._
     val tbl = new IcebergLite(root)
     val prev = tbl.currentManifest()
       .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
     if (prev.segments.size <= 1) return prev
+    mergeSegments(spark, root, prev, prev.segments)
+  }
 
-    val postingPaths = prev.segments.map(s => s"$root/${s.name}/postings")
-    val docmetaPaths = prev.segments.map(s => s"$root/${s.name}/docmeta")
+  /** Tiered compaction (the Lucene-ish ladder the north star names):
+    * while more than `maxSegments` remain, merge the SMALLEST surplus
+    * segments (by byte size, at most `fanIn` per pass) into one — small
+    * ingest segments compact cheaply and often, big segments rarely.
+    * Each pass is an atomic snapshot commit, so a crash mid-ladder
+    * leaves a consistent (just less-compacted) index. */
+  def tiered(spark: SparkSession, root: String, maxSegments: Int,
+             fanIn: Int = 10): Manifest = {
+    require(maxSegments >= 1 && fanIn >= 2)
+    val tbl = new IcebergLite(root)
+    var m = tbl.currentManifest()
+      .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
+    while (m.segments.size > maxSegments) {
+      val surplus = m.segments.size - maxSegments + 1
+      val victims = m.segments.sortBy(_.metrics.bytes).take(math.min(surplus, fanIn))
+      m = mergeSegments(spark, root, m, victims)
+    }
+    m
+  }
+
+  /** Merge a subset of `prev`'s segments into one new segment; untouched
+    * segments carry over. The global dict is materialized only when the
+    * result is fully compacted (one segment) — a partial tier would need
+    * an extra pass over the KEPT segments' postings to stay global, so
+    * partial snapshots derive dfs at query time instead. */
+  private def mergeSegments(spark: SparkSession, root: String, prev: Manifest,
+                            toMerge: Seq[SegmentInfo]): Manifest = {
+    import spark.implicits._
+    val tbl = new IcebergLite(root)
+    if (toMerge.size <= 1) return prev
+    val kept = prev.segments.filterNot(s => toMerge.exists(_.name == s.name))
+
+    val postingPaths = toMerge.map(s => s"$root/${s.name}/postings")
+    val docmetaPaths = toMerge.map(s => s"$root/${s.name}/docmeta")
     val segName = s"seg-merged-${prev.version}"
     val segRoot = s"$root/$segName"
 
@@ -77,31 +112,35 @@ object SegmentMerge {
 
     val pst = spark.read.parquet(s"$segRoot/postings")
     val mrow = pst.agg(count(lit(1)), sum("df"), sum("bytes")).head()
-    val metrics = SegmentMetrics(prev.numDocs, mrow.getLong(0),
+    val metrics = SegmentMetrics(toMerge.map(_.metrics.docs).sum, mrow.getLong(0),
       mrow.getLong(1), mrow.getLong(2))
 
-    // Materialize the global term dictionary (term -> df) at compaction:
-    // at 10^12 docs, deriving dfs from postings at every engine open is a
-    // real job; the compacted snapshot ships it precomputed. Named per
-    // version (immutable) so readers pinned to older manifests keep their
-    // own view — snapshot isolation holds.
-    val dictName = s"dict-v${prev.version + 1}"
-    pst.groupBy("term").agg(sum("df").as("df"))
-      .write.mode("overwrite").parquet(s"$root/$dictName")
+    // Materialize the global term dictionary (term -> df) at full
+    // compaction: at 10^12 docs, deriving dfs from postings at every
+    // engine open is a real job; the compacted snapshot ships it
+    // precomputed. Named per version (immutable) so readers pinned to
+    // older manifests keep their own view — snapshot isolation holds.
+    val dict: Option[String] =
+      if (kept.isEmpty) {
+        val dictName = s"dict-v${prev.version + 1}"
+        pst.groupBy("term").agg(sum("df").as("df"))
+          .write.mode("overwrite").parquet(s"$root/$dictName")
+        Some(dictName)
+      } else None
 
     // Lineage: the merged segment must carry the UNION of its inputs'
     // ingest-batch ids (IndexBuilder's streaming idempotence guard checks
     // them — a micro-batch re-delivered after compaction stays a no-op)
     // and their bulk-build shard coverage (drives bulk resume).
-    val batches = prev.segments.flatMap(IcebergLite.batchesOf).distinct.sorted
-    val b0Shards = prev.segments.flatMap(IcebergLite.batch0Shards).distinct.sorted
-    val seg = SegmentInfo(0, segName,
-      prev.segments.flatMap(_.shards).distinct.sorted, metrics,
-      Map("mergedFrom" -> prev.segments.map(_.name).mkString(","),
+    val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct.sorted
+    val b0Shards = toMerge.flatMap(IcebergLite.batch0Shards).distinct.sorted
+    val seg = SegmentInfo(prev.segments.map(_.segId).max + 1, segName,
+      toMerge.flatMap(_.shards).distinct.sorted, metrics,
+      Map("mergedFrom" -> toMerge.map(_.name).mkString(","),
         "batches" -> batches.mkString(","),
         "batch0Shards" -> b0Shards.mkString(",")))
-    val manifest = Manifest(prev.version + 1, prev.numShards, Seq(seg),
-      prev.numDocs, prev.totalTokens, dict = Some(dictName))
+    val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
+      prev.numDocs, prev.totalTokens, dict = dict)
 
     tbl.commit(manifest)
     manifest

@@ -45,6 +45,11 @@ final case class Manifest(version: Int, numShards: Int, segments: Seq[SegmentInf
  * Commit protocol: write manifest-<v+1>.json, then atomic-rename a temp
  * snapshot over snapshot.json. Readers resolve snapshot -> manifest ->
  * segment paths; a crashed build leaves only unreachable files.
+ * SINGLE WRITER assumed (one driver owns an index root at a time — the
+ * streaming checkpoint/foreachBatch model): the rename is atomic for
+ * readers, but two concurrent writers could last-write-win a version.
+ * A production port onto real Iceberg inherits its optimistic-commit
+ * conflict detection; this thin layer documents the assumption instead.
  *
  * Resume protocol (no side files): the committed manifest IS the
  * checkpoint. A bulk build commits one segment per pass, each recording

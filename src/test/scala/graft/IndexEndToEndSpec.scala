@@ -234,6 +234,47 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.select("path", "score").collect().isEmpty)
   }
 
+  test("TIERED merge: smallest-first ladder to a target segment count") {
+    val root6 = s"$work/index-tiered"
+    import spark.implicits._
+    // bulk + 4 small ingest batches = 5 segments of uneven size
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, 400L, 42L, 4), root6, 4)
+    (1 to 4).foreach { b =>
+      val ds = spark.range(400L + (b - 1) * 50, 400L + b * 50)
+        .map(i => CorpusGen.doc(42L, i))
+      IndexBuilder.build(spark, ds, root6, 4, batch = b)
+    }
+    val eng0 = new QueryEngine(spark, root6)
+    assert(eng0.manifest.segments.size === 5)
+    val before = refQueries.take(5).map(q => eng0.topK(q, 10))
+
+    // fanIn=3 forces TWO ladder passes: 5 -> 3 -> 2
+    val m = SegmentMerge.tiered(spark, root6, maxSegments = 2, fanIn = 3)
+    assert(m.segments.size === 2)
+    assert(m.version === eng0.manifest.version + 2) // two atomic commits
+    // partial compaction: no global dict (it would not cover kept segments)
+    assert(m.dict.isEmpty)
+    // batch lineage is preserved across the ladder (union over all segs)
+    assert(m.segments.flatMap(IcebergLite.batchesOf).toSet === Set(0, 1, 2, 3, 4))
+    assert(m.numDocs === 600L)
+
+    val eng1 = new QueryEngine(spark, root6)
+    refQueries.take(5).zip(before).foreach { case (q, b) =>
+      assert(eng1.topK(q, 10) === b, s"query '$q' after tiered merge")
+    }
+    // re-delivery of an already-compacted batch stays a no-op
+    val redeliver = spark.range(400L, 450L).map(i => CorpusGen.doc(42L, i))
+    val r = IndexBuilder.build(spark, redeliver, root6, 4, batch = 1, resume = false)
+    assert(r.builtShards.isEmpty && r.docs === 0L)
+    // full compaction after the ladder materializes the dict
+    val full = SegmentMerge.merge(spark, root6)
+    assert(full.segments.size === 1 && full.dict.isDefined)
+    val eng2 = new QueryEngine(spark, root6)
+    refQueries.take(5).zip(before).foreach { case (q, b) =>
+      assert(eng2.topK(q, 10) === b, s"query '$q' after full merge")
+    }
+  }
+
   test("re-delivered micro-batch is a no-op even AFTER compaction") {
     val root5 = s"$work/index-redelivery"
     val ds0 = CorpusGen.dataset(spark, 200L, 42L, 4)
