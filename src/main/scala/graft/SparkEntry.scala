@@ -69,6 +69,7 @@ object SparkEntry {
     "q45_ngram_jaccard" -> (DedupOps.qNgramJaccardTop _),
     "q46_minhash_pairs" -> (DedupOps.qMinHashPairs _),
     "q47_ngram_cap_metrics" -> (DedupOps.qNgramCapMetrics _),
+    "q48_embed_neardup" -> (DedupOps.qEmbedNearDup _),
     // similarity search
     "q50_ann_bruteforce" -> (AnnOps.qAnnBruteForce _),
     "q51_embed_norms" -> (AnnOps.qEmbedNorms _),

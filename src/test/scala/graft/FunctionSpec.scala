@@ -39,6 +39,47 @@ class FunctionSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("code_tokenize"), p)
   }
 
+  test("PortableHash.hex60 matches the DuckDB hex-cast goldens") {
+    // pinned from DuckDB 1.0: ('0x' || substr(md5(s),1,15))::BIGINT —
+    // the seam every dedup/ANN oracle depends on
+    assert(graft.functions.PortableHash.hex60("abc") === 648541476951500027L)
+    assert(graft.functions.PortableHash.hex60("hello world") === 426544247714475757L)
+    assert(graft.functions.PortableHash.hex60("spark query join") === 138757416094915521L)
+    assert(graft.functions.PortableHash.hex60("") === 955282973525019424L)
+    // and the Spark-SQL built-in formulation agrees (what shingleKeys uses)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq("abc", "hello world", "spark query join", "")
+      .toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(648541476951500027L, 426544247714475757L,
+      138757416094915521L, 955282973525019424L))
+  }
+
+  test("native expressions run inside codegen and agree with helpers") {
+    import spark.implicits._
+    graft.functions.MinHashFunctions.register(spark)
+    graft.functions.HashEmbedFunctions.register(spark)
+    graft.functions.SentimentFunctions.register(spark)
+    Seq(Seq("fast", "merge", "join", "not", "slow"))
+      .toDF("tk").createOrReplaceTempView("fn_tk")
+    val row = spark.sql(
+      """SELECT size(minhash_sig(tk)) AS nsig, simhash64(tk) AS sh,
+        |       size(hash_embed(tk)) AS dim, sentiment_score(tk) AS sc
+        |FROM fn_tk""".stripMargin).collect().head
+    assert(row.getAs[Int]("nsig") === 64)
+    assert(row.getAs[Int]("dim") === 64)
+    // 'slow' (-1.8) negated by 'not' one position back: x = -1.8 * -0.74
+    // plus un-negated 'fast' (+1.8): x = 1.8 + 1.332
+    val sc = row.getStruct(3)
+    assert(math.abs(sc.getDouble(1) - (1.8 + 1.8 * 0.74)) < 1e-12)
+    assert(row.getAs[Long]("sh") === graft.functions.SimHashHelper.simhash(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Seq("fast", "merge", "join", "not", "slow")
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString))))
+  }
+
   test("null-safety through the expression") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -42,6 +42,19 @@ class OpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(cand.contains((474L, 498L)) && cand.contains((110L, 467L)))
   }
 
+  test("embedding-cosine near-dup finds the planted + natural near-dup pairs") {
+    val pairs = DedupOps.qEmbedNearDup(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted one-word mutant survives the two-stage pipeline
+    val expected = (0 until 20).map(i => (i.toLong, i + 10000L)).toSet
+    val missed = expected -- pairs
+    assert(missed.isEmpty, s"missed planted pairs: $missed")
+    // the natural near-dups in the driver testdata surface too
+    assert(pairs.contains((474L, 498L)) && pairs.contains((110L, 467L)))
+    // and unrelated docs don't: candidates stay a tiny fraction of n^2
+    assert(pairs.size < 100, s"near-dup set suspiciously large: ${pairs.size}")
+  }
+
   test("SimHash of a near-duplicate is within small Hamming distance") {
     import spark.implicits._
     val sh = DedupOps.qSimHash(spark, plantedDir)
