@@ -20,9 +20,11 @@ object MinHashHelper {
 
   val ShingleSize = 3
 
-  /** Build the j-th shingle string "tok_j tok_j+1 tok_j+2" as UTF-8. */
+  /** Build the j-th shingle string "tok_j tok_j+1 tok_j+2" as UTF-8.
+    * w == 0 (empty token array) yields the empty string — the oracle's
+    * array_to_string([], ' ') — instead of a negative allocation. */
   @inline private def shingleBytes(toks: Array[Array[Byte]], j: Int, w: Int): Array[Byte] = {
-    var len = w - 1
+    var len = math.max(0, w - 1)
     var i = 0
     while (i < w) { len += toks(j + i).length; i += 1 }
     val out = new Array[Byte](len)

@@ -189,7 +189,11 @@ object IndexBuilder {
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val segName = s"seg-$batch-${prev.segments.size}"
+    // Named by the MONOTONIC manifest version, never by segment count:
+    // compaction shrinks the count, so a count-derived name could collide
+    // with (and mode=overwrite would clobber) a dir an older manifest
+    // still references — breaking snapshot isolation on resume-after-merge.
+    val segName = s"seg-$batch-${prev.version}"
     val segRoot = s"$root/$segName"
 
     // 2b. materialize the analysis once, then run the two independent
@@ -246,7 +250,7 @@ object IndexBuilder {
     analyzed.unpersist()
 
     val seg = SegmentInfo(
-      segId = prev.segments.size, name = segName, shards = todo,
+      segId = prev.version, name = segName, shards = todo,
       metrics = SegmentMetrics(docCount, termRows, postingCount, byteCount),
       lineage = Map(
         "batch" -> batch.toString,

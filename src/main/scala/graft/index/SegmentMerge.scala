@@ -134,7 +134,7 @@ object SegmentMerge {
     // and their bulk-build shard coverage (drives bulk resume).
     val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct.sorted
     val b0Shards = toMerge.flatMap(IcebergLite.batch0Shards).distinct.sorted
-    val seg = SegmentInfo(prev.segments.map(_.segId).max + 1, segName,
+    val seg = SegmentInfo(prev.version, segName,
       toMerge.flatMap(_.shards).distinct.sorted, metrics,
       Map("mergedFrom" -> toMerge.map(_.name).mkString(","),
         "batches" -> batches.mkString(","),

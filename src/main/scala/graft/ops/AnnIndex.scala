@@ -145,7 +145,7 @@ object AnnIndex {
 
       // LSH store: (vec_id, label, embedding, bucket16) partitioned by bucket6
       emb.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, String, Seq[Float])]
+        .as[(Long, Int, Seq[Float])]
         .map { case (id, label, e) =>
           val b = lshBucket16(e)
           (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
@@ -160,7 +160,7 @@ object AnnIndex {
                   else cents0
       val bc = spark.sparkContext.broadcast(cents)
       emb.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, String, Seq[Float])]
+        .as[(Long, Int, Seq[Float])]
         .map { case (id, label, e) =>
           val c = nearestCentroid(e.map(_.toDouble).toArray, bc.value)
           (id, label, e, c.toLong)

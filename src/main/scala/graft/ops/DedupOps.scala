@@ -54,9 +54,15 @@ object DedupOps {
     * once per lambda use — measured; see MinHashSig scaladoc). Persisted
     * per dataset dir: q41/q42/q46 and the candidate join all reuse ONE
     * signature pass (q46's plan otherwise recomputes it three times). */
+  // caches are keyed by (application, dir): a persisted DataFrame is
+  // bound to the SparkContext that created it — a fresh session in the
+  // same JVM must rebuild, not inherit a handle to a stopped context
+  private def ck(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + dir
+
   private val sigCache = mutable.HashMap.empty[String, DataFrame]
   def sigsDF(spark: SparkSession, dir: String): DataFrame = synchronized {
-    sigCache.getOrElseUpdate(dir, {
+    sigCache.getOrElseUpdate(ck(spark, dir), {
       graft.functions.MinHashFunctions.register(spark)
       t(spark, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -97,15 +103,22 @@ object DedupOps {
   def qMinHashBands(spark: SparkSession, dir: String): DataFrame =
     bandsDF(spark, dir).orderBy("doc_id", "band")
 
+  /** Distinct candidate pairs (a < b) sharing any LSH band bucket — the
+    * single recall stage every near-dup verifier builds on. */
+  def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsDF(spark, dir)
+    bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Candidate pairs from LSH buckets with verified MinHash similarity. */
   def minhashCandidates(spark: SparkSession, dir: String,
                         simThreshold: Double): DataFrame = {
     val sigs = sigsDF(spark, dir)
-    val bands = bandsDF(spark, dir)
-    val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    val cand = a.join(b, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = bandCandidates(spark, dir)
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
     cand.join(sa, "a").join(sb, "b")
@@ -150,7 +163,7 @@ object DedupOps {
     * metrics — one analysis pass feeds all of them. */
   private val shingleCache = mutable.HashMap.empty[String, DataFrame]
   def docShinglesDF(spark: SparkSession, dir: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate(dir,
+    shingleCache.getOrElseUpdate(ck(spark, dir),
       t(spark, dir, "documents")
         .select(col("doc_id"), explode(shingleKeys(col("text"))).as("sh"))
         .distinct()
@@ -194,12 +207,7 @@ object DedupOps {
 
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HashEmbedFunctions.register(spark)
-    val bands = bandsDF(spark, dir)
-    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
-      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b")),
-        Seq("band", "bucket"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = bandCandidates(spark, dir)
     val vecs = t(spark, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .selectExpr("doc_id", "hash_embed(tk) AS v")

@@ -156,14 +156,16 @@ object SearchOps {
 
   // ---- real engine over documents-as-corpus ------------------------------
 
+  // keyed by (application, dir): an engine holds DataFrames bound to the
+  // SparkContext that opened it — a fresh session must not inherit one
   private val engineCache = scala.collection.mutable.HashMap.empty[String, QueryEngine]
 
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graftwork")
 
   /** Map the documents table into the corpus shape and build a real
-    * on-disk index (cached per dataset dir within the JVM). */
+    * on-disk index (cached per (application, dataset dir) in the JVM). */
   def docEngine(spark: SparkSession, dir: String): QueryEngine = synchronized {
-    engineCache.getOrElseUpdate(dir, {
+    engineCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
       import spark.implicits._
       val corpus = t(spark, dir, "documents")
         .select(col("source").as("repo"),

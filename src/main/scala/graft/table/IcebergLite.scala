@@ -141,8 +141,9 @@ final class IcebergLite(val root: String) {
     * horizon are invalidated by design (documented retention contract). */
   def gc(keepManifests: Int = 1): Seq[String] = {
     val current = currentManifest().getOrElse(return Nil)
-    val all = Files.list(Paths.get(root)).iterator().asScala
-      .map(_.getFileName.toString).toSeq
+    val listing = Files.list(Paths.get(root))
+    val all = try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+              finally listing.close() // Files.list leaks an fd unless closed
     val manifestVersions = all
       .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
         s.stripPrefix("manifest-").stripSuffix(".json").toInt }

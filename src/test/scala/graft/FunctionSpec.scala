@@ -68,6 +68,20 @@ class FunctionSpec extends AnyFunSuite with SparkSessionFixture {
       """SELECT size(minhash_sig(tk)) AS nsig, simhash64(tk) AS sh,
         |       size(hash_embed(tk)) AS dim, sentiment_score(tk) AS sc
         |FROM fn_tk""".stripMargin).collect().head
+    // empty token array: every expression must survive (whitespace-only
+    // docs exist in the wild); minhash's whole-doc shingle degrades to ''
+    val empty = spark.sql(
+      """SELECT minhash_sig(e) AS sig, simhash64(e) AS sh,
+        |       size(hash_embed(e)) AS dim, sentiment_score(e) AS sc
+        |FROM (SELECT CAST(array() AS array<string>) AS e)""".stripMargin)
+      .collect().head
+    assert(empty.getSeq[Long](0).length === 64)
+    assert(empty.getAs[Long]("sh") === 0L)
+    assert(empty.getAs[Int]("dim") === 64)
+    // the empty-doc shingle key equals hex60(md5('')) — oracle parity
+    val p = graft.functions.PortableHash
+    val expectedFirst = (p.SeedA(0) * (p.hex60("") % p.P) + p.SeedB(0)) % p.P
+    assert(empty.getSeq[Long](0).head === expectedFirst)
     assert(row.getAs[Int]("nsig") === 64)
     assert(row.getAs[Int]("dim") === 64)
     // 'slow' (-1.8) negated by 'not' one position back: x = -1.8 * -0.74
