@@ -62,6 +62,21 @@ object SentimentOps {
       sentiment.as("sentiment"), r4(polarity).as("polarity"))
   }
 
+  /** U3/U4: the ensemble vote with the OPTIONAL web scorer present
+    * (reference `-w` flag, default off): when a web label exists, the
+    * vote additionally requires its agreement —
+    *   negative iff TB < 0 AND VADER <= -0.05 AND web == 'negative'
+    *   positive iff TB > 0 AND VADER >= 0.05 AND web == 'positive'
+    * (/root/reference/sentiment.py:493-506; the web call itself is an
+    * external service and stays out of scope — callers supply the label
+    * column, null = scorer off, reproducing the reference default). */
+  def voteWithWeb(tb: Column, vader: Column, web: Column): Column =
+    when(tb < 0 && vader <= -0.05 &&
+      (web.isNull || web === "negative"), "negative")
+      .when(tb > 0 && vader >= 0.05 &&
+        (web.isNull || web === "positive"), "positive")
+      .otherwise("neutral")
+
   /** T2 clean_text_sentiment: strip `[#@]\S+` mentions/hashtags before
     * scoring (/root/reference/sentiment.py:424-428). */
   def cleanTextSentiment(c: Column): Column =

@@ -234,6 +234,38 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.select("path", "score").collect().isEmpty)
   }
 
+  test("resume AFTER a mid-bulk compaction: no name collisions, same index") {
+    val root7 = s"$work/index-merge-resume"
+    val ds = CorpusGen.dataset(spark, nDocs, 42L, 6)
+    // pass 1 commits shards 0..2, then someone compacts the partial index
+    IndexBuilder.build(spark, ds, root7, numShards, maxShardsThisPass = 3)
+    IndexBuilder.build(spark, ds, root7, numShards, maxShardsThisPass = 2)
+    val merged = SegmentMerge.merge(spark, root7)
+    assert(merged.segments.size === 1)
+    assert(IcebergLite.completedShards(merged) === (0 until 5).toSet)
+    // resume completes the remaining shards; version-derived segment
+    // names must NOT reuse a dir an older manifest references
+    val r = IndexBuilder.buildAll(spark, ds, root7, numShards, shardsPerPass = 3)
+    assert(r.manifest.numDocs === nDocs)
+    val names = r.manifest.segments.map(_.name)
+    assert(names.distinct.size === names.size)
+    // all dirs from ALL manifests are still distinct on disk (snapshot
+    // isolation: the pre-merge seg dirs survive until gc)
+    val segDirs = Files.list(Paths.get(root7)).iterator()
+    val dirNames = scala.jdk.CollectionConverters.IteratorHasAsScala(segDirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+    assert(dirNames.distinct.size === dirNames.size)
+    assert(dirNames.size >= 4) // 2 bulk passes + merged + resumed passes
+    // and the resumed index answers exactly like the clean single-pass one
+    val eng7 = new QueryEngine(spark, root7)
+    refQueries.take(6).foreach { q =>
+      assert(eng7.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
+    }
+    val a = engine.docmeta.orderBy("docId").collect().toSeq
+    val b = eng7.docmeta.orderBy("docId").collect().toSeq
+    assert(a === b)
+  }
+
   test("TIERED merge: smallest-first ladder to a target segment count") {
     val root6 = s"$work/index-tiered"
     import spark.implicits._

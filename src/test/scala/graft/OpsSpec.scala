@@ -159,6 +159,24 @@ class OpsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(out(3L) === "neutral")
   }
 
+  test("U3 web-scorer vote: a present web label must AGREE or the vote is neutral") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (tb, vader, web) -> expected label per sentiment.py:493-506
+    val rows = Seq(
+      (-0.5, -0.3, null.asInstanceOf[String], "negative"), // web off: 2-way
+      (-0.5, -0.3, "negative", "negative"),                // web agrees
+      (-0.5, -0.3, "positive", "neutral"),                 // web disagrees
+      (0.5, 0.3, "positive", "positive"),
+      (0.5, 0.3, "neutral", "neutral"),
+      (0.1, 0.01, "positive", "neutral"))                  // vader below threshold
+      .toDF("tb", "vader", "web", "expected")
+    val out = rows.select(col("expected"),
+      SentimentOps.voteWithWeb(col("tb"), col("vader"), col("web")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(0)))
+  }
+
   test("multimodal stub decode roundtrips header + batch shape") {
     val out = MultimodalOps.qMediaMeta(spark, sf).collect()
     assert(out.length === 500)
