@@ -65,6 +65,11 @@ final case class BuildReport(manifest: Manifest, segment: Option[SegmentInfo],
  */
 object IndexBuilder {
 
+  /** Index FORMAT version: bump when analyzer/codec/layout semantics
+    * change, so durable indexes built by an older engine are rebuilt
+    * instead of reopened (cache roots embed it). */
+  val FormatVersion = "2"
+
   /** Spark SQL expression equal to the shard id a row lands on. */
   def shardExpr(numShards: Int) =
     pmod(hash(col("repo"), col("path"), col("commit")), lit(numShards))

@@ -54,15 +54,10 @@ object DedupOps {
     * once per lambda use — measured; see MinHashSig scaladoc). Persisted
     * per dataset dir: q41/q42/q46 and the candidate join all reuse ONE
     * signature pass (q46's plan otherwise recomputes it three times). */
-  // caches are keyed by (application, dir): a persisted DataFrame is
-  // bound to the SparkContext that created it — a fresh session in the
-  // same JVM must rebuild, not inherit a handle to a stopped context
-  private def ck(spark: SparkSession, dir: String): String =
-    spark.sparkContext.applicationId + "|" + dir
-
   private val sigCache = mutable.HashMap.empty[String, DataFrame]
   def sigsDF(spark: SparkSession, dir: String): DataFrame = synchronized {
-    sigCache.getOrElseUpdate(ck(spark, dir), {
+    evictDeadSessions(sigCache, spark)
+    sigCache.getOrElseUpdate(sessionCacheKey(spark, dir), {
       graft.functions.MinHashFunctions.register(spark)
       t(spark, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -163,7 +158,8 @@ object DedupOps {
     * metrics — one analysis pass feeds all of them. */
   private val shingleCache = mutable.HashMap.empty[String, DataFrame]
   def docShinglesDF(spark: SparkSession, dir: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate(ck(spark, dir),
+    evictDeadSessions(shingleCache, spark)
+    shingleCache.getOrElseUpdate(sessionCacheKey(spark, dir),
       t(spark, dir, "documents")
         .select(col("doc_id"), explode(shingleKeys(col("text"))).as("sh"))
         .distinct()
@@ -216,7 +212,11 @@ object DedupOps {
       .join(vecs.select(col("doc_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("doc_id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), round(cos, 6).as("cos"))
-      .where(col("cos") >= CosineThreshold)
+      // NaN guard: two empty docs pair up (identical empty-shingle
+      // signatures) with zero vectors -> cos = 0/0 = NaN, and Spark
+      // orders NaN ABOVE the threshold — exclude it explicitly, as the
+      // oracle does
+      .where(col("cos") >= CosineThreshold && !isnan(col("cos")))
       .orderBy("a", "b")
   }
 
@@ -335,5 +335,6 @@ object DedupOps {
          |       round(list_cosine_similarity(va.v, vb.v), 6) AS cos
          |FROM cand c JOIN v va ON va.doc_id = c.a JOIN v vb ON vb.doc_id = c.b
          |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $CosineThreshold
+         |  AND NOT isnan(list_cosine_similarity(va.v, vb.v))
          |ORDER BY a, b""".stripMargin)
 }

@@ -163,19 +163,26 @@ object SearchOps {
   def workDir: String = sys.env.getOrElse("GRAFT_WORK_DIR", "/root/repo/target/graftwork")
 
   /** Map the documents table into the corpus shape and build a real
-    * on-disk index (cached per (application, dataset dir) in the JVM). */
+    * on-disk index. The committed snapshot is durable: a later session
+    * (same JVM or a new process) REOPENS it — a metadata read — instead
+    * of rebuilding; only a missing/uncommitted root triggers a build.
+    * That is the 100 TB behavior: one index build, many engine opens. */
   def docEngine(spark: SparkSession, dir: String): QueryEngine = synchronized {
-    engineCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
+    evictDeadSessions(engineCache, spark)
+    engineCache.getOrElseUpdate(sessionCacheKey(spark, dir), {
       import spark.implicits._
-      val corpus = t(spark, dir, "documents")
-        .select(col("source").as("repo"),
-          concat(lit("doc_"), col("doc_id")).as("path"),
-          md5(col("text")).as("commit"),
-          col("lang"), col("text").as("content"))
-        .as[CorpusDoc]
-      val root = s"$workDir/doc-index-${IndexBuilder.sha256Hex(dir).take(12)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      IndexBuilder.build(spark, corpus, root, numShards = 8)
+      val root = s"$workDir/doc-index-f${IndexBuilder.FormatVersion}-${
+        IndexBuilder.sha256Hex(dir).take(12)}"
+      if (!new graft.table.IcebergLite(root).exists) {
+        val corpus = t(spark, dir, "documents")
+          .select(col("source").as("repo"),
+            concat(lit("doc_"), col("doc_id")).as("path"),
+            md5(col("text")).as("commit"),
+            col("lang"), col("text").as("content"))
+          .as[CorpusDoc]
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        IndexBuilder.build(spark, corpus, root, numShards = 8)
+      }
       new QueryEngine(spark, root)
     })
   }

@@ -27,6 +27,18 @@ object Tables {
   val stopListSql: String =
     graft.analyze.CodeAnalyzer.Stopwords.toSeq.sorted
       .map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Session-bound cache key + eviction: cached DataFrames/engines are
+    * bound to the SparkContext that created them, so keys carry the
+    * applicationId and entries from stopped applications are dropped on
+    * the next access (bounds growth across session restarts in one JVM). */
+  def sessionCacheKey(spark: SparkSession, dir: String): String =
+    spark.sparkContext.applicationId + "|" + dir
+  def evictDeadSessions[V](cache: scala.collection.mutable.HashMap[String, V],
+                           spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    cache.filterInPlace((k, _) => k.startsWith(prefix))
+  }
 }
 
 /**

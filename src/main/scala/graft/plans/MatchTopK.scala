@@ -77,20 +77,24 @@ case class MatchTopKExec(plan: MatchTopK) extends LeafExecNode {
 }
 
 object MatchTopKExec {
-  // Cached per index root, KEYED BY SNAPSHOT VERSION: a long-lived session
-  // would otherwise stay pinned to whatever snapshot was current at first
-  // use and never see later commits (streaming ingest / compaction). The
-  // version check is one small JSON read per query — cheap next to a scan.
+  // Cached per (application, index root), KEYED BY SNAPSHOT VERSION: a
+  // long-lived session would otherwise stay pinned to whatever snapshot
+  // was current at first use and never see later commits (streaming
+  // ingest / compaction), and a fresh session in the same JVM must not
+  // inherit an engine bound to a stopped SparkContext. The version check
+  // is one small JSON read per query — cheap next to a scan.
   private val engines =
     scala.collection.mutable.HashMap.empty[String, (Int, QueryEngine)]
   def engineFor(spark: SparkSession, root: String): QueryEngine = synchronized {
+    graft.ops.Tables.evictDeadSessions(engines, spark)
+    val key = graft.ops.Tables.sessionCacheKey(spark, root)
     val version = new graft.table.IcebergLite(root)
       .currentManifest().map(_.version).getOrElse(-1)
-    engines.get(root) match {
+    engines.get(key) match {
       case Some((v, eng)) if v == version => eng
       case _ =>
         val eng = new QueryEngine(spark, root)
-        engines(root) = (version, eng)
+        engines(key) = (version, eng)
         eng
     }
   }

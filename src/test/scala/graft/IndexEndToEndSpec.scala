@@ -251,9 +251,11 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(names.distinct.size === names.size)
     // all dirs from ALL manifests are still distinct on disk (snapshot
     // isolation: the pre-merge seg dirs survive until gc)
-    val segDirs = Files.list(Paths.get(root7)).iterator()
-    val dirNames = scala.jdk.CollectionConverters.IteratorHasAsScala(segDirs)
-      .asScala.map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+    val listing = Files.list(Paths.get(root7))
+    val dirNames =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+      finally listing.close()
     assert(dirNames.distinct.size === dirNames.size)
     assert(dirNames.size >= 4) // 2 bulk passes + merged + resumed passes
     // and the resumed index answers exactly like the clean single-pass one
