@@ -49,18 +49,19 @@ object SentimentHelper {
     i = 0
     while (i < n) {
       val v = lex.get(toks(i))
-      // lookback window: the NegWindow tokens before position i
-      var neg = false
-      var j = math.max(0, i - Lexicon.NegWindow)
-      while (j < i && !neg) { if (negators.contains(toks(j))) neg = true; j += 1 }
       if (v != null) {
+        // lookback window, evaluated only for lexicon hits (unmatched
+        // tokens contribute exactly 0.0 * factor either way — skipping
+        // both the window scan and the add is bit-identical: a + 0.0 == a
+        // for every non-(-0.0) sum here)
+        var neg = false
+        var j = math.max(0, i - Lexicon.NegWindow)
+        while (j < i && !neg) { if (negators.contains(toks(j))) neg = true; j += 1 }
         val vd = v.doubleValue()
         tbSum += vd / 4.0 * (if (neg) Lexicon.TbNegScalar else 1.0)
         tbCnt += 1
         x += vd * (if (neg) Lexicon.VaderNegScalar else 1.0)
       }
-      // unmatched tokens contribute exactly 0.0 * factor — skipping the
-      // add is bit-identical (a + 0.0 == a for every non-(-0.0) sum here)
       i += 1
     }
     val tb = if (tbCnt == 0) 0.0 else tbSum / tbCnt

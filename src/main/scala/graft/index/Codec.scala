@@ -161,6 +161,15 @@ object Codec {
              blockSize: Int = BlockSize,
              format: Format = DefaultFormat): EncodedPostings = {
     require(docIds.length == tfs.length && tfs.length == dls.length)
+    // delta encoding is only meaningful over strictly ascending docIds;
+    // a violation (e.g. interleaved segment ranges fed to a merge) must
+    // fail loudly here, not corrupt postings with negative deltas
+    var v = 1
+    while (v < docIds.length) {
+      require(docIds(v) > docIds(v - 1),
+        s"docIds not strictly ascending at $v: ${docIds(v - 1)} -> ${docIds(v)}")
+      v += 1
+    }
     val nBlocks = (docIds.length + blockSize - 1) / blockSize
     val blocks = new Array[Array[Byte]](nBlocks)
     val skips = new Array[Skip](nBlocks)

@@ -33,11 +33,19 @@ object SegmentMerge {
   }
 
   /** Tiered compaction (the Lucene-ish ladder the north star names):
-    * while more than `maxSegments` remain, merge the SMALLEST surplus
-    * segments (by byte size, at most `fanIn` per pass) into one — small
-    * ingest segments compact cheaply and often, big segments rarely.
-    * Each pass is an atomic snapshot commit, so a crash mid-ladder
-    * leaves a consistent (just less-compacted) index. */
+    * while more than `maxSegments` remain, merge the cheapest run of
+    * BATCH-ADJACENT segments (at most `fanIn` per pass) into one.
+    * Adjacency in ingest-batch order is a CORRECTNESS constraint, not a
+    * heuristic: docIds embed the batch id in their top bits, so merging
+    * a non-contiguous set (e.g. batches {1,3} around a kept batch 2)
+    * would create a segment whose per-(shard,term) docId range
+    * interleaves the kept segment's — the query path concatenates
+    * sub-lists by firstDoc and requires them non-interleaved, and a
+    * later merge of such segments would feed non-ascending docIds into
+    * the codec. Among the adjacent windows, the smallest total byte size
+    * wins (small ingest segments compact cheaply and often, big ones
+    * rarely). Each pass is an atomic snapshot commit, so a crash
+    * mid-ladder leaves a consistent (just less-compacted) index. */
   def tiered(spark: SparkSession, root: String, maxSegments: Int,
              fanIn: Int = 10): Manifest = {
     require(maxSegments >= 1 && fanIn >= 2)
@@ -46,7 +54,10 @@ object SegmentMerge {
       .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
     while (m.segments.size > maxSegments) {
       val surplus = m.segments.size - maxSegments + 1
-      val victims = m.segments.sortBy(_.metrics.bytes).take(math.min(surplus, fanIn))
+      val window = math.min(surplus, fanIn)
+      val ordered = m.segments.sortBy(s => IcebergLite.batchesOf(s).min)
+      val victims = ordered.sliding(window)
+        .minBy(_.iterator.map(_.metrics.bytes).sum)
       m = mergeSegments(spark, root, m, victims)
     }
     m

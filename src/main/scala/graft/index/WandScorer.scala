@@ -18,6 +18,19 @@ final class PostingCursor(val term: String, val idf: Double,
   private val blocks: Array[Array[Byte]] = subLists.iterator.flatMap(_._1).toArray
   private val skips: Array[SkipRow] = subLists.iterator.flatMap(_._2).toArray
   require(blocks.length == skips.length)
+  // the cursor's skip search requires globally ascending, non-interleaved
+  // blocks; segment ranges that overlap (a merge-policy bug) must fail
+  // loudly here instead of silently mis-skipping
+  locally {
+    var i = 1
+    while (i < skips.length) {
+      require(skips(i).firstDoc > skips(i - 1).lastDoc,
+        s"interleaved posting blocks for term '$term': " +
+          s"block ${i - 1} ends at ${skips(i - 1).lastDoc}, " +
+          s"block $i starts at ${skips(i).firstDoc}")
+      i += 1
+    }
+  }
 
   /** Safe global upper bound of this term's contribution to any doc. */
   val maxScore: Double = {

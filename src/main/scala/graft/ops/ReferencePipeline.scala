@@ -87,7 +87,8 @@ object ReferencePipeline {
       (7L, "2024-01-01 10:00:07", "gina", 1L, 1L, 1L, "RT https://only.url &amp;"),
       // T2 + negation: the mentions hold 'fast' outside the 3-token
       // negation window until clean_text_sentiment strips them — with T2
-      // the vote flips to negative (without it: neutral)
+      // the vote flips to negative (without the strip it is POSITIVE:
+      // un-negated 'fast' carries the vote; spec-asserted)
       (8L, "2024-01-01 10:00:08", "hank", 6L, 6L, 6L,
         "not @x1 @x2 @x3 fast merge query running today"))
       .toDF("tweet_id", "ts_s", "author", "friends", "followers", "statuses", "message")

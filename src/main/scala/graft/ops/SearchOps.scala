@@ -126,10 +126,15 @@ object SearchOps {
     val names = BoolGroups.indices.map(i => s"g$i")
     val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
     val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    // inner: the ENGINE's selection order (raw score, docId); outer: the
+    // engine's display order (rounded score, path string) — keeps both
+    // the top-10 set and the row order aligned even on ties
     s"""WITH ${bm25Ctes(allTerms)},
-       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs)
-       |SELECT 'doc_' || doc_id AS path, round($best, 4) AS score FROM scored
-       |WHERE $anyMatch ORDER BY $best DESC, doc_id LIMIT 10""".stripMargin
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path, round($best, 4) AS score
+       |         FROM scored WHERE $anyMatch
+       |         ORDER BY $best DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
   }
 
   /** The code-aware analyzer exposed to SQL as a native codegen'd
@@ -171,8 +176,16 @@ object SearchOps {
     evictDeadSessions(engineCache, spark)
     engineCache.getOrElseUpdate(sessionCacheKey(spark, dir), {
       import spark.implicits._
+      // the root embeds a cheap CONTENT fingerprint (file sizes + mtimes)
+      // alongside the engine format version: a regenerated dataset or a
+      // changed engine revision rebuilds; only a truly identical corpus
+      // is reopened
+      def fp(f: java.io.File): String =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
+        else s"${f.getName}:${f.length}:${f.lastModified}"
       val root = s"$workDir/doc-index-f${IndexBuilder.FormatVersion}-${
-        IndexBuilder.sha256Hex(dir).take(12)}"
+        IndexBuilder.sha256Hex(dir + "|" +
+          fp(new java.io.File(s"$dir/documents.parquet"))).take(12)}"
       if (!new graft.table.IcebergLite(root).exists) {
         val corpus = t(spark, dir, "documents")
           .select(col("source").as("repo"),
@@ -241,7 +254,11 @@ object SearchOps {
       .crossJoin(broadcast(eng.dict.agg(count(lit(1)).as("n_terms"))))
       .select(col("num_docs"), col("total_tokens"), col("n_terms"),
         col("postings"),
-        round(col("total_tokens").cast("double") / col("num_docs"), 6).as("avgdl"))
+        // fold-safe rounding (floor(x*1e6+0.5)/1e6): Spark round() and
+        // DuckDB round() disagree on knife-edge doubles (see
+        // SentimentOps.r4) — same fp formulation on both sides instead
+        (floor(col("total_tokens").cast("double") / col("num_docs") * 1e6
+          + lit(0.5)) / 1e6).as("avgdl"))
   }
 
   def indexStatsOracleSql: String =
@@ -252,6 +269,6 @@ object SearchOps {
        | (SELECT CAST(sum(len(toks)) AS BIGINT) FROM docs) AS total_tokens,
        | (SELECT count(DISTINCT t) FROM (SELECT unnest(toks) AS t FROM docs)) AS n_terms,
        | (SELECT CAST(sum(len(list_distinct(toks))) AS BIGINT) FROM docs) AS postings,
-       | round((SELECT CAST(sum(len(toks)) AS DOUBLE) FROM docs) /
-       |       (SELECT count(*) FROM docs), 6) AS avgdl""".stripMargin
+       | floor((SELECT CAST(sum(len(toks)) AS DOUBLE) FROM docs) /
+       |       (SELECT count(*) FROM docs) * 1000000.0 + 0.5) / 1000000.0 AS avgdl""".stripMargin
 }

@@ -268,14 +268,19 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a === b)
   }
 
-  test("TIERED merge: smallest-first ladder to a target segment count") {
+  test("TIERED merge: batch-adjacent ladder to a target segment count") {
     val root6 = s"$work/index-tiered"
     import spark.implicits._
-    // bulk + 4 small ingest batches = 5 segments of uneven size
+    // bulk + 4 ingest batches of UNEVEN size, with a LARGE batch 2 in the
+    // middle: a size-only victim pick would merge the non-adjacent set
+    // {1,3,4} around it, interleaving docId ranges — the adjacency
+    // constraint must prevent that (and the invariant check below plus
+    // the cursor/codec ordering guards would catch a violation loudly)
     IndexBuilder.build(spark, CorpusGen.dataset(spark, 400L, 42L, 4), root6, 4)
-    (1 to 4).foreach { b =>
-      val ds = spark.range(400L + (b - 1) * 50, 400L + b * 50)
-        .map(i => CorpusGen.doc(42L, i))
+    val batchRanges = Seq(1 -> (400L, 450L), 2 -> (450L, 650L),
+      3 -> (650L, 700L), 4 -> (700L, 750L))
+    batchRanges.foreach { case (b, (lo, hi)) =>
+      val ds = spark.range(lo, hi).map(i => CorpusGen.doc(42L, i))
       IndexBuilder.build(spark, ds, root6, 4, batch = b)
     }
     val eng0 = new QueryEngine(spark, root6)
@@ -290,7 +295,15 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(m.dict.isEmpty)
     // batch lineage is preserved across the ladder (union over all segs)
     assert(m.segments.flatMap(IcebergLite.batchesOf).toSet === Set(0, 1, 2, 3, 4))
-    assert(m.numDocs === 600L)
+    assert(m.numDocs === 750L)
+    // CORRECTNESS INVARIANT: no two segments' batch ranges interleave
+    val spans = m.segments.map { s =>
+      val b = IcebergLite.batchesOf(s); (b.min, b.max)
+    }
+    spans.combinations(2).foreach { case Seq((lo1, hi1), (lo2, hi2)) =>
+      assert(hi1 < lo2 || hi2 < lo1,
+        s"interleaved segment batch spans: [$lo1,$hi1] vs [$lo2,$hi2]")
+    }
 
     val eng1 = new QueryEngine(spark, root6)
     refQueries.take(5).zip(before).foreach { case (q, b) =>
