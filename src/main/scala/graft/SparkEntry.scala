@@ -252,10 +252,10 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q50_ann_bruteforce" ->
-      """SELECT vec_id, label,
-        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, ${AnnOps.r6Sql(AnnOps.cosineSql("e.e", "q.qe"))} AS cos
+         |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q51_embed_norms" ->
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm

@@ -28,6 +28,27 @@ object AnnOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
+  /** Fold-safe 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 computes the
+    * SAME double in Spark and DuckDB (pure fp ops), unlike round(x, 6)
+    * whose knife-edge behavior differs between the engines — the same
+    * r4 treatment SentimentOps uses, at cosine precision. */
+  def r6(c: Column): Column = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
+  def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** The cosine spelled as SEQUENTIAL left folds in DuckDB SQL — the same
+    * operands in the same order as the Spark `cosine` expression above
+    * (list_reduce's first-element init equals aggregate's 0.0 + x0), so
+    * the two engines compute bit-identical doubles. The builtin
+    * list_cosine_similarity does NOT pin its summation order and is never
+    * used in an oracle. */
+  def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_reduce(list_transform(list_zip($x, $y), z -> z[1] * z[2]), (acc, v) -> acc + v)"
+    def normSql(x: String) =
+      s"sqrt(list_reduce(list_transform($x, v -> v * v), (acc, v) -> acc + v))"
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+  }
+
   /** Exact brute-force cosine top-10 vs the vec_id=0 query vector. */
   def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -37,7 +58,7 @@ object AnnOps {
       .select(asDouble(col("embedding")).as("qv"))
     emb.crossJoin(broadcast(qv))
       .select(col("vec_id"), col("label"),
-        round(cosine(e, col("qv")), 6).as("cos"))
+        r6(cosine(e, col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }
@@ -79,7 +100,7 @@ object AnnOps {
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
     cand.crossJoin(broadcast(qvDf))
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
+        r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }
@@ -114,7 +135,7 @@ object AnnOps {
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
     cand.crossJoin(broadcast(qvDf))
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("cos"))
+        r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }
@@ -159,7 +180,7 @@ object AnnOps {
       s"""WITH $eCte,
          |b AS (SELECT vec_id, e, ${bucketExpr(6)} AS b6 FROM e),
          |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0)
-         |SELECT vec_id, round(list_cosine_similarity(b.e, q.qe), 6) AS cos
+         |SELECT vec_id, ${r6Sql(cosineSql("b.e", "q.qe"))} AS cos
          |FROM b, q WHERE b.b6 = q.qb6
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q54_ann_ivf_assign" ->
@@ -170,7 +191,7 @@ object AnnOps {
          |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
          |qd AS (SELECT c.centroid, ${distSql("q.qe", "c.ce")} AS dist FROM c, q),
          |probes AS (SELECT centroid FROM qd ORDER BY dist, centroid LIMIT $IvfProbes)
-         |SELECT vec_id, round(list_cosine_similarity(e.e, q.qe), 6) AS cos
+         |SELECT vec_id, ${r6Sql(cosineSql("e.e", "q.qe"))} AS cos
          |FROM e JOIN assign USING (vec_id), q
          |WHERE assign.centroid IN (SELECT centroid FROM probes)
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)

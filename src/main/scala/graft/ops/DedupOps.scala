@@ -211,7 +211,7 @@ object DedupOps {
     cand
       .join(vecs.select(col("doc_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("doc_id").as("b"), col("v").as("vb")), "b")
-      .select(col("a"), col("b"), round(cos, 6).as("cos"))
+      .select(col("a"), col("b"), AnnOps.r6(cos).as("cos"))
       // NaN guard: two empty docs pair up (identical empty-shingle
       // signatures) with zero vectors -> cos = 0/0 = NaN, and Spark
       // orders NaN ABOVE the threshold — exclude it explicitly, as the
@@ -330,11 +330,11 @@ object DedupOps {
          |$hsCte,
          |v AS (SELECT doc_id, list_transform(range(${graft.functions.HashEmbedHelper.Dim}),
          |        d -> len(list_filter(hs, h -> h % ${graft.functions.HashEmbedHelper.Dim} = d))::DOUBLE) AS v
-         |      FROM hs)
-         |SELECT c.a, c.b,
-         |       round(list_cosine_similarity(va.v, vb.v), 6) AS cos
-         |FROM cand c JOIN v va ON va.doc_id = c.a JOIN v vb ON vb.doc_id = c.b
-         |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $CosineThreshold
-         |  AND NOT isnan(list_cosine_similarity(va.v, vb.v))
+         |      FROM hs),
+         |sims AS (SELECT c.a, c.b, ${AnnOps.cosineSql("va.v", "vb.v")} AS cosr
+         |         FROM cand c JOIN v va ON va.doc_id = c.a
+         |                     JOIN v vb ON vb.doc_id = c.b)
+         |SELECT a, b, ${AnnOps.r6Sql("cosr")} AS cos FROM sims
+         |WHERE ${AnnOps.r6Sql("cosr")} >= $CosineThreshold AND NOT isnan(cosr)
          |ORDER BY a, b""".stripMargin)
 }

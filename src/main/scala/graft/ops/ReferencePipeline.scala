@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
  *     -> F4 dedup by tweet_id (keep first by ts)
  *     -> F7 blacklist tokens (win/giveaway)
  *     -> F8 whitelist >= nltk_min_tokens distinct required tokens
- *     -> T2 clean_text_sentiment ([#@]\S+ strip — only the SCORED text,
+ *     -> T2 clean_text_sentiment ([#|@]\S+ strip — only the SCORED text,
  *        the stored message keeps mentions; sentiment.py:184,424-428)
  *     -> U1/U2/U4/U5 sentiment ensemble
  *     -> projection to the stored doc schema

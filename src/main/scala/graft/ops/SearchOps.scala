@@ -200,21 +200,45 @@ object SearchOps {
     })
   }
 
+  /** Oracle-comparable k-cut: the engine breaks raw-score ties by
+    * INTERNAL docId (batch|shard|idx — the Lucene behavior), whose order
+    * is unrelated to the table's doc_id the DuckDB oracle tie-breaks on.
+    * The driver-contract queries therefore over-fetch `TieMargin` extra
+    * hits and re-break ties by the table doc_id (parsed from path) before
+    * the k-cut — identical output whenever fewer than TieMargin docs tie
+    * at the boundary (beyond that both sides' k-sets are anyway
+    * ambiguous). */
+  val TieMargin = 20
+
+  /** (docId, score_raw, path, table_id) rows for a hit list. */
+  private def withTableId(spark: SparkSession, eng: QueryEngine,
+                          hits: Seq[graft.index.ScoredDoc]): DataFrame = {
+    import spark.implicits._
+    eng.docmeta.where(col("docId").isin(hits.map(_.docId): _*))
+      .select(col("docId"), col("path"))
+      .join(broadcast(hits.map(h => (h.docId, h.score)).toDF("docId", "score_raw")),
+        Seq("docId"))
+      .withColumn("table_id", substring_index(col("path"), "_", -1).cast("long"))
+  }
+
   /** Real segmented-index BM25 search (disjunctive). */
   def qEngineSearch(spark: SparkSession, dir: String): DataFrame = {
     val eng = docEngine(spark, dir)
-    eng.search(QueryTerms.mkString(" "), 10)
-      .select(col("path"), round(col("score"), 4).as("score"))
+    val hits = eng.topK(QueryTerms.mkString(" "), 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), round(col("score_raw"), 4).as("score"))
   }
 
   /** Boolean keyword query through the engine ("spaces are ANDs commas
     * are ORs", /root/reference/sentiment.py:638-641). */
   def qEngineBool(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val eng = docEngine(spark, dir)
-    val hits = eng.booleanTopK(BoolQuery, 10)
-    hits.map(h => (h.docId, h.score)).toDF("docId", "score_raw")
-      .join(eng.docmeta.select("docId", "path"), Seq("docId"))
+    val hits = eng.booleanTopK(BoolQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
       .select(col("path"), round(col("score_raw"), 4).as("score"))
       .orderBy(desc("score"), asc("path"))
   }

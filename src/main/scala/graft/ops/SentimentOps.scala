@@ -77,10 +77,12 @@ object SentimentOps {
         (web.isNull || web === "positive"), "positive")
       .otherwise("neutral")
 
-  /** T2 clean_text_sentiment: strip `[#@]\S+` mentions/hashtags before
-    * scoring (/root/reference/sentiment.py:424-428). */
+  /** T2 clean_text_sentiment: strip `[#|@]\S+` mentions/hashtags before
+    * scoring (/root/reference/sentiment.py:424-428 — the reference's char
+    * class contains a literal pipe, so tokens starting with '|' are
+    * stripped too; reproduced verbatim for pipeline fidelity). */
   def cleanTextSentiment(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c, "[#@]\\S+", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(c, "[#|@]\\S+", ""), "\\s+", " "))
 
   /** Per-document ensemble scores (U1/U2/U4/U5). */
   def qSentimentDocs(spark: SparkSession, dir: String): DataFrame =
@@ -186,7 +188,7 @@ object SentimentOps {
   def cleanSentimentOracle: String = {
     val decorated = "'not @u1 #t2 @u3 ' || text || ' #tail_' || lang"
     val cleaned =
-      s"trim(regexp_replace(regexp_replace($decorated, '[#@]\\S+', '', 'g'), '\\s+', ' ', 'g'))"
+      s"trim(regexp_replace(regexp_replace($decorated, '[#|@]\\S+', '', 'g'), '\\s+', ' ', 'g'))"
     val srcCte =
       s"""raw AS (SELECT doc_id, $cleaned AS text FROM documents),
          |docs AS (SELECT doc_id, length(text) AS clean_len, $toksSql AS toks FROM raw)""".stripMargin

@@ -134,20 +134,27 @@ final class IcebergLite(val root: String) {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** Manifest version from a file name, None for anything that doesn't
+    * parse cleanly (editor backups, foreign files): GC must SKIP those,
+    * not abort on a NumberFormatException before deleting anything. */
+  private def manifestVersion(name: String): Option[Int] =
+    if (name.startsWith("manifest-") && name.endsWith(".json"))
+      name.stripPrefix("manifest-").stripSuffix(".json").toIntOption
+    else None
+
   /** Physical GC after compaction: keep the `keepManifests` most recent
     * manifest versions (snapshot history horizon); delete segment dirs,
-    * dict dirs and manifest files only reachable from older versions.
-    * Readers pinned to a kept manifest stay correct; pins older than the
-    * horizon are invalidated by design (documented retention contract). */
+    * dict dirs and manifest files only reachable from older versions,
+    * plus orphaned `snapshot.json.tmp-*` files a crash between the temp
+    * write and the atomic rename can leave behind. Readers pinned to a
+    * kept manifest stay correct; pins older than the horizon are
+    * invalidated by design (documented retention contract). */
   def gc(keepManifests: Int = 1): Seq[String] = {
     val current = currentManifest().getOrElse(return Nil)
     val listing = Files.list(Paths.get(root))
     val all = try listing.iterator().asScala.map(_.getFileName.toString).toSeq
               finally listing.close() // Files.list leaks an fd unless closed
-    val manifestVersions = all
-      .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toInt }
-      .sorted
+    val manifestVersions = all.flatMap(manifestVersion).sorted
     val keepVs = manifestVersions.takeRight(math.max(1, keepManifests))
       .toSet + current.version
     val keptManifests = keepVs.map(v => readManifest(s"manifest-$v.json"))
@@ -155,11 +162,13 @@ final class IcebergLite(val root: String) {
       keptManifests.flatMap(m => m.segments.map(_.name) ++ m.dict)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     all.foreach { name =>
-      val isOldManifest = name.startsWith("manifest-") && name.endsWith(".json") &&
-        !keepVs.contains(name.stripPrefix("manifest-").stripSuffix(".json").toInt)
+      val isOldManifest = manifestVersion(name).exists(!keepVs.contains(_))
       val isDeadDir = (name.startsWith("seg-") || name.startsWith("dict-v")) &&
         !liveDirs.contains(name)
-      if (isOldManifest || isDeadDir) {
+      // a tmp snapshot only exists between its write and the atomic
+      // rename in commit(); any still on disk at GC time is crash debris
+      val isOrphanTmp = name.startsWith("snapshot.json.tmp-")
+      if (isOldManifest || isDeadDir || isOrphanTmp) {
         org.apache.commons.io.FileUtils.deleteQuietly(p(name).toFile)
         deleted += name
       }
