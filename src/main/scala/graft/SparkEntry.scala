@@ -70,11 +70,13 @@ object SparkEntry {
     "q46_minhash_pairs" -> (DedupOps.qMinHashPairs _),
     "q47_ngram_cap_metrics" -> (DedupOps.qNgramCapMetrics _),
     "q48_embed_neardup" -> (DedupOps.qEmbedNearDup _),
+    "q49_band_cap_metrics" -> (DedupOps.qBandCapMetrics _),
     // similarity search
     "q50_ann_bruteforce" -> (AnnOps.qAnnBruteForce _),
     "q51_embed_norms" -> (AnnOps.qEmbedNorms _),
     "q52_ann_lsh_buckets" -> (AnnOps.qAnnLshBuckets _),
     "q53_ann_lsh_topk" -> (AnnOps.qAnnLshTopK _),
+    "q56_ann_lsh_multiprobe" -> (AnnOps.qAnnLshMultiProbe _),
     "q54_ann_ivf_assign" -> (AnnOps.qAnnIvfAssign _),
     "q55_ann_ivf_topk" -> (AnnOps.qAnnIvfTopK _),
     // search / index engine

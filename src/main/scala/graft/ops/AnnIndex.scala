@@ -1,18 +1,27 @@
 package graft.ops
 
+import graft.table.{IcebergLite, Manifest, SegmentInfo, SegmentMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.mutable
 
 /**
  * Materialized ANN index structures over the `embeddings` table — built
- * ONCE per dataset, queried many times (the round-1 plans recomputed
- * buckets/centroids per query: correct math, wrong shape at 100 TB).
+ * ONCE per dataset, COMMITTED behind the IcebergLite snapshot protocol,
+ * and REOPENED (a metadata stat) by every later session, in-process or
+ * across restarts. That is the 100 TB contract: one store build, many
+ * opens — the same pattern as SearchOps.docEngine. The root embeds the
+ * store FormatVersion and a content fingerprint of the source table, so
+ * a regenerated dataset or a changed store format rebuilds while an
+ * identical corpus always reopens; a crash mid-build leaves no
+ * snapshot.json, so the next ensure() clears the debris and rebuilds.
  *
- * Layout under workDir/ann-<sha12(dir)>/:
- *   lsh/bucket6=<b>/...parquet   (vec_id, label, embedding, bucket16)
- *   ivf/centroid=<c>/...parquet  (vec_id, label, embedding)
- *   centroids/...parquet         (centroid, embedding)
+ * Layout under workDir/ann-f<ver>-<sha12(dir+fingerprint)>-r<iters>/:
+ *   snapshot.json + manifest-1.json  (IcebergLite commit: three segments
+ *                                     named lsh/ivf/centroids, with row
+ *                                     metrics + build lineage)
+ *   lsh/bucket6=<b>/...parquet       (vec_id, label, embedding, bucket16)
+ *   ivf/centroid=<c>/...parquet      (vec_id, label, embedding)
+ *   centroids/...parquet             (centroid, embedding)
  *
  * Both data tables are PARTITIONED BY their probe key, so a query reads
  * only the probed partitions (partition pruning visible in the plan) and
@@ -29,10 +38,19 @@ import scala.collection.mutable
 object AnnIndex {
   import Tables._
 
+  /** ANN store FORMAT version: bump when planes/quantizer/layout
+    * semantics change, so stores built by an older engine are rebuilt
+    * instead of reopened (the root embeds it). */
+  val FormatVersion = "1"
+
   val NumPlanes = 16
   val Dim = 64
   val IvfCentroids = 16
   val IvfProbes = 4
+  /** LSH probe count: the query's own bucket6 plus (LshProbes-1)
+    * Hamming-adjacent codes, flipping the planes with the smallest
+    * |margin| first — the LSH equivalent of the IvfProbes recall dial. */
+  val LshProbes = 4
   /** lsh partition key: low 6 bits of the 16-bit bucket (64 partitions;
     * at scale use more planes/partitions — same mechanism). */
   val Bucket6Mask = 0x3f
@@ -128,52 +146,86 @@ object AnnIndex {
     def centroids: String = s"$root/centroids"
   }
 
-  private val cache = mutable.HashMap.empty[String, AnnPaths]
+  /** Cheap content fingerprint of the source table (file names + sizes +
+    * mtimes) — the docEngine scheme (SearchOps.scala): a regenerated
+    * dataset at the same path changes the fingerprint, hence the root. */
+  private def fp(f: java.io.File): String =
+    if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
+    else s"${f.getName}:${f.length}:${f.lastModified}"
 
-  /** Build (or reuse, per JVM) the materialized ANN index for a dataset
-    * dir. One pass over embeddings per structure; both writes are
-    * partitioned by their probe key. */
+  /** The committed store root for a dataset dir: format version +
+    * content fingerprint + build parameters, all in the path. */
+  def rootFor(dir: String, refineIters: Int = 0): String =
+    s"${SearchOps.workDir}/ann-f$FormatVersion-${
+      graft.index.IndexBuilder.sha256Hex(dir + "|" +
+        fp(new java.io.File(s"$dir/embeddings.parquet"))).take(12)}-r$refineIters"
+
+  /** Open the committed ANN store for a dataset dir, building it first
+    * iff no committed snapshot covers this exact (content, format,
+    * params) triple. Reopen is a single file stat — no Spark jobs, no
+    * writes; only a missing/uncommitted root triggers the build (one
+    * pass over embeddings per structure, writes partitioned by probe
+    * key, then an atomic snapshot commit). */
   def ensure(spark: SparkSession, dir: String,
              refineIters: Int = 0): AnnPaths = synchronized {
-    cache.getOrElseUpdate(dir + s"#$refineIters", {
-      import spark.implicits._
-      val root = s"${SearchOps.workDir}/ann-${
-        graft.index.IndexBuilder.sha256Hex(dir).take(12)}-r$refineIters"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      val paths = AnnPaths(root)
-      val emb = t(spark, dir, "embeddings")
+    import spark.implicits._
+    val root = rootFor(dir, refineIters)
+    val tbl = new IcebergLite(root)
+    val paths = AnnPaths(root)
+    if (tbl.exists) return paths // REOPEN: committed store, metadata only
+    // no snapshot => never committed; clear any crash debris and build
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = t(spark, dir, "embeddings")
 
-      // LSH store: (vec_id, label, embedding, bucket16) partitioned by bucket6
-      emb.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, Int, Seq[Float])]
-        .map { case (id, label, e) =>
-          val b = lshBucket16(e)
-          (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
-        }
-        .toDF("vec_id", "label", "embedding", "bucket16", "bucket6")
-        .repartition(col("bucket6"))
-        .write.partitionBy("bucket6").mode("overwrite").parquet(paths.lsh)
+    // LSH store: (vec_id, label, embedding, bucket16) partitioned by
+    // bucket6; row metrics ride the write job via observe() (no extra pass)
+    val lshObs = org.apache.spark.sql.Observation(s"ann-lsh-$root")
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val b = lshBucket16(e)
+        (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
+      }
+      .toDF("vec_id", "label", "embedding", "bucket16", "bucket6")
+      .observe(lshObs, count(lit(1)).as("rows"))
+      .repartition(col("bucket6"))
+      .write.partitionBy("bucket6").mode("overwrite").parquet(paths.lsh)
 
-      // IVF store: (vec_id, label, embedding) partitioned by centroid
-      val cents0 = seedCentroids(spark, dir)
-      val cents = if (refineIters > 0) lloydRefine(spark, dir, cents0, refineIters)
-                  else cents0
-      val bc = spark.sparkContext.broadcast(cents)
-      emb.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, Int, Seq[Float])]
-        .map { case (id, label, e) =>
-          val c = nearestCentroid(e.map(_.toDouble).toArray, bc.value)
-          (id, label, e, c.toLong)
-        }
-        .toDF("vec_id", "label", "embedding", "centroid")
-        .repartition(col("centroid"))
-        .write.partitionBy("centroid").mode("overwrite").parquet(paths.ivf)
+    // IVF store: (vec_id, label, embedding) partitioned by centroid
+    val cents0 = seedCentroids(spark, dir)
+    val cents = if (refineIters > 0) lloydRefine(spark, dir, cents0, refineIters)
+                else cents0
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val c = nearestCentroid(e.map(_.toDouble).toArray, bc.value)
+        (id, label, e, c.toLong)
+      }
+      .toDF("vec_id", "label", "embedding", "centroid")
+      .repartition(col("centroid"))
+      .write.partitionBy("centroid").mode("overwrite").parquet(paths.ivf)
 
-      cents.zipWithIndex
-        .map { case (e, c) => (c.toLong, e.toSeq) }.toSeq
-        .toDF("centroid", "embedding")
-        .coalesce(1).write.mode("overwrite").parquet(paths.centroids)
-      paths
-    })
+    cents.zipWithIndex
+      .map { case (e, c) => (c.toLong, e.toSeq) }.toSeq
+      .toDF("centroid", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(paths.centroids)
+
+    // atomic snapshot commit: reopenable from any later session/process
+    val nVec = lshObs.get("rows").asInstanceOf[Long]
+    val lineage = Map("source" -> dir, "format" -> FormatVersion)
+    tbl.commit(Manifest(version = 1, numShards = Bucket6Mask + 1,
+      segments = Seq(
+        SegmentInfo(0, "lsh", Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          lineage + ("kind" -> "lsh-sign-rp", "planes" -> NumPlanes.toString,
+            "partitionKey" -> "bucket6")),
+        SegmentInfo(1, "ivf", Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          lineage + ("kind" -> "ivf", "cells" -> IvfCentroids.toString,
+            "refineIters" -> refineIters.toString, "partitionKey" -> "centroid")),
+        SegmentInfo(2, "centroids", Nil,
+          SegmentMetrics(cents.length.toLong, 0, cents.length.toLong, 0),
+          lineage + ("kind" -> "quantizer"))),
+      numDocs = nVec, totalTokens = 0L))
+    paths
   }
 }

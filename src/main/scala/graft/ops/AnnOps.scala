@@ -105,6 +105,46 @@ object AnnOps {
       .limit(10)
   }
 
+  /** Multi-probe LSH probe set: the query's bucket6 plus the
+    * (LshProbes - 1) Hamming-adjacent codes whose sign decision had the
+    * SMALLEST margin |plane · q| — the least-confident bits flip first
+    * (multi-probe LSH, Lv et al. VLDB '07). Computed driver-side from
+    * the same plane dots that chose the bucket; ties break on plane id
+    * (the oracle orders identically). */
+  def lshProbeCodes(qv: Array[Double]): Seq[Long] = {
+    val dots = (0 until 6).map { p =>
+      var s = 0.0
+      var d = 0
+      val n = math.min(qv.length, Dim)
+      while (d < n) { s += AnnIndex.Planes(p)(d) * qv(d); d += 1 }
+      (p, s)
+    }
+    val qb6 = dots.foldLeft(0) { case (b, (p, s)) => if (s > 0) b | (1 << p) else b }
+    val flips = dots.map { case (p, s) => (math.abs(s), p) }
+      .sortBy { case (m, p) => (m, p) }
+      .take(AnnIndex.LshProbes - 1).map(_._2)
+    qb6.toLong +: flips.map(p => (qb6 ^ (1 << p)).toLong)
+  }
+
+  /** Multi-probe bucketed ANN top-10: reads the LshProbes probed bucket6
+    * partitions (4 of 64 — partition pruning in the plan), exact cosine
+    * inside. Strictly higher recall than the single-probe q53 at 4x the
+    * per-query read — the recall/cost dial the verdict asked for. */
+  def qAnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paths = AnnIndex.ensure(spark, dir)
+    val qv = queryVec(spark, dir)
+    val probes = lshProbeCodes(qv)
+    val cand = spark.read.parquet(paths.lsh)
+      .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
+    val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
+    cand.crossJoin(broadcast(qvDf))
+      .select(col("vec_id"),
+        r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** IVF assignment inventory — reads the materialized inverted lists;
     * the oracle recomputes argmin-to-seed-centroids from raw embeddings. */
   def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame = {
@@ -146,10 +186,10 @@ object AnnOps {
     (0 until Dim).map(d => AnnIndex.planeWeight(p, d).toString)
       .mkString("[", ", ", "]::DOUBLE[]")
 
-  /** Sequential-fold dot product of the embedding with plane p (bit-exact
-    * vs the Scala while-loop: same operands, same order). */
-  private def planeDot(p: Int): String =
-    s"list_reduce(list_transform(list_zip(e, ${planeList(p)}), z -> z[1] * z[2]), (a, b) -> a + b)"
+  /** Sequential-fold dot product of vector column `v` with plane p
+    * (bit-exact vs the Scala while-loop: same operands, same order). */
+  private def planeDot(p: Int, v: String = "e"): String =
+    s"list_reduce(list_transform(list_zip($v, ${planeList(p)}), z -> z[1] * z[2]), (a, b) -> a + b)"
 
   private def bucketExpr(planes: Int): String =
     (0 until planes).map(p =>
@@ -182,6 +222,19 @@ object AnnOps {
          |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0)
          |SELECT vec_id, ${r6Sql(cosineSql("b.e", "q.qe"))} AS cos
          |FROM b, q WHERE b.b6 = q.qb6
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q56_ann_lsh_multiprobe" ->
+      s"""WITH $eCte,
+         |b AS (SELECT vec_id, e, ${bucketExpr(6)} AS b6 FROM e),
+         |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0),
+         |margins AS (${(0 until 6).map(p =>
+              s"SELECT $p AS p, abs(${planeDot(p, "qe")}) AS m FROM q")
+              .mkString(" UNION ALL ")}),
+         |flips AS (SELECT p FROM margins ORDER BY m, p LIMIT ${AnnIndex.LshProbes - 1}),
+         |probes AS (SELECT qb6 AS code FROM q
+         |           UNION ALL SELECT xor(qb6, (1::BIGINT << p)) AS code FROM flips, q)
+         |SELECT vec_id, ${r6Sql(cosineSql("b.e", "q.qe"))} AS cos
+         |FROM b, q WHERE b.b6 IN (SELECT code FROM probes)
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q54_ann_ivf_assign" ->
       s"""WITH $eCte, $assignCtes

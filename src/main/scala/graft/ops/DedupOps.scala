@@ -31,6 +31,15 @@ object DedupOps {
     * REPORTED by qNgramCapMetrics (q47), not silently truncated. */
   val DfCap = 50
 
+  /** LSH band buckets holding more than this many docs are dropped from
+    * candidate-pair generation: pairs within a bucket are O(|bucket|²),
+    * and a real corpus's boilerplate cluster (N identical docs → one
+    * shared signature) would otherwise go quadratic in the self-join.
+    * True duplicates are the exact-dedup path's job (q40); the dropped
+    * volume is REPORTED by qBandCapMetrics (q49) — the same
+    * cap-as-output treatment the shingle path gets from q47. */
+  val BandBucketCap = 32
+
   /** Word 3-gram shingle strings, built in one O(n) pass (element_at is
     * O(1); building via slice/concat was O(n^2) per doc — measured). */
   def shingleStrs(text: Column): Column = {
@@ -99,14 +108,36 @@ object DedupOps {
     bandsDF(spark, dir).orderBy("doc_id", "band")
 
   /** Distinct candidate pairs (a < b) sharing any LSH band bucket — the
-    * single recall stage every near-dup verifier builds on. */
+    * single recall stage every near-dup verifier builds on. Buckets
+    * above BandBucketCap are excluded BEFORE the self-join (a per-bucket
+    * count pre-pass), so a degenerate hot bucket can never go quadratic;
+    * the excluded volume is a first-class metric (qBandCapMetrics). */
   def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandsDF(spark, dir)
-    bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
-      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b")),
+    val okBuckets = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= BandBucketCap)
+      .select("band", "bucket")
+    val capped = bands.join(okBuckets, Seq("band", "bucket"))
+    capped.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("b")),
         Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** The band-bucket cap surfaced as an oracled metric (q49): how many
+    * (doc, band) rows sit in over-cap buckets — coverage truncation as
+    * output, not a comment (the q47 pattern for the LSH path). */
+  def qBandCapMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsDF(spark, dir)
+    val bsz = bands.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+    val total = bands.agg(count(lit(1)).as("n_band_rows"))
+    val hot = bsz.where(col("bsz") > BandBucketCap)
+      .agg(coalesce(sum("bsz"), lit(0L)).as("n_dropped_rows"),
+        count(lit(1)).as("n_hot_buckets"))
+    val nb = bsz.agg(count(lit(1)).as("n_buckets"))
+    total.crossJoin(hot).crossJoin(nb)
   }
 
   /** Candidate pairs from LSH buckets with verified MinHash similarity. */
@@ -267,6 +298,17 @@ object DedupOps {
   private val dsCte =
     s"""ds AS (SELECT DISTINCT doc_id, ${PortableHash.duckHex60("s")} AS sh
        |  FROM (SELECT doc_id, unnest(shs) AS s FROM shs))""".stripMargin
+  private val bszCte =
+    "bsz AS (SELECT band, bucket, count(*) AS bsz FROM bands GROUP BY 1, 2)"
+  /** Candidate pairs with the BandBucketCap applied — the exact SQL twin
+    * of bandCandidates (over-cap buckets excluded before the self-join). */
+  private val candCte =
+    s"""cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |          AND x.doc_id < y.doc_id
+       |         JOIN bsz ON bsz.band = x.band AND bsz.bucket = x.bucket
+       |         WHERE bsz.bsz <= $BandBucketCap)""".stripMargin
 
   /** DuckDB equivalents for every dedup query — same md5-derived hashes,
     * same arithmetic, exact match expected. */
@@ -302,11 +344,8 @@ object DedupOps {
          |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
          |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
     "q46_minhash_pairs" ->
-      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bucket = y.bucket
-         |          AND x.doc_id < y.doc_id),
+      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte, $bszCte,
+         |$candCte,
          |est AS (SELECT c.a, c.b,
          |          len(list_filter(range($NumHashes),
          |            i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $NumHashes AS ej
@@ -321,12 +360,16 @@ object DedupOps {
          |       (SELECT count(*) FROM ds JOIN dfs USING (sh)
          |        WHERE df > $DfCap) AS n_dropped,
          |       (SELECT count(*) FROM dfs) AS n_distinct_shingles""".stripMargin,
+    "q49_band_cap_metrics" ->
+      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte, $bszCte
+         |SELECT (SELECT count(*) FROM bands) AS n_band_rows,
+         |       (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM bsz
+         |        WHERE bsz > $BandBucketCap) AS n_dropped_rows,
+         |       (SELECT count(*) FROM bsz WHERE bsz > $BandBucketCap) AS n_hot_buckets,
+         |       (SELECT count(*) FROM bsz) AS n_buckets""".stripMargin,
     "q48_embed_neardup" ->
-      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bucket = y.bucket
-         |          AND x.doc_id < y.doc_id),
+      s"""WITH $docsCte, $shsCte, $keysCte, $sigsCte, $bandsCte, $bszCte,
+         |$candCte,
          |$hsCte,
          |v AS (SELECT doc_id, list_transform(range(${graft.functions.HashEmbedHelper.Dim}),
          |        d -> len(list_filter(hs, h -> h % ${graft.functions.HashEmbedHelper.Dim} = d))::DOUBLE) AS v
