@@ -1,18 +1,24 @@
 package graft
 
 import graft.functions.{CodeTokenize, MinHashSig}
-import graft.plans.MatchStrategy
+import graft.plans.{MatchStrategy, MatchTvf}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session wiring for the engine's Catalyst extensions:
   *   spark.sql.extensions=graft.GraftExtensions
-  * injects the MatchTopK planner strategy and the native expressions
-  * (code_tokenize, minhash_sig) into every session. */
+  * injects the MatchTopK planner strategy, the match_topk(...) SQL
+  * table-valued function, and the native expressions (code_tokenize,
+  * minhash_sig) into every session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => MatchStrategy)
+    e.injectTableFunction((
+      FunctionIdentifier("match_topk"),
+      new ExpressionInfo(MatchTvf.getClass.getName, null, "match_topk",
+        MatchTvf.usage, ""),
+      (exprs: Seq[Expression]) => MatchTvf.build(exprs)))
     e.injectFunction((
       FunctionIdentifier("code_tokenize"),
       new ExpressionInfo(classOf[CodeTokenize].getName, null, "code_tokenize",

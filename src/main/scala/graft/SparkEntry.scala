@@ -211,10 +211,14 @@ object SparkEntry {
     "q25_sentiment_agg" -> SentimentOps.sentimentAggOracle,
     "q27_clean_sentiment" -> SentimentOps.cleanSentimentOracle,
     "q26_link_merge" ->
-      """SELECT user_id,
-        | round(list_reduce(list(value ORDER BY ts, event_id),
-        |   (a, x) -> (a + x) / 2.0), 4) AS merged
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS lfull,
+         |           count(*) AS n_events_total FROM events GROUP BY user_id),
+         |w AS (SELECT user_id, n_events_total,
+         |        list_slice(lfull, greatest(1, len(lfull) - ${SentimentOps.MergeWindow - 1}),
+         |          len(lfull)) AS l FROM g)
+         |SELECT user_id, round(list_reduce(l, (a, x) -> (a + x) / 2.0), 4) AS merged,
+         |       CAST(len(l) AS BIGINT) AS n_events_used, n_events_total
+         |FROM w ORDER BY user_id""".stripMargin,
     "q30_quality" ->
       s"""SELECT doc_id, length(text) AS n_chars2, len(toks) AS n_tokens,
          | round(CAST(len(list_filter(toks, w -> w IN $stops)) AS DOUBLE) / len(toks), 4) AS stop_ratio,

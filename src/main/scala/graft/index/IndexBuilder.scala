@@ -157,10 +157,35 @@ object IndexBuilder {
       s"index at $root was created with numShards=${prev.numShards}")
 
     // idempotence for streaming re-delivery (W5): a batchId whose docs are
-    // already in a committed segment is a no-op re-run. Consults the full
-    // batch lineage ("batches"), which compaction is required to propagate
-    // — a micro-batch re-delivered after a merge must stay a no-op.
-    if (batch > 0 && prev.segments.exists(s => IcebergLite.batchesOf(s).contains(batch)))
+    // already in a committed segment is a no-op re-run. Checked against
+    // the RAW stream id first ("origBatches" — survives rebase), then the
+    // effective id ("batches", which compaction propagates) — a
+    // micro-batch re-delivered after a merge OR a compact-and-rebase must
+    // stay a no-op.
+    if (batch > 0 && prev.segments.exists(s =>
+        IcebergLite.origBatchesOf(s).contains(batch.toLong)))
+      return BuildReport(prev, None, Nil, 0L)
+    // effective batch id: raw stream id minus the manifest's batchBase
+    // (0 until the first SegmentMerge.rebase). The docId budget check in
+    // docIdFor applies to the EFFECTIVE id — rebase resets the headroom
+    // without the stream resetting its own counter.
+    val effBatch =
+      if (batch == 0) 0
+      else {
+        val eff = batch.toLong - prev.batchBase
+        require(eff > 0, s"ingest batch $batch predates the index's batch " +
+          s"base ${prev.batchBase} and is not in any committed segment's " +
+          "lineage — refusing to assign it a recycled effective id")
+        // fail FAST on the docId budget, driver-side before any job runs
+        // (docIdFor re-checks per row; see its scaladoc for the policy)
+        require(eff < (1L << BatchBits),
+          s"ingest batch $batch maps to effective id $eff, exceeding the " +
+            s"${1 << BatchBits}-batch docId budget; run " +
+            "SegmentMerge.rebase to compact and reset the batch base")
+        eff.toInt
+      }
+    if (effBatch > 0 && prev.segments.exists(s =>
+        IcebergLite.batchesOf(s).contains(effBatch)))
       return BuildReport(prev, None, Nil, 0L)
 
     val done: Set[Int] =
@@ -185,7 +210,7 @@ object IndexBuilder {
       val shard = TaskContext.getPartitionId()
       var idx = 0L
       it.map { d =>
-        val id = docIdFor(batch, shard, idx)
+        val id = docIdFor(effBatch, shard, idx)
         idx += 1
         val (tfm, dl) = CodeAnalyzer.termFreqs(d.content)
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
@@ -198,7 +223,7 @@ object IndexBuilder {
     // compaction shrinks the count, so a count-derived name could collide
     // with (and mode=overwrite would clobber) a dir an older manifest
     // still references — breaking snapshot isolation on resume-after-merge.
-    val segName = s"seg-$batch-${prev.version}"
+    val segName = s"seg-$effBatch-${prev.version}"
     val segRoot = s"$root/$segName"
 
     // 2b. materialize the analysis once, then run the two independent
@@ -258,8 +283,9 @@ object IndexBuilder {
       segId = prev.version, name = segName, shards = todo,
       metrics = SegmentMetrics(docCount, termRows, postingCount, byteCount),
       lineage = Map(
-        "batch" -> batch.toString,
-        "batches" -> batch.toString,
+        "batch" -> effBatch.toString,
+        "batches" -> effBatch.toString,
+        "origBatches" -> batch.toString, // raw stream id, survives rebase
         "inputShards" -> todo.mkString(","),
         "source" -> "corpus(repo,path,commit,lang,content)") ++
         (if (batch == 0) Map("batch0Shards" -> todo.mkString(",")) else Map.empty))
@@ -273,7 +299,7 @@ object IndexBuilder {
     // until the next compaction re-materializes it.
     val manifest = Manifest(prev.version + 1, numShards,
       prev.segments :+ seg, prev.numDocs + docCount, prev.totalTokens + tokCount,
-      dict = None)
+      dict = None, batchBase = prev.batchBase)
 
     // 7. atomic snapshot commit — the commit IS the per-pass checkpoint
     tbl.commit(manifest)

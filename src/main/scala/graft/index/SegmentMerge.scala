@@ -63,22 +63,71 @@ object SegmentMerge {
     m
   }
 
+  /** Compact-and-rebase: fully compact the index AND remap the effective
+    * ingest-batch ids baked into the docId top bits down to dense
+    * 0..k-1, advancing the manifest's batchBase so the stream's
+    * ever-growing raw ids keep mapping onto small effective ids — the
+    * remedy for a stream that outlives the ${IndexBuilder.BatchBits}-bit
+    * docId batch budget (IndexBuilder.docIdFor fails loudly at 2048
+    * effective batches; this job resets that headroom).
+    *
+    * The remap e_i -> i is strictly increasing on the batch bits and
+    * identity on the low bits, so docIds stay ascending everywhere —
+    * posting sub-lists re-encode without re-sorting, and query-time
+    * score/tie semantics within the index are preserved (scores do not
+    * depend on docId values; ordering is preserved by monotonicity).
+    * Re-delivery of an old RAW batch id stays a no-op afterwards via the
+    * origBatches lineage. Single atomic snapshot commit. */
+  def rebase(spark: SparkSession, root: String): Manifest = {
+    val tbl = new IcebergLite(root)
+    val prev = tbl.currentManifest()
+      .getOrElse(throw new IllegalStateException(s"nothing to rebase at $root"))
+    val effIds = prev.segments.flatMap(IcebergLite.batchesOf).distinct.sorted
+    if (effIds.isEmpty) return prev
+    val remap = effIds.zipWithIndex.toMap
+    // continuity: a future raw id B mapped to B - newBase lands directly
+    // after the rebased ids (the next raw id the stream can deliver is
+    // > base + max(eff), which maps to >= k)
+    val newBase = prev.batchBase + (effIds.max.toLong + 1L - effIds.size)
+    mergeSegments(spark, root, prev, prev.segments,
+      rebase = Some((remap, newBase)))
+  }
+
   /** Merge a subset of `prev`'s segments into one new segment; untouched
     * segments carry over. The global dict is materialized only when the
     * result is fully compacted (one segment) — a partial tier would need
     * an extra pass over the KEPT segments' postings to stay global, so
-    * partial snapshots derive dfs at query time instead. */
+    * partial snapshots derive dfs at query time instead. With `rebase`
+    * set (full compaction only), docIds' batch bits are remapped through
+    * the given (effId -> denseId) map and the manifest's batchBase moves
+    * to the given value. */
   private def mergeSegments(spark: SparkSession, root: String, prev: Manifest,
-                            toMerge: Seq[SegmentInfo]): Manifest = {
+                            toMerge: Seq[SegmentInfo],
+                            rebase: Option[(Map[Int, Int], Long)] = None): Manifest = {
     import spark.implicits._
     val tbl = new IcebergLite(root)
-    if (toMerge.size <= 1) return prev
+    if (toMerge.size <= 1 && rebase.isEmpty) return prev
+    require(rebase.isEmpty || toMerge.size == prev.segments.size,
+      "rebase requires a full compaction")
     val kept = prev.segments.filterNot(s => toMerge.exists(_.name == s.name))
 
     val postingPaths = toMerge.map(s => s"$root/${s.name}/postings")
     val docmetaPaths = toMerge.map(s => s"$root/${s.name}/docmeta")
     val segName = s"seg-merged-${prev.version}"
     val segRoot = s"$root/$segName"
+
+    // monotone docId remap (identity unless rebasing): strictly
+    // increasing in the batch bits, identity on shard|idx — preserves
+    // ascending docId order inside every posting sub-list.
+    val batchRemap: Map[Int, Int] = rebase.map(_._1).getOrElse(Map.empty)
+    val lowMask = (1L << (IndexBuilder.IdxBits + IndexBuilder.ShardBits)) - 1L
+    def remapDocId(id: Long): Long =
+      if (batchRemap.isEmpty) id
+      else {
+        val b = (id >>> (IndexBuilder.IdxBits + IndexBuilder.ShardBits)).toInt
+        (batchRemap(b).toLong << (IndexBuilder.IdxBits + IndexBuilder.ShardBits)) |
+          (id & lowMask)
+      }
 
     spark.read.parquet(postingPaths: _*).as[PostingRow]
       .repartition(spark.sessionState.conf.numShufflePartitions,
@@ -96,7 +145,7 @@ object SegmentMerge {
             val subs = mutable.ArrayBuffer.empty[PostingRow]
             while (in.hasNext && in.head.shard == head.shard &&
                    in.head.term == head.term) subs += in.next()
-            // decode in firstDoc order, concatenate, re-block
+            // decode in firstDoc order, concatenate, remap, re-block
             val docs = mutable.ArrayBuilder.make[Long]
             val tfs = mutable.ArrayBuilder.make[Int]
             val dls = mutable.ArrayBuilder.make[Int]
@@ -105,7 +154,7 @@ object SegmentMerge {
               val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
                 .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
               val (d, t, l) = Codec.decodeAll(enc)
-              docs ++= d; tfs ++= t; dls ++= l; df += r.df
+              docs ++= d.map(remapDocId); tfs ++= t; dls ++= l; df += r.df
             }
             val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
             PostingRow(head.shard, head.term, df,
@@ -118,8 +167,18 @@ object SegmentMerge {
       .option("parquet.block.size", (4 * 1024 * 1024).toString)
       .parquet(s"$segRoot/postings")
 
-    spark.read.parquet(docmetaPaths: _*)
-      .write.mode("overwrite").parquet(s"$segRoot/docmeta")
+    val dm = spark.read.parquet(docmetaPaths: _*)
+    val dmOut =
+      if (batchRemap.isEmpty) dm
+      else {
+        val remapCol = typedLit(batchRemap.map { case (k, v) => (k, v.toLong) })
+        val shiftBits = IndexBuilder.IdxBits + IndexBuilder.ShardBits
+        dm.withColumn("docId",
+          shiftLeft(element_at(remapCol,
+            shiftRightUnsigned(col("docId"), shiftBits).cast("int")), shiftBits)
+            .bitwiseOR(col("docId").bitwiseAND(lit(lowMask))))
+      }
+    dmOut.write.mode("overwrite").parquet(s"$segRoot/docmeta")
 
     val pst = spark.read.parquet(s"$segRoot/postings")
     val mrow = pst.agg(count(lit(1)), sum("df"), sum("bytes")).head()
@@ -140,18 +199,23 @@ object SegmentMerge {
       } else None
 
     // Lineage: the merged segment must carry the UNION of its inputs'
-    // ingest-batch ids (IndexBuilder's streaming idempotence guard checks
-    // them — a micro-batch re-delivered after compaction stays a no-op)
-    // and their bulk-build shard coverage (drives bulk resume).
-    val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct.sorted
+    // ingest-batch ids — effective ids remapped when rebasing ("batches",
+    // checked by the idempotence guard against effective ids) AND the raw
+    // stream ids ("origBatches", unchanged by rebase, checked first) —
+    // plus the bulk-build shard coverage (drives bulk resume).
+    val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct
+      .map(b => batchRemap.getOrElse(b, b)).sorted
+    val origBatches = toMerge.flatMap(IcebergLite.origBatchesOf).distinct.sorted
     val b0Shards = toMerge.flatMap(IcebergLite.batch0Shards).distinct.sorted
     val seg = SegmentInfo(prev.version, segName,
       toMerge.flatMap(_.shards).distinct.sorted, metrics,
       Map("mergedFrom" -> toMerge.map(_.name).mkString(","),
         "batches" -> batches.mkString(","),
+        "origBatches" -> origBatches.mkString(","),
         "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
-      prev.numDocs, prev.totalTokens, dict = dict)
+      prev.numDocs, prev.totalTokens, dict = dict,
+      batchBase = rebase.map(_._2).getOrElse(prev.batchBase))
 
     tbl.commit(manifest)
     manifest

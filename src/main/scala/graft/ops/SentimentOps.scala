@@ -106,24 +106,46 @@ object SentimentOps {
       .orderBy("doc_id")
   }
 
+  /** Per-key state bound for qLinkMerge: only the most recent MergeWindow
+    * events per key are collected (a window-rank filter BEFORE the
+    * groupBy, so executor state is bounded even for a degenerate hot
+    * key). The running (acc+x)/2 fold halves older contributions
+    * exponentially — an event 256 steps back weighs 2^-256, far below
+    * double precision — so the window is semantically lossless at any
+    * realistic precision; the cap is still REPORTED per key
+    * (n_events_used / n_events_total), never silent. */
+  val MergeWindow = 256
+
   /** U6 link-sentiment merge: the reference folds per-link scores with a
     * running pairwise average acc=(acc+x)/2 — order-dependent, so the
     * fold runs over the (ts, event_id)-sorted value list exactly
-    * (/root/reference/sentiment.py:201-222). Pure higher-order exprs. */
-  def qLinkMerge(spark: SparkSession, dir: String): DataFrame =
+    * (/root/reference/sentiment.py:201-222). Pure higher-order exprs,
+    * bounded per-key state (MergeWindow). */
+  def qLinkMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id")
+    val recency = byKey.orderBy(desc("ts"), desc("event_id"))
     t(spark, dir, "events")
+      .withColumn("rn", row_number().over(recency))
+      .withColumn("n_events_total", count(lit(1)).over(byKey))
+      .where(col("rn") <= MergeWindow)
       .groupBy("user_id")
-      .agg(expr(
-        "sort_array(collect_list(named_struct('ts', ts, 'event_id', event_id, 'value', value)))")
-        .as("ordered"))
+      .agg(
+        expr(
+          "sort_array(collect_list(named_struct('ts', ts, 'event_id', event_id, 'value', value)))")
+          .as("ordered"),
+        count(lit(1)).as("n_events_used"),
+        max("n_events_total").as("n_events_total"))
       .select(col("user_id"),
         round(expr(
           "aggregate(transform(ordered, o -> o.value), " +
           "named_struct('started', false, 'acc', cast(0.0 as double)), " +
           "(s, x) -> named_struct('started', true, " +
           "'acc', IF(s.started, (s.acc + x) / 2.0, x)), " +
-          "s -> s.acc)"), 4).as("merged"))
+          "s -> s.acc)"), 4).as("merged"),
+        col("n_events_used"), col("n_events_total"))
       .orderBy("user_id")
+  }
 
   /** Dashboard rollup: terms agg over sentiment + avg/median polarity
     * (export.json:49,63 shape). */

@@ -107,3 +107,48 @@ object MatchStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/**
+ * SQL surface for the search operator: a TABLE-VALUED FUNCTION
+ *   SELECT * FROM match_topk('<indexRoot>', '<query>', k [, boolMode])
+ * registered in the session's table-function registry (the same registry
+ * `range(...)` lives in), building the MatchTopK logical plan (planned by
+ * MatchStrategy) — the ES `/index/_search` shape reachable from plain
+ * `spark.sql(...)` once the session is built with
+ * spark.sql.extensions=graft.GraftExtensions. The TVF composes like any
+ * relation (joins, filters, CTEs). */
+object MatchTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  val usage = "match_topk(indexRoot, query, k[, boolMode]) - BM25 top-k " +
+    "search over a committed index as a relation " +
+    "(docId, score, repo, path, commit, lang, sha256)"
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"match_topk: $what must be a string literal, got $e")
+  }
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"match_topk: $what must be an integer literal, got $e")
+  }
+  private def boolArg(e: Expression): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case _ => throw new IllegalArgumentException(
+      s"match_topk: boolMode must be a boolean literal, got $e")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3 || args.size == 4,
+      "match_topk(indexRoot, query, k[, boolMode]) takes 3 or 4 arguments")
+    MatchTopK(
+      indexRoot = strArg(args(0), "indexRoot"),
+      query = strArg(args(1), "query"),
+      k = intArg(args(2), "k"),
+      boolMode = args.lift(3).exists(boolArg))
+  }
+}

@@ -22,7 +22,8 @@ final case class SegmentInfo(segId: Int, name: String, shards: Seq[Int],
 
 final case class Manifest(version: Int, numShards: Int, segments: Seq[SegmentInfo],
                           numDocs: Long, totalTokens: Long,
-                          dict: Option[String] = None) {
+                          dict: Option[String] = None,
+                          batchBase: Long = 0L) {
   def avgdl: Double = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs
 }
 
@@ -94,7 +95,9 @@ final class IcebergLite(val root: String) {
       }.toSeq,
       numDocs = n.get("numDocs").asLong(),
       totalTokens = n.get("totalTokens").asLong(),
-      dict = Option(n.get("dict")).filterNot(_.isNull).map(_.asText()))
+      dict = Option(n.get("dict")).filterNot(_.isNull).map(_.asText()),
+      batchBase = Option(n.get("batchBase")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L))
   }
 
   /** Atomic snapshot commit: manifest file then rename-over pointer. */
@@ -104,6 +107,7 @@ final class IcebergLite(val root: String) {
     val base: Map[String, Any] = Map(
       "version" -> m.version, "numShards" -> m.numShards,
       "numDocs" -> m.numDocs, "totalTokens" -> m.totalTokens,
+      "batchBase" -> m.batchBase,
       "segments" -> m.segments.map(s => Map(
         "segId" -> s.segId, "name" -> s.name, "shards" -> s.shards,
         "metrics" -> Map("docs" -> s.metrics.docs, "terms" -> s.metrics.terms,
@@ -181,11 +185,24 @@ final class IcebergLite(val root: String) {
 }
 
 object IcebergLite {
-  /** Ingest batch ids whose documents a segment contains ("batches" after
-    * a merge; "batch" on freshly built segments). */
+  /** EFFECTIVE ingest batch ids (raw stream id minus the manifest's
+    * batchBase) whose documents a segment contains ("batches" after a
+    * merge; "batch" on freshly built segments). These are the ids baked
+    * into the segment's docIds. */
   def batchesOf(s: SegmentInfo): Set[Int] =
     s.lineage.get("batches").orElse(s.lineage.get("batch")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty).map(_.trim.toInt).toSet
+
+  /** RAW stream batch ids ever ingested into a segment — unchanged by a
+    * rebase, so a micro-batch re-delivered after compact-and-rebase is
+    * still recognized as a no-op. Falls back to the effective ids for
+    * segments written before this lineage key existed (those predate any
+    * rebase, where raw == effective). */
+  def origBatchesOf(s: SegmentInfo): Set[Long] =
+    s.lineage.get("origBatches") match {
+      case Some(v) => v.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet
+      case None => batchesOf(s).map(_.toLong)
+    }
 
   /** Bulk-build (batch 0) input shards covered by a segment. */
   def batch0Shards(s: SegmentInfo): Set[Int] =

@@ -345,6 +345,66 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ids.distinct.length === ids.length, "duplicate docIds after re-delivery")
   }
 
+  test("compact-and-rebase resets the batch-id headroom without changing results") {
+    val root8 = s"$work/index-rebase"
+    import spark.implicits._
+    // bulk batch 0, then late-life raw stream ids near the 2048 budget
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, 300L, 42L, 4), root8, 4)
+    Seq(2045 -> (300L, 340L), 2046 -> (340L, 380L), 2047 -> (380L, 420L))
+      .foreach { case (b, (lo, hi)) =>
+        val ds = spark.range(lo, hi).map(i => CorpusGen.doc(42L, i))
+        IndexBuilder.build(spark, ds, root8, 4, batch = b)
+      }
+    // the NEXT raw id would overflow the effective docId budget
+    intercept[IllegalArgumentException] {
+      val ds = spark.range(420L, 430L).map(i => CorpusGen.doc(42L, i))
+      IndexBuilder.build(spark, ds, root8, 4, batch = 2048)
+    }
+    val eng0 = new QueryEngine(spark, root8)
+    val before = refQueries.take(5).map(q =>
+      eng0.search(q, 10).select("path", "score", "sha256").collect().toSeq)
+
+    val m = SegmentMerge.rebase(spark, root8)
+    // effective ids {0, 2045, 2046, 2047} -> {0, 1, 2, 3}; base moves so
+    // the next raw id (2048) maps to effective 4
+    assert(m.batchBase === 2044L)
+    assert(m.segments.size === 1)
+    assert(IcebergLite.batchesOf(m.segments.head) === Set(0, 1, 2, 3))
+    assert(IcebergLite.origBatchesOf(m.segments.head) ===
+      Set(0L, 2045L, 2046L, 2047L))
+    assert(m.numDocs === 420L)
+
+    // identical query results through the rebased index (path/score/sha —
+    // docIds are remapped by design)
+    val eng1 = new QueryEngine(spark, root8)
+    refQueries.take(5).zip(before).foreach { case (q, b) =>
+      assert(eng1.search(q, 10).select("path", "score", "sha256")
+        .collect().toSeq === b, s"query '$q' changed across rebase")
+    }
+    // docmeta ids were remapped consistently: still unique, batch bits dense
+    val ids = eng1.docmeta.select("docId").collect().map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    val shift = IndexBuilder.IdxBits + IndexBuilder.ShardBits
+    assert(ids.map(id => (id >>> shift).toInt).toSet === Set(0, 1, 2, 3))
+
+    // fresh headroom: raw batch 2048 now ingests as effective 4
+    val ds = spark.range(420L, 460L).map(i => CorpusGen.doc(42L, i))
+    val rep = IndexBuilder.build(spark, ds, root8, 4, batch = 2048)
+    assert(rep.docs === 40L)
+    assert(rep.segment.exists(s => IcebergLite.batchesOf(s) === Set(4)))
+    assert(new QueryEngine(spark, root8).manifest.numDocs === 460L)
+
+    // re-delivery of a pre-rebase RAW id stays a no-op
+    val redeliver = spark.range(340L, 380L).map(i => CorpusGen.doc(42L, i))
+    val r2 = IndexBuilder.build(spark, redeliver, root8, 4, batch = 2046,
+      resume = false)
+    assert(r2.docs === 0L && r2.builtShards.isEmpty)
+    // and a never-committed pre-base id is rejected loudly, not recycled
+    intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, redeliver, root8, 4, batch = 1000)
+    }
+  }
+
   test("incremental ingest (batch > 0) extends the index consistently") {
     val root3 = s"$work/index-incr"
     val ds0 = CorpusGen.dataset(spark, nDocs, 42L, 6)

@@ -45,6 +45,47 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows.length <= eng.booleanTopK("def return, val match", 10).size)
   }
 
+  test("SQL surface: SELECT ... FROM match_topk(...) resolves via GraftExtensions") {
+    root // build the index on the shared session first
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // a NEW session over the same SparkContext, built with the
+      // production extension class (spark-submit wires the same class via
+      // --conf spark.sql.extensions=graft.GraftExtensions; that static
+      // conf is only read at SparkContext creation, so the in-JVM test
+      // attaches it through the builder API instead)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val q = "buildPostingList mergeSortedRuns"
+      val rows = s2.sql(
+        s"SELECT path, score FROM match_topk('$root', '$q', 10)").collect()
+      assert(rows.length === 10)
+      val exp = new QueryEngine(s2, root).topK(q, 10).map(_.score)
+      assert(rows.map(_.getDouble(1)).toSeq === exp)
+      // composes like any relation: WHERE over the TVF output
+      val n = s2.sql(
+        s"""SELECT count(*) AS n FROM match_topk('$root', 'computeHashValue', 5)
+           |WHERE lang = 'scala'""".stripMargin).collect().head.getLong(0)
+      assert(n <= 5)
+      // boolean mode via the optional 4th argument
+      val b = s2.sql(
+        s"SELECT * FROM match_topk('$root', 'def return, val match', 10, true)")
+        .collect()
+      assert(b.nonEmpty)
+      // malformed arguments fail loudly at analysis, not at runtime
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM match_topk('$root', 7, 10)").collect()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftExtensions applies cleanly; registered functions work via SQL") {
     // builder-time injection can't be exercised on the shared test context
     // (getOrCreate would return it); verify the extension wiring applies
