@@ -51,6 +51,7 @@ object SparkEntry {
     "q25_sentiment_agg" -> (SentimentOps.qSentimentAgg _),
     "q26_link_merge" -> (SentimentOps.qLinkMerge _),
     "q27_clean_sentiment" -> (SentimentOps.qCleanSentiment _),
+    "q28_vader_rules" -> (SentimentOps.qVaderRules _),
     // text analysis for training-data pipelines
     "q30_quality" -> (TextOps.qQuality _),
     "q31_langid" -> (TextOps.qLangId _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "q24_sentiment_docs" -> SentimentOps.sentimentDocsOracle,
     "q25_sentiment_agg" -> SentimentOps.sentimentAggOracle,
     "q27_clean_sentiment" -> SentimentOps.cleanSentimentOracle,
+    "q28_vader_rules" -> SentimentOps.vaderRulesOracle,
     "q26_link_merge" ->
       s"""WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS lfull,
          |           count(*) AS n_events_total FROM events GROUP BY user_id),

@@ -8,19 +8,29 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** The U1/U2 lexicon scorers as ONE native pass over the token array,
-  * returning struct(tb, x): tb = TextBlob-shape mean of matched
-  * valences/4 (negation window scales by -0.5); x = VADER-style valence
-  * sum (negation scales by -0.74) BEFORE compound normalization (the
-  * x/sqrt(x^2+15) step stays a visible column expression).
+/** The U1/U2 lexicon scorers as ONE native pass over the RAW (original-
+  * case) token array, returning struct(tb, x):
+  *
+  *   tb = TextBlob-shape mean of matched base valences/4 (simple 3-token
+  *        negation window scaling by -0.5 — the documented TextBlob-style
+  *        simplification);
+  *   x  = the full published VADER valence sum BEFORE compound
+  *        normalization: token strip (leading/trailing punctuation),
+  *        ALL-CAPS emphasis on cap-differential texts, degree modifiers
+  *        with 0.95/0.9 distance damping and the lexicon-word skip, the
+  *        negation decision tree (N_SCALAR, never-so/this, without-doubt,
+  *        n't suffix), the least check, the but-clause re-weighting, and
+  *        exclamation/question amplification. The x/sqrt(x²+15) compound
+  *        step (with its [-1,1] clamp) stays a visible column expression.
   *
   * Exists because the pure column formulation (per-index element_at over
   * a projected token array, a lookback window per index) re-evaluates the
   * tokenize subtree inside every lambda use (CollapseProject inlining) —
   * O(n^3) char work per document, measured 9.9 s for 500 docs at bench.
-  * This loop is the same math in O(n * window): ~20 ms for the same 500.
-  * Fold order (ascending token index, left fold, 0.0 init) and the
-  * 3-token negation window match the DuckDB oracle exactly.
+  * Every branch and every fp operation runs in a FROZEN order mirrored
+  * exactly by the generated DuckDB oracle (SentimentOps.scoredSql):
+  * stage order base+caps -> (boost, never)×3 distances -> least -> but ->
+  * ordered sum -> punctuation.
   */
 object SentimentHelper {
   import graft.ops.Lexicon
@@ -30,37 +40,174 @@ object SentimentHelper {
     Lexicon.Entries.foreach { case (w, v) => m.put(w, v) }
     m
   }
+  private val boosters: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    Lexicon.Boosters.foreach { case (w, v) => m.put(w, v) }
+    m
+  }
   private val negators: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Lexicon.Negators.foreach(s.add)
     s
   }
+  private val punct: java.util.HashSet[Character] = {
+    val s = new java.util.HashSet[Character]()
+    Lexicon.PunctChars.foreach(c => s.add(c))
+    s
+  }
 
-  /** (tb, x) for a token array. */
+  /** _strip_punc_if_word: strip leading/trailing punctuation, keep the
+    * original token when at most one char would remain. */
+  def strip(w: String): String = {
+    var a = 0
+    var b = w.length
+    while (a < b && punct.contains(w.charAt(a))) a += 1
+    while (b > a && punct.contains(w.charAt(b - 1))) b -= 1
+    val t = w.substring(a, b)
+    if (t.length > 1) t else w
+  }
+
+  /** str.isupper analogue matching the SQL twin:
+    * upper(s) = s AND lower(s) <> s. */
+  def isUp(s: String): Boolean = s.toUpperCase == s && s.toLowerCase != s
+
+  def negated(wl: String): Boolean =
+    negators.contains(wl) || wl.endsWith("n't")
+
+  /** (tb, x) for a raw token array. */
   def score(tokens: ArrayData): InternalRow = {
+    import Lexicon._
     val n = tokens.numElements()
     if (n == 0) return InternalRow(0.0, 0.0)
-    val toks = new Array[String](n)
+    val raw = new Array[String](n)
+    val wl = new Array[String](n)
+    val iu = new Array[Boolean](n)
+    val inLex = new Array[Boolean](n)
+    var ep = 0
+    var qm = 0
     var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      raw(i) = tokens.getUTF8String(i).toString
+      val st = strip(raw(i))
+      wl(i) = st.toLowerCase
+      iu(i) = isUp(st)
+      inLex(i) = lex.containsKey(wl(i))
+      var c = 0
+      while (c < raw(i).length) {
+        val ch = raw(i).charAt(c)
+        if (ch == '!') ep += 1 else if (ch == '?') qm += 1
+        c += 1
+      }
+      i += 1
+    }
+    var nUp = 0
+    i = 0
+    while (i < n) { if (iu(i)) nUp += 1; i += 1 }
+    val capDiff = nUp > 0 && nUp < n
+
+    // stage A: base valence + ALL-CAPS emphasis
+    val vs = new Array[Double](n)
+    val hit = inLex.clone()
+    i = 0
+    while (i < n) {
+      if (hit(i)) {
+        var v = lex.get(wl(i)).doubleValue()
+        if (iu(i) && capDiff) v = v + (if (v > 0) CapsIncr else -CapsIncr)
+        vs(i) = v
+      }
+      i += 1
+    }
+
+    // stages (boost, never)×distance + least — guard per (i, d):
+    // the token d back exists and is NOT itself a lexicon word
+    var d = 1
+    while (d <= 3) {
+      i = 0
+      while (i < n) {
+        if (hit(i) && i >= d && !inLex(i - d)) {
+          var v = vs(i)
+          // booster (degree modifier), sign-matched, caps-bumped, damped
+          val b = boosters.get(wl(i - d))
+          if (b != null) {
+            val b1 = if (v < 0) -b.doubleValue() else b.doubleValue()
+            val b2 =
+              if (iu(i - d) && capDiff) {
+                if (v > 0) b1 + CapsIncr else b1 - CapsIncr
+              } else b1
+            val s = d match {
+              case 1 => b2
+              case 2 => b2 * DampOne
+              case _ => b2 * DampTwo
+            }
+            v = v + s
+          }
+          // negation decision tree (published _never_check)
+          d match {
+            case 1 =>
+              if (negated(wl(i - 1))) v = v * VaderNegScalar
+            case 2 =>
+              if (wl(i - 2) == "never" &&
+                  (wl(i - 1) == "so" || wl(i - 1) == "this")) v = v * NeverScalar
+              else if (wl(i - 2) == "without" && wl(i - 1) == "doubt") ()
+              else if (negated(wl(i - 2))) v = v * VaderNegScalar
+            case _ =>
+              if (wl(i - 3) == "never" &&
+                  (wl(i - 2) == "so" || wl(i - 2) == "this" ||
+                   wl(i - 1) == "so" || wl(i - 1) == "this")) v = v * NeverScalar
+              else if (wl(i - 3) == "without" &&
+                       (wl(i - 2) == "doubt" || wl(i - 1) == "doubt")) ()
+              else if (negated(wl(i - 3))) v = v * VaderNegScalar
+          }
+          // least check (published: inside the distance-3 pass)
+          if (d == 3) {
+            if (i > 1 && !inLex(i - 1) && wl(i - 1) == "least") {
+              if (wl(i - 2) != "at" && wl(i - 2) != "very") v = v * VaderNegScalar
+            } else if (i == 1 && !inLex(i - 1) && wl(i - 1) == "least") {
+              v = v * VaderNegScalar
+            }
+          }
+          vs(i) = v
+        }
+        i += 1
+      }
+      d += 1
+    }
+
+    // but-clause re-weighting (first "but", case-insensitive)
+    var bi = -1
+    i = 0
+    while (i < n && bi < 0) { if (wl(i) == "but") bi = i; i += 1 }
+    if (bi >= 0) {
+      i = 0
+      while (i < n) {
+        if (hit(i)) {
+          if (i < bi) vs(i) = vs(i) * ButBefore
+          else if (i > bi) vs(i) = vs(i) * ButAfter
+        }
+        i += 1
+      }
+    }
+
+    // ordered sum, then punctuation emphasis (sign-matched)
     var x = 0.0
+    i = 0
+    while (i < n) { if (hit(i)) x += vs(i); i += 1 }
+    val pe = math.min(ep, 4) * ExclAmp +
+      (if (qm > 1) { if (qm <= 3) qm * QmAmpEach else QmAmpCap } else 0.0)
+    if (x > 0) x = x + pe else if (x < 0) x = x - pe
+
+    // TextBlob-shape mean over matched BASE valences (no caps/boosters)
     var tbSum = 0.0
     var tbCnt = 0
     i = 0
     while (i < n) {
-      val v = lex.get(toks(i))
-      if (v != null) {
-        // lookback window, evaluated only for lexicon hits (unmatched
-        // tokens contribute exactly 0.0 * factor either way — skipping
-        // both the window scan and the add is bit-identical: a + 0.0 == a
-        // for every non-(-0.0) sum here)
+      if (inLex(i)) {
         var neg = false
-        var j = math.max(0, i - Lexicon.NegWindow)
-        while (j < i && !neg) { if (negators.contains(toks(j))) neg = true; j += 1 }
-        val vd = v.doubleValue()
-        tbSum += vd / 4.0 * (if (neg) Lexicon.TbNegScalar else 1.0)
+        var j = math.max(0, i - NegWindow)
+        while (j < i && !neg) { if (negated(wl(j))) neg = true; j += 1 }
+        tbSum += lex.get(wl(i)).doubleValue() / 4.0 *
+          (if (neg) TbNegScalar else 1.0)
         tbCnt += 1
-        x += vd * (if (neg) Lexicon.VaderNegScalar else 1.0)
       }
       i += 1
     }

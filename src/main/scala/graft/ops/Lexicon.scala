@@ -1,34 +1,115 @@
 package graft.ops
 
 /**
- * Sentiment lexicon for the U1/U2 scorers (SURVEY.md §2.4).
+ * Sentiment lexicon + rule constants for the U1/U2 scorers (SURVEY.md
+ * §2.4), after VADER (Hutto & Gilbert, ICWSM 2014 — MIT licensed, rules
+ * and constants published in the paper and reference implementation).
  *
- * `Published` carries a subset of the VADER lexicon (Hutto & Gilbert,
- * ICWSM 2014 — public domain/MIT) with valences on its [-4, 4] scale, to
- * the precision recalled here; the full ~7.5k-entry file is not vendored
- * in this zero-egress sandbox, so this is an explicitly partial subset
- * behind a single seam (swap `entries` for the full file in production).
- * `DomainFixture` extends it with this corpus's synthetic vocabulary
- * (the driver testdata is 31 database words — a real-word-only lexicon
- * would be degenerate on it), clearly separated and documented.
+ * RULES are implemented in FULL (graft.functions.SentimentHelper +
+ * the generated DuckDB oracle, both bit-identical):
+ *   - negation decision tree over a 3-token window (N_SCALAR = -0.74,
+ *     including the n't suffix check, the never-so/never-this 1.25
+ *     booster and the without-doubt pass-through),
+ *   - the "least" damping check,
+ *   - degree modifiers (boosters/dampeners, ±0.293) with the published
+ *     0.95/0.9 distance damping and the lexicon-word skip condition,
+ *   - ALL-CAPS emphasis (±0.733 on cap-differential texts, applied to
+ *     both sentiment words and boosters),
+ *   - exclamation/question punctuation amplification (0.292 / 0.18 / 0.96),
+ *   - the but-clause re-weighting (0.5 before, 1.5 after),
+ *   - compound normalization x/sqrt(x²+15) clamped to [-1, 1].
+ * Not implemented (documented): multi-word idioms and the two-token
+ * booster phrases ("kind of", "sort of", "just enough") — token-level
+ * rules only.
  *
- * `Negators` and the damping constants are the published VADER rules we
- * implement: a valenced token preceded within 3 tokens by a negator is
- * scaled by N_SCALAR = -0.74 (VADER) / -0.5 (TextBlob-style mean path).
- * Boosters, ALL-CAPS and punctuation amplification are NOT implemented
- * (documented subset).
+ * The LEXICON is an expanded subset: the full ~7.5k-entry published file
+ * cannot be fetched in this zero-egress sandbox, so `Published` carries
+ * ~200 common entries with valences recalled to ~0.1 on the published
+ * [-4, 4] scale. Swapping in the exact vendored file is a one-line seam
+ * (replace `Published`); every downstream computation — both engines —
+ * reads only this table. `DomainFixture` extends it with this corpus's
+ * synthetic vocabulary (the driver testdata is 31 database words — a
+ * real-word-only lexicon would be degenerate on it).
  */
 object Lexicon {
 
   val Published: Seq[(String, Double)] = Seq(
-    "good" -> 1.9, "great" -> 3.1, "excellent" -> 2.7, "amazing" -> 2.8,
-    "awesome" -> 3.1, "love" -> 3.2, "like" -> 1.5, "happy" -> 2.7,
-    "best" -> 3.2, "nice" -> 1.8, "win" -> 2.8, "wow" -> 2.8,
-    "better" -> 1.9, "improved" -> 2.0, "perfect" -> 2.7, "clean" -> 1.7,
-    "bad" -> -2.5, "terrible" -> -2.1, "awful" -> -2.0, "horrible" -> -2.5,
-    "hate" -> -2.7, "worst" -> -3.1, "sad" -> -2.1, "fail" -> -2.5,
-    "failed" -> -2.3, "problem" -> -1.7, "broken" -> -2.0, "badly" -> -2.5,
-    "worse" -> -2.1, "bug" -> -1.9, "crash" -> -2.2, "wrong" -> -2.1)
+    // ---- positive ----
+    "admire" -> 2.6, "adorable" -> 2.2, "adore" -> 2.9, "advantage" -> 1.7,
+    "agree" -> 1.5, "alive" -> 1.6, "amazing" -> 2.8, "approval" -> 1.8,
+    "awesome" -> 3.1, "beautiful" -> 2.9, "beloved" -> 2.3, "benefit" -> 1.7,
+    "best" -> 3.2, "better" -> 1.9, "bless" -> 1.8, "bliss" -> 2.7,
+    "bonus" -> 1.6, "brave" -> 2.4, "bright" -> 1.9, "brilliant" -> 2.8,
+    "calm" -> 1.3, "care" -> 2.2, "celebrate" -> 2.7, "champion" -> 2.4,
+    "charm" -> 2.1, "cheer" -> 2.3, "clean" -> 1.7, "comfort" -> 1.5,
+    "confident" -> 2.2, "cool" -> 1.3, "courage" -> 2.2, "creative" -> 1.9,
+    "cute" -> 2.0, "delight" -> 2.9, "determined" -> 1.6, "devoted" -> 2.2,
+    "eager" -> 1.5, "easy" -> 1.9, "ecstatic" -> 3.1, "efficient" -> 1.8,
+    "elegant" -> 2.1, "encourage" -> 2.3, "energetic" -> 1.9, "enjoy" -> 2.2,
+    "enthusiastic" -> 2.4, "excellent" -> 2.7, "excited" -> 2.4,
+    "fabulous" -> 2.8, "fair" -> 1.6, "faith" -> 1.9, "fantastic" -> 2.6,
+    "favorite" -> 2.0, "fine" -> 0.8, "flawless" -> 2.7, "fortunate" -> 2.1,
+    "free" -> 1.8, "freedom" -> 2.3, "fresh" -> 1.3, "friend" -> 2.2,
+    "friendly" -> 2.2, "fun" -> 2.3, "generous" -> 2.3, "gentle" -> 1.7,
+    "gift" -> 1.9, "glad" -> 2.0, "glorious" -> 2.8, "good" -> 1.9,
+    "grace" -> 1.8, "grateful" -> 2.6, "great" -> 3.1, "greatest" -> 3.2,
+    "happiness" -> 2.6, "happy" -> 2.7, "heal" -> 1.9, "helpful" -> 1.9,
+    "hero" -> 2.6, "honest" -> 2.3, "honor" -> 2.4, "hope" -> 1.9,
+    "hug" -> 2.1, "ideal" -> 2.1, "impress" -> 2.1, "innovative" -> 1.8,
+    "inspire" -> 2.3, "intelligent" -> 2.4, "interesting" -> 1.7,
+    "joy" -> 2.8, "kind" -> 2.4, "laugh" -> 2.6, "like" -> 1.5,
+    "love" -> 3.2, "lovely" -> 2.8, "loyal" -> 2.2, "lucky" -> 2.4,
+    "magnificent" -> 2.9, "marvelous" -> 2.9, "masterpiece" -> 2.6,
+    "miracle" -> 2.8, "nice" -> 1.8, "optimistic" -> 2.1,
+    "outstanding" -> 3.0, "paradise" -> 2.9, "passionate" -> 2.2,
+    "peace" -> 2.5, "perfect" -> 2.7, "pleasant" -> 2.3, "pleased" -> 2.1,
+    "positive" -> 2.4, "powerful" -> 1.9, "precious" -> 2.4, "pride" -> 1.6,
+    "progress" -> 1.8, "promising" -> 2.0, "protect" -> 1.6, "proud" -> 2.1,
+    "reliable" -> 2.0, "relief" -> 2.1, "respect" -> 2.1, "reward" -> 2.2,
+    "rich" -> 2.1, "safe" -> 1.6, "satisfied" -> 2.0, "secure" -> 1.7,
+    "smart" -> 2.1, "smile" -> 2.3, "splendid" -> 2.8, "strong" -> 2.3,
+    "succeed" -> 2.4, "success" -> 2.7, "successful" -> 2.6, "superb" -> 3.1,
+    "superior" -> 2.3, "support" -> 1.7, "sweet" -> 2.1, "talent" -> 2.2,
+    "thank" -> 1.9, "thrilled" -> 2.9, "triumph" -> 2.8, "trust" -> 2.3,
+    "truth" -> 1.8, "valuable" -> 2.1, "vibrant" -> 2.2, "victory" -> 2.8,
+    "warm" -> 1.7, "wealth" -> 2.2, "welcome" -> 2.0, "win" -> 2.8,
+    "wonderful" -> 2.7, "worthy" -> 1.9, "wow" -> 2.8, "yes" -> 1.7,
+    "improved" -> 2.0,
+    // ---- negative ----
+    "abandon" -> -1.9, "abuse" -> -3.2, "afraid" -> -2.2, "angry" -> -2.3,
+    "annoy" -> -1.9, "anxious" -> -1.9, "ashamed" -> -2.1, "attack" -> -2.1,
+    "awful" -> -2.0, "awkward" -> -1.4, "bad" -> -2.5, "badly" -> -2.5,
+    "betray" -> -2.8, "bitter" -> -1.8, "blame" -> -1.9, "boring" -> -1.3,
+    "broken" -> -2.0, "brutal" -> -2.9, "bug" -> -1.9, "burden" -> -1.5,
+    "chaos" -> -1.9, "cheat" -> -2.4, "collapse" -> -1.7, "complain" -> -1.8,
+    "conflict" -> -1.7, "confused" -> -1.4, "corrupt" -> -2.6,
+    "coward" -> -2.0, "crash" -> -2.2, "crime" -> -2.5, "criticize" -> -1.6,
+    "cruel" -> -2.8, "cry" -> -2.0, "damage" -> -2.2, "danger" -> -2.4,
+    "dead" -> -3.3, "defeat" -> -1.7, "depressed" -> -2.6, "despair" -> -2.9,
+    "destroy" -> -2.6, "die" -> -2.9, "difficult" -> -1.5, "dirty" -> -1.9,
+    "disappoint" -> -2.2, "disaster" -> -3.1, "disgust" -> -2.9,
+    "dishonest" -> -2.5, "doubt" -> -1.5, "dread" -> -2.5, "dumb" -> -2.3,
+    "enemy" -> -2.5, "evil" -> -3.4, "fail" -> -2.5, "failed" -> -2.3,
+    "fake" -> -1.8, "fear" -> -2.2, "fight" -> -1.6, "filthy" -> -2.4,
+    "fool" -> -1.9, "forbid" -> -1.5, "fraud" -> -2.9, "frustrated" -> -2.2,
+    "grief" -> -2.4, "gross" -> -2.1, "guilt" -> -2.1, "harm" -> -2.5,
+    "harsh" -> -1.9, "hate" -> -2.7, "helpless" -> -2.0, "hopeless" -> -2.5,
+    "horrible" -> -2.5, "horrid" -> -2.8, "hostile" -> -2.3, "hurt" -> -2.4,
+    "ignorant" -> -1.9, "ignore" -> -1.5, "inferior" -> -1.9,
+    "insult" -> -2.3, "jealous" -> -2.0, "kill" -> -3.4, "lazy" -> -1.8,
+    "lonely" -> -2.1, "loss" -> -1.9, "mess" -> -1.5, "miserable" -> -2.8,
+    "mistake" -> -1.9, "mock" -> -1.8, "murder" -> -3.6, "nervous" -> -1.6,
+    "nightmare" -> -2.8, "pain" -> -2.3, "panic" -> -2.4, "pathetic" -> -2.4,
+    "poison" -> -2.6, "poor" -> -1.9, "problem" -> -1.7, "punish" -> -2.1,
+    "rage" -> -2.6, "reject" -> -1.9, "risk" -> -1.1, "rotten" -> -2.4,
+    "rude" -> -2.0, "ruin" -> -2.4, "sad" -> -2.1, "scam" -> -2.6,
+    "scared" -> -2.2, "selfish" -> -2.1, "shame" -> -2.1, "sorrow" -> -2.4,
+    "steal" -> -2.2, "struggle" -> -1.7, "stupid" -> -2.4, "suffer" -> -2.5,
+    "suspicious" -> -1.5, "terrible" -> -2.1, "threat" -> -2.2,
+    "tragedy" -> -3.0, "trouble" -> -1.9, "ugly" -> -2.5, "unfair" -> -2.1,
+    "unhappy" -> -2.2, "upset" -> -1.9, "useless" -> -1.9,
+    "violence" -> -3.1, "weak" -> -1.9, "worry" -> -1.9, "worst" -> -3.1,
+    "wreck" -> -2.1, "wrong" -> -2.1)
 
   /** Synthetic-corpus extension (testdata vocabulary; fixture values). */
   val DomainFixture: Seq[(String, Double)] = Seq(
@@ -39,22 +120,72 @@ object Lexicon {
   val Words: Seq[String] = Entries.map(_._1)
   val Valences: Seq[Double] = Entries.map(_._2)
 
-  /** VADER NEGATE subset (published list, lowercased). */
+  /** Published NEGATE list (single tokens; the n't suffix is handled as a
+    * rule — `negated()` on both engines also matches any token ending in
+    * "n't"). */
   val Negators: Seq[String] = Seq(
-    "not", "no", "never", "neither", "nor", "cannot", "cant", "dont",
-    "doesnt", "didnt", "isnt", "wasnt", "wont", "without")
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+    "doesnt", "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt",
+    "mustnt", "neednt", "neither", "never", "none", "nope", "nor", "not",
+    "nothing", "nowhere", "oughtnt", "shant", "shouldnt", "uhuh", "uh-uh",
+    "wasnt", "werent", "without", "wont", "wouldnt", "rarely", "seldom",
+    "despite")
 
-  /** Published VADER negation damping. */
-  val VaderNegScalar = -0.74
-  /** TextBlob/pattern-style negation factor for the mean-polarity path. */
+  /** Published degree modifiers (single-token subset of BOOSTER_DICT;
+    * the two-token phrases "kind of"/"sort of"/"just enough" are out of
+    * scope — token-level rules only). */
+  val BoostIncr = 0.293
+  val BoostDecr = -0.293
+  val Boosters: Seq[(String, Double)] =
+    Seq("absolutely", "amazingly", "awfully", "completely", "considerable",
+      "considerably", "decidedly", "deeply", "enormous", "enormously",
+      "entirely", "especially", "exceptional", "exceptionally", "extreme",
+      "extremely", "fabulously", "fully", "greatly", "hella", "highly",
+      "hugely", "incredible", "incredibly", "intensely", "major", "majorly",
+      "more", "most", "particularly", "purely", "quite", "really",
+      "remarkably", "so", "substantially", "thoroughly", "total", "totally",
+      "tremendous", "tremendously", "uber", "unbelievably", "unusually",
+      "utter", "utterly", "very").map(_ -> BoostIncr) ++
+    Seq("almost", "barely", "hardly", "kinda", "kindof", "kind-of", "less",
+      "little", "marginal", "marginally", "occasional", "occasionally",
+      "partly", "scarce", "scarcely", "slight", "slightly", "somewhat",
+      "sorta", "sortof", "sort-of").map(_ -> BoostDecr)
+
+  /** Published VADER constants. */
+  val VaderNegScalar = -0.74 // N_SCALAR
+  val NeverScalar = 1.25 // "never so/this" intensifier
+  val CapsIncr = 0.733 // C_INCR, ALL-CAPS emphasis
+  val DampOne = 0.95 // booster 2 tokens back
+  val DampTwo = 0.9 // booster 3 tokens back
+  val ExclAmp = 0.292 // per '!', capped at 4
+  val QmAmpEach = 0.18 // per '?' for 2-3 question marks
+  val QmAmpCap = 0.96 // 4+ question marks
+  val ButBefore = 0.5
+  val ButAfter = 1.5
+  /** TextBlob/pattern-style negation factor for the mean-polarity path
+    * (the TB scorer keeps its simple any-negator-in-window rule —
+    * documented TextBlob-style simplification, not a VADER rule). */
   val TbNegScalar = -0.5
-  /** How many preceding tokens a negator can reach (VADER window). */
+  /** How many preceding tokens negation/boosters can reach. */
   val NegWindow = 3
+
+  /** Python string.punctuation — tokens are stripped of leading/trailing
+    * punctuation before lookup iff more than one char remains (the
+    * published _strip_punc_if_word behavior). */
+  val PunctChars: String = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
   /** DuckDB literal map of the lexicon (same order as Entries). */
   def duckMapSql: String =
     s"map([${Words.map(w => s"'$w'").mkString(", ")}], " +
       s"[${Valences.mkString(", ")}]::DOUBLE[])"
 
+  /** DuckDB literal map of the boosters. */
+  def duckBoosterMapSql: String =
+    s"map([${Boosters.map(b => s"'${b._1}'").mkString(", ")}], " +
+      s"[${Boosters.map(_._2).mkString(", ")}]::DOUBLE[])"
+
   def duckNegatorsSql: String = Negators.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The punct set as a DuckDB string literal (single quote doubled). */
+  def duckPunctSql: String = "'" + PunctChars.replace("'", "''") + "'"
 }

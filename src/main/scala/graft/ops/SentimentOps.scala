@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 
 /**
  * Sentiment ensemble (SURVEY.md §2.4) as pure column expressions over the
- * Lexicon (a published-VADER subset + documented domain fixture):
+ * Lexicon (an expanded published-VADER subset + documented domain fixture):
  *
  *  - U1 TextBlob-style scorer: mean over lexicon-matched tokens of
  *    valence/4 (pattern polarities live in [-1,1]), negation window
  *    scaling by -0.5 — TextBlob's core "average the assessed words".
- *  - U2 VADER-style scorer: sum of matched valences with the published
- *    negation rule (a valenced token preceded within 3 tokens by a
- *    negator is scaled by -0.74), normalized x/sqrt(x^2+15) — the
+ *  - U2 VADER scorer with the FULL published rule set (see Lexicon's
+ *    scaladoc: negation decision tree, degree modifiers with distance
+ *    damping, ALL-CAPS emphasis, punctuation amplification, but-clause
+ *    re-weighting), normalized x/sqrt(x^2+15) clamped to [-1, 1] — the
  *    published compound formula (alpha = 15).
  *  - U4 ensemble vote / U5 polarity average reproduce
  *    /root/reference/sentiment.py:493-509 exactly:
@@ -20,12 +21,10 @@ import org.apache.spark.sql.functions._
  *      positive iff TB > 0  AND VADER >= +0.05
  *      else neutral;  polarity = (TB + VADER) / 2
  *
- * Float summation order is frozen (left fold in token order) and the
- * whole computation is reproduced in DuckDB (`oracles`), so q24/q25/q27
- * are hash-verified end-to-end. Note the per-index element_at(toks, i)
- * lookups re-evaluate the tokenize subtree inside lambdas (CollapseProject
- * inlines it); fine at document scale — the graduation path, if this ever
- * becomes the hot scalar, is a native Expression like MinHashSig.
+ * Every fp operation runs in a frozen order, and the whole computation —
+ * including all VADER rule stages — is regenerated as staged DuckDB CTEs
+ * (`scoredSql`), so q24/q25/q27 are hash-verified end-to-end against an
+ * independent engine.
  */
 object SentimentOps {
   import Tables._
@@ -41,19 +40,26 @@ object SentimentOps {
   private def r4(c: Column): Column = floor(c * 10000.0 + lit(0.5)) / 10000.0
   private def r4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** RAW whitespace tokens, ORIGINAL case, empties dropped — the VADER
+    * rules need case (ALL-CAPS emphasis) and attached punctuation
+    * (stripping + '!'/'?' counting happen inside the scorer). */
+  def rawToks(text: Column): Column =
+    filter(split(text, " "), w => length(w) >= 1)
+
   /** (tb, vader, sentiment, polarity) columns for a text column. The
-    * lexicon walk (valence lookup + 3-token negation lookback, left fold
-    * in token order) runs as the native `sentiment_score` expression —
+    * full rule walk (strip, caps, boosters, negation tree, least, but,
+    * punctuation) runs as the native `sentiment_score` expression —
     * the pure-lambda formulation re-tokenized per index (CollapseProject
     * inlining; measured 9.9 s / 500 docs, ~500x slower). The compound
-    * normalization and the vote stay visible column expressions. */
+    * normalization (clamped, per the published normalize()) and the vote
+    * stay visible column expressions. */
   def scored(text: Column): Seq[Column] = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.SentimentFunctions.register)
-    val s = call_function("sentiment_score", toks(text))
+    val s = call_function("sentiment_score", rawToks(text))
     val tb = s.getField("tb")
     val x = s.getField("x")
-    val vader = x / sqrt(x * x + lit(15.0))
+    val vader = greatest(lit(-1.0), least(lit(1.0), x / sqrt(x * x + lit(15.0))))
     val sentiment = when(tb < 0 && vader <= -0.05, "negative")
       .when(tb > 0 && vader >= 0.05, "positive")
       .otherwise("neutral")
@@ -147,6 +153,35 @@ object SentimentOps {
       .orderBy("user_id")
   }
 
+  /** q28: the full VADER rule set exercised end-to-end against the SQL
+    * oracle — the raw testdata is lowercase prose with no punctuation, so
+    * each doc is deterministically decorated (by doc_id) with a prefix /
+    * suffix that triggers one rule family: degree boosters + exclamation
+    * amplification, ALL-CAPS + but-clause, the never-so intensifier, and
+    * dampener + least + question marks. Same decoration in both engines;
+    * hash-exact outputs prove every stage, not just the negation window. */
+  def qVaderRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id") % 4
+    val decorated =
+      when(d === 0, concat(lit("really good "), col("text"), lit(" !!")))
+        .when(d === 1, concat(lit("GOOD but bad "), col("text")))
+        .when(d === 2, concat(lit("never so good "), col("text")))
+        .otherwise(concat(lit("hardly good least slow "), col("text"), lit(" ???")))
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: scored(decorated): _*)
+      .orderBy("doc_id")
+  }
+
+  def vaderRulesOracle: String = {
+    val decorated =
+      """CASE WHEN doc_id % 4 = 0 THEN 'really good ' || text || ' !!'
+        |     WHEN doc_id % 4 = 1 THEN 'GOOD but bad ' || text
+        |     WHEN doc_id % 4 = 2 THEN 'never so good ' || text
+        |     ELSE 'hardly good least slow ' || text || ' ???' END""".stripMargin
+    s"""WITH ${scoredSql(s"docs AS (SELECT doc_id, $decorated AS text FROM documents)")}
+       |$voteSql ORDER BY doc_id""".stripMargin
+  }
+
   /** Dashboard rollup: terms agg over sentiment + avg/median polarity
     * (export.json:49,63 shape). */
   def qSentimentAgg(spark: SparkSession, dir: String): DataFrame =
@@ -158,35 +193,145 @@ object SentimentOps {
         r4(max("polarity")).as("max_polarity"))
       .orderBy("sentiment")
 
-  // ---- DuckDB oracles (same lexicon/window/fold order) -----------------
+  // ---- DuckDB oracles (same lexicon/rule stages/fold order) ------------
 
-  private val toksSql =
-    "list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')"
+  /** negated(): published NEGATE membership or the n't suffix. */
+  private def negatedSql(e: String): String =
+    s"($e IN ${Lexicon.duckNegatorsSql} OR $e LIKE '%n''t')"
 
-  /** The scoring pipeline as SQL over a CTE exposing (doc_id, toks). */
-  private def scoredSql(srcCte: String): String =
+  /** One (booster, negation-tree) stage at distance `d`, reading the
+    * previous stage's `vs` list — the SQL twin of SentimentHelper's
+    * distance loop. Guard per token: a value exists, the token `d` back
+    * exists and is NOT itself a lexicon word. */
+  private def stageSql(d: Int, prev: String, out: String): String = {
+    val damp = d match {
+      case 1 => ""
+      case 2 => s" * $DampOne"
+      case _ => s" * $DampTwo"
+    }
+    def w(back: Int) = s"wl[i+1-$back]" // token `back` positions before current
+    val guardFail =
+      s"vs[i+1] IS NULL OR i < $d OR m[${w(d)}][1] IS NOT NULL"
+    val boosted =
+      s"""CASE WHEN bm[${w(d)}][1] IS NULL THEN vs[i+1]
+         |     ELSE vs[i+1] + ((CASE WHEN vs[i+1] < 0 THEN -bm[${w(d)}][1]
+         |                           ELSE bm[${w(d)}][1] END)
+         |       + (CASE WHEN iu[i+1-$d] AND cd
+         |               THEN CASE WHEN vs[i+1] > 0 THEN $CapsIncr
+         |                         ELSE ${-CapsIncr} END
+         |               ELSE 0.0 END))$damp END""".stripMargin
+    val never = d match {
+      case 1 =>
+        s"""CASE WHEN ${negatedSql(w(1))} THEN vb * $VaderNegScalar
+           |     ELSE vb END""".stripMargin
+      case 2 =>
+        s"""CASE WHEN ${w(2)} = 'never' AND ${w(1)} IN ('so', 'this')
+           |       THEN vb * $NeverScalar
+           |     WHEN ${w(2)} = 'without' AND ${w(1)} = 'doubt' THEN vb
+           |     WHEN ${negatedSql(w(2))} THEN vb * $VaderNegScalar
+           |     ELSE vb END""".stripMargin
+      case _ =>
+        s"""CASE WHEN ${w(3)} = 'never' AND (${w(2)} IN ('so', 'this')
+           |            OR ${w(1)} IN ('so', 'this')) THEN vb * $NeverScalar
+           |     WHEN ${w(3)} = 'without' AND (${w(2)} = 'doubt'
+           |            OR ${w(1)} = 'doubt') THEN vb
+           |     WHEN ${negatedSql(w(3))} THEN vb * $VaderNegScalar
+           |     ELSE vb END""".stripMargin
+    }
+    val least =
+      if (d < 3) "vn"
+      else
+        s"""CASE WHEN m[${w(1)}][1] IS NULL AND ${w(1)} = 'least'
+           |          AND ${w(2)} <> 'at' AND ${w(2)} <> 'very'
+           |       THEN vn * $VaderNegScalar
+           |     ELSE vn END""".stripMargin
+    // DuckDB lambdas have no let-bindings: thread vb/vn through 1-element
+    // list_transform hops (pure value plumbing, zero arithmetic)
+    s"""$out AS (SELECT doc_id, wl, iu, cd, ep, qm,
+       |  list_transform(range(len(wl)), i ->
+       |    CASE WHEN $guardFail THEN vs[i+1]
+       |         ELSE list_transform([$boosted], vb ->
+       |                list_transform([$never], vn -> $least)[1])[1]
+       |    END) AS vs
+       |  FROM $prev, lex)""".stripMargin
+  }
+
+  /** The scoring pipeline as SQL over a CTE exposing docs(doc_id, text):
+    * staged CTEs mirroring SentimentHelper stage-for-stage — strip/case
+    * prep, base+caps, (boost+negation)×3 distances (+least), but-clause,
+    * ordered sum + punctuation, compound. Every stage reads the previous
+    * stage's value list exactly once, so the fp operation sequence is
+    * identical to the native expression. */
+  private def scoredSql(srcCte: String): String = {
+    val punct = Lexicon.duckPunctSql
     s"""$srcCte,
-       |lex AS (SELECT ${Lexicon.duckMapSql} AS m),
-       |ts AS (SELECT doc_id, toks, list_transform(range(len(toks)), i0 ->
-       |  struct_pack(v := m[toks[i0 + 1]][1],
+       |lex AS (SELECT ${Lexicon.duckMapSql} AS m,
+       |               ${Lexicon.duckBoosterMapSql} AS bm),
+       |tok AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), w -> length(w) >= 1) AS rt
+       |  FROM docs),
+       |prep AS (SELECT doc_id, text, rt,
+       |  list_transform(rt, w -> CASE WHEN length(trim(w, $punct)) > 1
+       |                               THEN trim(w, $punct) ELSE w END) AS st
+       |  FROM tok),
+       |feat AS (SELECT doc_id, text, rt,
+       |  list_transform(st, s -> lower(s)) AS wl,
+       |  list_transform(st, s -> upper(s) = s AND lower(s) <> s) AS iu
+       |  FROM prep),
+       |cdx AS (SELECT doc_id, wl, iu,
+       |  len(list_filter(iu, b -> b)) > 0
+       |    AND len(list_filter(iu, b -> b)) < len(iu) AS cd,
+       |  length(text) - length(replace(text, '!', '')) AS ep,
+       |  length(text) - length(replace(text, '?', '')) AS qm
+       |  FROM feat),
+       |sA AS (SELECT doc_id, wl, iu, cd, ep, qm,
+       |  list_transform(range(len(wl)), i ->
+       |    CASE WHEN m[wl[i+1]][1] IS NULL THEN NULL
+       |         ELSE m[wl[i+1]][1] + CASE WHEN iu[i+1] AND cd
+       |              THEN CASE WHEN m[wl[i+1]][1] > 0 THEN $CapsIncr
+       |                        ELSE ${-CapsIncr} END
+       |              ELSE 0.0 END END) AS vs
+       |  FROM cdx, lex),
+       |${stageSql(1, "sA", "s1")},
+       |${stageSql(2, "s1", "s2")},
+       |${stageSql(3, "s2", "s3")},
+       |sBut AS (SELECT doc_id, wl, cd, ep, qm,
+       |  list_transform(range(len(wl)), i ->
+       |    CASE WHEN vs[i+1] IS NULL
+       |           OR nullif(list_position(wl, 'but'), 0) IS NULL
+       |           THEN vs[i+1]
+       |         WHEN i+1 < list_position(wl, 'but') THEN vs[i+1] * $ButBefore
+       |         WHEN i+1 > list_position(wl, 'but') THEN vs[i+1] * $ButAfter
+       |         ELSE vs[i+1] END) AS vs
+       |  FROM s3),
+       |tbx AS (SELECT doc_id, wl, list_transform(range(len(wl)), i0 ->
+       |  struct_pack(v := m[wl[i0 + 1]][1],
        |    neg := i0 > 0 AND len(list_filter(
-       |      toks[greatest(1, i0 - ${NegWindow - 1}):i0],
-       |      w -> w IN ${Lexicon.duckNegatorsSql})) > 0)) AS ts
-       |  FROM docs, lex),
-       |sc AS (SELECT doc_id,
+       |      wl[greatest(1, i0 - ${NegWindow - 1}):i0],
+       |      w -> ${negatedSql("w")})) > 0)) AS ts
+       |  FROM cdx, lex),
+       |sc AS (SELECT sBut.doc_id,
        |  CASE WHEN len(list_filter(ts, s -> s.v IS NOT NULL)) = 0 THEN 0.0
        |       ELSE list_reduce(list_transform(
        |              list_filter(ts, s -> s.v IS NOT NULL),
        |              s -> s.v / 4.0 * (CASE WHEN s.neg THEN $TbNegScalar ELSE 1.0 END)),
        |            (a, b) -> a + b)
        |            / len(list_filter(ts, s -> s.v IS NOT NULL)) END AS tb,
-       |  CASE WHEN len(ts) = 0 THEN 0.0
-       |       ELSE list_reduce(list_transform(ts,
-       |              s -> coalesce(s.v, 0.0) *
-       |                   (CASE WHEN s.neg THEN $VaderNegScalar ELSE 1.0 END)),
-       |            (a, b) -> a + b) END AS x
-       |  FROM ts),
-       |scored AS (SELECT doc_id, tb, x / sqrt(x * x + 15.0) AS vader FROM sc)""".stripMargin
+       |  CASE WHEN len(list_filter(vs, v -> v IS NOT NULL)) = 0 THEN 0.0
+       |       ELSE list_reduce(list_filter(vs, v -> v IS NOT NULL),
+       |            (a, b) -> a + b) END AS x0,
+       |  least(ep, 4) * $ExclAmp +
+       |    CASE WHEN qm > 1 THEN CASE WHEN qm <= 3 THEN qm * $QmAmpEach
+       |                               ELSE $QmAmpCap END
+       |         ELSE 0.0 END AS pe
+       |  FROM sBut JOIN tbx ON sBut.doc_id = tbx.doc_id),
+       |sx AS (SELECT doc_id, tb,
+       |  CASE WHEN x0 > 0 THEN x0 + pe WHEN x0 < 0 THEN x0 - pe
+       |       ELSE x0 END AS x FROM sc),
+       |scored AS (SELECT doc_id, tb,
+       |  greatest(-1.0, least(1.0, x / sqrt(x * x + 15.0))) AS vader
+       |  FROM sx)""".stripMargin
+  }
 
   private def voteSql: String =
     s"""SELECT doc_id, ${r4Sql("tb")} AS tb, ${r4Sql("vader")} AS vader,
@@ -197,7 +342,7 @@ object SentimentOps {
        |FROM scored""".stripMargin
 
   def sentimentDocsOracle: String =
-    s"""WITH ${scoredSql(s"docs AS (SELECT doc_id, $toksSql AS toks FROM documents)")}
+    s"""WITH ${scoredSql("docs AS (SELECT doc_id, text FROM documents)")}
        |$voteSql ORDER BY doc_id""".stripMargin
 
   def sentimentAggOracle: String =
@@ -212,15 +357,15 @@ object SentimentOps {
     val cleaned =
       s"trim(regexp_replace(regexp_replace($decorated, '[#|@]\\S+', '', 'g'), '\\s+', ' ', 'g'))"
     val srcCte =
-      s"""raw AS (SELECT doc_id, $cleaned AS text FROM documents),
-         |docs AS (SELECT doc_id, length(text) AS clean_len, $toksSql AS toks FROM raw)""".stripMargin
+      s"""docs AS (SELECT doc_id, $cleaned AS text FROM documents),
+         |clens AS (SELECT doc_id, length(text) AS clean_len FROM docs)""".stripMargin
     s"""WITH ${scoredSql(srcCte)}
-       |SELECT scored.doc_id, docs.clean_len, ${r4Sql("tb")} AS tb,
+       |SELECT scored.doc_id, clens.clean_len, ${r4Sql("tb")} AS tb,
        |       ${r4Sql("vader")} AS vader,
        | CASE WHEN tb < 0 AND vader <= -0.05 THEN 'negative'
        |      WHEN tb > 0 AND vader >= 0.05 THEN 'positive'
        |      ELSE 'neutral' END AS sentiment
-       |FROM scored JOIN docs ON scored.doc_id = docs.doc_id
+       |FROM scored JOIN clens ON scored.doc_id = clens.doc_id
        |ORDER BY scored.doc_id""".stripMargin
   }
 }

@@ -94,6 +94,67 @@ class FunctionSpec extends AnyFunSuite with SparkSessionFixture {
           .map(org.apache.spark.unsafe.types.UTF8String.fromString))))
   }
 
+  test("VADER rule goldens: caps, boosters, damping, never-so, but, least, punctuation") {
+    import graft.ops.Lexicon._
+    def x(tokens: String*): Double =
+      graft.functions.SentimentHelper.score(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+        .getDouble(1)
+    def close(a: Double, b: Double): Unit =
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+    val good = 1.9 // lexicon value used by the goldens
+    val bad = -2.5
+
+    close(x("good"), good)
+    close(x("not", "good"), good * VaderNegScalar)
+    close(x("hasn't", "been", "good"), good * VaderNegScalar) // n't + distance 2
+    close(x("very", "good"), good + BoostIncr) // booster, no damping at d=1
+    close(x("very", "very", "good"),
+      good + BoostIncr + BoostIncr * DampOne) // second booster damped 0.95
+    close(x("so", "so", "so", "good"),
+      good + BoostIncr + BoostIncr * DampOne + BoostIncr * DampTwo)
+    close(x("hardly", "good"), good + BoostDecr) // dampener
+    // ALL-CAPS sentiment word on a cap-differential text
+    close(x("GOOD", "stuff"), good + CapsIncr)
+    // ALL-CAPS booster bumps its scalar by C_INCR
+    close(x("VERY", "good"), good + (BoostIncr + CapsIncr))
+    // all-caps text => NO cap differential => no emphasis
+    close(x("GOOD", "STUFF"), good)
+    // never so/this intensifier (d=2), after the d=1 "so" booster
+    close(x("never", "so", "good"), (good + BoostIncr) * NeverScalar)
+    // without-doubt exemption: "good" passes through untouched at d=2
+    // ("doubt" is itself lexicon-valenced at -1.5 and negated by
+    // "without" at d=1 — both effects in one sum)
+    close(x("without", "doubt", "good"), -1.5 * VaderNegScalar + good)
+    // plain negator at d=3
+    close(x("not", "the", "same", "good"), good * VaderNegScalar)
+    // but-clause: before *0.5, after *1.5
+    close(x("good", "but", "bad"), good * ButBefore + bad * ButAfter)
+    // least check (runs in the d=3 pass, so needs i >= 3):
+    // "was least slow" damps, the "at least" idiom is exempt
+    close(x("it", "was", "least", "slow"), -1.8 * VaderNegScalar)
+    close(x("it", "at", "least", "slow"), -1.8)
+  }
+
+  test("VADER punctuation amplification goldens") {
+    import graft.ops.Lexicon._
+    def x(tokens: String*): Double =
+      graft.functions.SentimentHelper.score(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+        .getDouble(1)
+    def close(a: Double, b: Double): Unit =
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+    close(x("good!"), 1.9 + ExclAmp) // strip keeps the word, '!' counted
+    close(x("good", "!!"), 1.9 + 2 * ExclAmp)
+    close(x("good", "!!!!!"), 1.9 + 4 * ExclAmp) // capped at 4
+    close(x("bad", "!!"), -2.5 - 2 * ExclAmp) // sign-matched
+    close(x("good", "??"), 1.9 + 2 * QmAmpEach)
+    close(x("good", "????"), 1.9 + QmAmpCap)
+    close(x("good", "?"), 1.9) // single '?' does not amplify
+  }
+
   test("null-safety through the expression") {
     import spark.implicits._
     GraftFunctions.register(spark)
