@@ -63,71 +63,122 @@ object SegmentMerge {
     m
   }
 
-  /** Compact-and-rebase: fully compact the index AND remap the effective
-    * ingest-batch ids baked into the docId top bits down to dense
-    * 0..k-1, advancing the manifest's batchBase so the stream's
-    * ever-growing raw ids keep mapping onto small effective ids — the
-    * remedy for a stream that outlives the ${IndexBuilder.BatchBits}-bit
-    * docId batch budget (IndexBuilder.docIdFor fails loudly at 2048
-    * effective batches; this job resets that headroom).
+  /** Compact-and-rebase: fully compact the index AND densely renumber
+    * every docId into ingest batch 0 — the remedy for a stream that
+    * outlives the 2048-batch docId budget (IndexBuilder fails loudly at
+    * effective batch 2048; this job resets that headroom COMPLETELY: a
+    * real stream's batch ids are contiguous, so a batch-bits-only remap
+    * would reclaim nothing).
     *
-    * The remap e_i -> i is strictly increasing on the batch bits and
-    * identity on the low bits, so docIds stay ascending everywhere —
-    * posting sub-lists re-encode without re-sorting, and query-time
-    * score/tie semantics within the index are preserved (scores do not
-    * depend on docId values; ordering is preserved by monotonicity).
-    * Re-delivery of an old RAW batch id stays a no-op afterwards via the
-    * origBatches lineage. Single atomic snapshot commit. */
+    * Renumber: newDocId = (batch 0 | shard | rank), rank = the doc's
+    * position within its shard ordered by old docId — order-preserving
+    * per shard, so posting lists decode -> remap -> re-encode without
+    * re-sorting, and scores are unchanged (BM25 never reads docId
+    * values). The postings remap runs as a shard-cogroup: each task
+    * holds exactly one shard's (old -> new) map — the same per-shard
+    * size bound the SPIMI design already guarantees (~1M docs/shard at
+    * the 10^12-file layout).
+    *
+    * The manifest's batchBase advances to the largest RAW stream id ever
+    * ingested, so the stream's next id maps to effective 1 and the
+    * budget is fresh; re-delivery of any pre-rebase raw id stays a no-op
+    * via the (range-encoded) origBatches lineage. Two atomic commits
+    * (compaction, then renumber) — a crash between them leaves a
+    * consistent, merely-compacted index. */
   def rebase(spark: SparkSession, root: String): Manifest = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val tbl = new IcebergLite(root)
-    val prev = tbl.currentManifest()
+    var prev = tbl.currentManifest()
       .getOrElse(throw new IllegalStateException(s"nothing to rebase at $root"))
-    val effIds = prev.segments.flatMap(IcebergLite.batchesOf).distinct.sorted
-    if (effIds.isEmpty) return prev
-    val remap = effIds.zipWithIndex.toMap
-    // continuity: a future raw id B mapped to B - newBase lands directly
-    // after the rebased ids (the next raw id the stream can deliver is
-    // > base + max(eff), which maps to >= k)
-    val newBase = prev.batchBase + (effIds.max.toLong + 1L - effIds.size)
-    mergeSegments(spark, root, prev, prev.segments,
-      rebase = Some((remap, newBase)))
+    if (prev.segments.isEmpty) return prev
+    if (prev.segments.size > 1) prev = merge(spark, root)
+    val seg = prev.segments.head
+
+    val segName = s"seg-rebased-${prev.version}"
+    val segRoot = s"$root/$segName"
+    val shiftBits = IndexBuilder.IdxBits
+
+    // per-shard dense renumber of docmeta; the same window defines the
+    // (old -> new) mapping the postings remap consumes
+    val w = Window.partitionBy("shard").orderBy("docId")
+    val oldMeta = spark.read.parquet(s"$root/${seg.name}/docmeta")
+    val withNew = oldMeta
+      .withColumn("__newId", shiftLeft(col("shard").cast("long"), shiftBits)
+        .bitwiseOR(row_number().over(w).cast("long") - 1L))
+    withNew.withColumn("docId", col("__newId")).drop("__newId")
+      .write.mode("overwrite").parquet(s"$segRoot/docmeta")
+    val mapping = withNew
+      .select(col("shard"), col("docId").as("oldId"), col("__newId").as("newId"))
+      .as[(Int, Long, Long)]
+
+    // postings: cogroup by shard, remap each decoded docId through the
+    // shard's map (monotone: rank order == old docId order), re-encode
+    val pst = spark.read.parquet(s"$root/${seg.name}/postings").as[PostingRow]
+    pst.groupByKey(_.shard).cogroup(mapping.groupByKey(_._1)) {
+      (_, rows, maps) =>
+        val mp = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        maps.foreach { case (_, o, nw) => mp.put(o, nw) }
+        rows.map { r =>
+          val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
+            .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
+          val (d, t, l) = Codec.decodeAll(enc)
+          var i = 0
+          while (i < d.length) {
+            val nw = mp.get(d(i))
+            require(nw != null, s"docId ${d(i)} missing from docmeta during rebase")
+            d(i) = nw
+            i += 1
+          }
+          val e2 = Codec.encode(d, t, l)
+          PostingRow(r.shard, r.term, r.df,
+            e2.blocks.iterator.map(_.length.toLong).sum, e2.blocks.toSeq,
+            e2.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
+        }
+    }
+      .toDF()
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("shard"), col("term"))
+      .sortWithinPartitions("term", "shard")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
+      .parquet(s"$segRoot/postings")
+
+    val pstOut = spark.read.parquet(s"$segRoot/postings")
+    val mrow = pstOut.agg(count(lit(1)), sum("df"), sum("bytes")).head()
+    val metrics = SegmentMetrics(seg.metrics.docs, mrow.getLong(0),
+      mrow.getLong(1), mrow.getLong(2))
+
+    // the dict (term -> df) is docId-independent: carry it over untouched
+    val origRaw = IcebergLite.origBatchesOf(seg)
+    val newBase = if (origRaw.isEmpty) prev.batchBase else origRaw.max
+    val newSeg = SegmentInfo(prev.version, segName, seg.shards, metrics,
+      Map("rebasedFrom" -> seg.name,
+        "batches" -> "0",
+        "origBatches" -> IcebergLite.encodeRanges(origRaw),
+        "batch0Shards" -> IcebergLite.batch0Shards(seg).toSeq.sorted.mkString(",")))
+    val manifest = Manifest(prev.version + 1, prev.numShards, Seq(newSeg),
+      prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase)
+    tbl.commit(manifest)
+    manifest
   }
 
   /** Merge a subset of `prev`'s segments into one new segment; untouched
     * segments carry over. The global dict is materialized only when the
     * result is fully compacted (one segment) — a partial tier would need
     * an extra pass over the KEPT segments' postings to stay global, so
-    * partial snapshots derive dfs at query time instead. With `rebase`
-    * set (full compaction only), docIds' batch bits are remapped through
-    * the given (effId -> denseId) map and the manifest's batchBase moves
-    * to the given value. */
+    * partial snapshots derive dfs at query time instead. */
   private def mergeSegments(spark: SparkSession, root: String, prev: Manifest,
-                            toMerge: Seq[SegmentInfo],
-                            rebase: Option[(Map[Int, Int], Long)] = None): Manifest = {
+                            toMerge: Seq[SegmentInfo]): Manifest = {
     import spark.implicits._
     val tbl = new IcebergLite(root)
-    if (toMerge.size <= 1 && rebase.isEmpty) return prev
-    require(rebase.isEmpty || toMerge.size == prev.segments.size,
-      "rebase requires a full compaction")
+    if (toMerge.size <= 1) return prev
     val kept = prev.segments.filterNot(s => toMerge.exists(_.name == s.name))
 
     val postingPaths = toMerge.map(s => s"$root/${s.name}/postings")
     val docmetaPaths = toMerge.map(s => s"$root/${s.name}/docmeta")
     val segName = s"seg-merged-${prev.version}"
     val segRoot = s"$root/$segName"
-
-    // monotone docId remap (identity unless rebasing): strictly
-    // increasing in the batch bits, identity on shard|idx — preserves
-    // ascending docId order inside every posting sub-list.
-    val batchRemap: Map[Int, Int] = rebase.map(_._1).getOrElse(Map.empty)
-    val lowMask = (1L << (IndexBuilder.IdxBits + IndexBuilder.ShardBits)) - 1L
-    def remapDocId(id: Long): Long =
-      if (batchRemap.isEmpty) id
-      else {
-        val b = (id >>> (IndexBuilder.IdxBits + IndexBuilder.ShardBits)).toInt
-        (batchRemap(b).toLong << (IndexBuilder.IdxBits + IndexBuilder.ShardBits)) |
-          (id & lowMask)
-      }
 
     spark.read.parquet(postingPaths: _*).as[PostingRow]
       .repartition(spark.sessionState.conf.numShufflePartitions,
@@ -145,7 +196,7 @@ object SegmentMerge {
             val subs = mutable.ArrayBuffer.empty[PostingRow]
             while (in.hasNext && in.head.shard == head.shard &&
                    in.head.term == head.term) subs += in.next()
-            // decode in firstDoc order, concatenate, remap, re-block
+            // decode in firstDoc order, concatenate, re-block
             val docs = mutable.ArrayBuilder.make[Long]
             val tfs = mutable.ArrayBuilder.make[Int]
             val dls = mutable.ArrayBuilder.make[Int]
@@ -154,7 +205,7 @@ object SegmentMerge {
               val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
                 .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
               val (d, t, l) = Codec.decodeAll(enc)
-              docs ++= d.map(remapDocId); tfs ++= t; dls ++= l; df += r.df
+              docs ++= d; tfs ++= t; dls ++= l; df += r.df
             }
             val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
             PostingRow(head.shard, head.term, df,
@@ -167,18 +218,8 @@ object SegmentMerge {
       .option("parquet.block.size", (4 * 1024 * 1024).toString)
       .parquet(s"$segRoot/postings")
 
-    val dm = spark.read.parquet(docmetaPaths: _*)
-    val dmOut =
-      if (batchRemap.isEmpty) dm
-      else {
-        val remapCol = typedLit(batchRemap.map { case (k, v) => (k, v.toLong) })
-        val shiftBits = IndexBuilder.IdxBits + IndexBuilder.ShardBits
-        dm.withColumn("docId",
-          shiftLeft(element_at(remapCol,
-            shiftRightUnsigned(col("docId"), shiftBits).cast("int")), shiftBits)
-            .bitwiseOR(col("docId").bitwiseAND(lit(lowMask))))
-      }
-    dmOut.write.mode("overwrite").parquet(s"$segRoot/docmeta")
+    spark.read.parquet(docmetaPaths: _*)
+      .write.mode("overwrite").parquet(s"$segRoot/docmeta")
 
     val pst = spark.read.parquet(s"$segRoot/postings")
     val mrow = pst.agg(count(lit(1)), sum("df"), sum("bytes")).head()
@@ -199,23 +240,22 @@ object SegmentMerge {
       } else None
 
     // Lineage: the merged segment must carry the UNION of its inputs'
-    // ingest-batch ids — effective ids remapped when rebasing ("batches",
-    // checked by the idempotence guard against effective ids) AND the raw
-    // stream ids ("origBatches", unchanged by rebase, checked first) —
-    // plus the bulk-build shard coverage (drives bulk resume).
-    val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct
-      .map(b => batchRemap.getOrElse(b, b)).sorted
-    val origBatches = toMerge.flatMap(IcebergLite.origBatchesOf).distinct.sorted
+    // ingest-batch ids — effective ids ("batches", checked by the
+    // idempotence guard) AND the raw stream ids ("origBatches", unchanged
+    // by a later rebase, checked first) — plus the bulk-build shard
+    // coverage (drives bulk resume).
+    val batches = toMerge.flatMap(IcebergLite.batchesOf).distinct.sorted
+    val origBatches = toMerge.flatMap(IcebergLite.origBatchesOf).toSet
     val b0Shards = toMerge.flatMap(IcebergLite.batch0Shards).distinct.sorted
     val seg = SegmentInfo(prev.version, segName,
       toMerge.flatMap(_.shards).distinct.sorted, metrics,
       Map("mergedFrom" -> toMerge.map(_.name).mkString(","),
         "batches" -> batches.mkString(","),
-        "origBatches" -> origBatches.mkString(","),
+        "origBatches" -> IcebergLite.encodeRanges(origBatches),
         "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
       prev.numDocs, prev.totalTokens, dict = dict,
-      batchBase = rebase.map(_._2).getOrElse(prev.batchBase))
+      batchBase = prev.batchBase)
 
     tbl.commit(manifest)
     manifest

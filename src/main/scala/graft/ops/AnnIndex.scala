@@ -146,19 +146,13 @@ object AnnIndex {
     def centroids: String = s"$root/centroids"
   }
 
-  /** Cheap content fingerprint of the source table (file names + sizes +
-    * mtimes) — the docEngine scheme (SearchOps.scala): a regenerated
-    * dataset at the same path changes the fingerprint, hence the root. */
-  private def fp(f: java.io.File): String =
-    if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
-    else s"${f.getName}:${f.length}:${f.lastModified}"
-
   /** The committed store root for a dataset dir: format version +
-    * content fingerprint + build parameters, all in the path. */
+    * content fingerprint + build parameters, all in the path (the
+    * docEngine scheme — a regenerated dataset changes the root). */
   def rootFor(dir: String, refineIters: Int = 0): String =
     s"${SearchOps.workDir}/ann-f$FormatVersion-${
       graft.index.IndexBuilder.sha256Hex(dir + "|" +
-        fp(new java.io.File(s"$dir/embeddings.parquet"))).take(12)}-r$refineIters"
+        Tables.contentFingerprint(s"$dir/embeddings.parquet")).take(12)}-r$refineIters"
 
   /** Open the committed ANN store for a dataset dir, building it first
     * iff no committed snapshot covers this exact (content, format,

@@ -180,12 +180,9 @@ object SearchOps {
       // alongside the engine format version: a regenerated dataset or a
       // changed engine revision rebuilds; only a truly identical corpus
       // is reopened
-      def fp(f: java.io.File): String =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
-        else s"${f.getName}:${f.length}:${f.lastModified}"
       val root = s"$workDir/doc-index-f${IndexBuilder.FormatVersion}-${
         IndexBuilder.sha256Hex(dir + "|" +
-          fp(new java.io.File(s"$dir/documents.parquet"))).take(12)}"
+          Tables.contentFingerprint(s"$dir/documents.parquet")).take(12)}"
       if (!new graft.table.IcebergLite(root).exists) {
         val corpus = t(spark, dir, "documents")
           .select(col("source").as("repo"),

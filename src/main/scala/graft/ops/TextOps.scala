@@ -28,6 +28,17 @@ object Tables {
     graft.analyze.CodeAnalyzer.Stopwords.toSeq.sorted
       .map(s => s"'$s'").mkString("(", ",", ")")
 
+  /** Cheap content fingerprint of a source table directory (file names +
+    * sizes + mtimes, recursive): derived-store roots (doc index, ANN
+    * stores) embed it, so a regenerated dataset at the same path gets a
+    * fresh root instead of a stale reopen. */
+  def contentFingerprint(path: String): String = {
+    def fp(f: java.io.File): String =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    fp(new java.io.File(path))
+  }
+
   /** Session-bound cache key + eviction: cached DataFrames/engines are
     * bound to the SparkContext that created them, so keys carry the
     * applicationId and entries from stopped applications are dropped on

@@ -195,14 +195,40 @@ object IcebergLite {
 
   /** RAW stream batch ids ever ingested into a segment — unchanged by a
     * rebase, so a micro-batch re-delivered after compact-and-rebase is
-    * still recognized as a no-op. Falls back to the effective ids for
+    * still recognized as a no-op. Stored RANGE-ENCODED ("0-2047,2050"):
+    * contiguous stream ids would otherwise bloat the manifest by one
+    * entry per micro-batch forever. Falls back to the effective ids for
     * segments written before this lineage key existed (those predate any
     * rebase, where raw == effective). */
   def origBatchesOf(s: SegmentInfo): Set[Long] =
     s.lineage.get("origBatches") match {
-      case Some(v) => v.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet
+      case Some(v) => decodeRanges(v)
       case None => batchesOf(s).map(_.toLong)
     }
+
+  /** "0-3,7,9-11" <-> Set(0,1,2,3,7,9,10,11). */
+  def encodeRanges(ids: Set[Long]): String = {
+    if (ids.isEmpty) return ""
+    val sorted = ids.toSeq.sorted
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var lo = sorted.head
+    var hi = sorted.head
+    sorted.tail.foreach { x =>
+      if (x == hi + 1) hi = x
+      else { spans += ((lo, hi)); lo = x; hi = x }
+    }
+    spans += ((lo, hi))
+    spans.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
+  }
+
+  def decodeRanges(v: String): Set[Long] =
+    v.split(",").filter(_.nonEmpty).flatMap { span =>
+      span.split("-") match {
+        case Array(a) => Seq(a.trim.toLong)
+        case Array(a, b) => a.trim.toLong to b.trim.toLong
+        case _ => throw new IllegalArgumentException(s"bad range '$span'")
+      }
+    }.toSet
 
   /** Bulk-build (batch 0) input shards covered by a segment. */
   def batch0Shards(s: SegmentInfo): Set[Int] =

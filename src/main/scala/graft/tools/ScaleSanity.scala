@@ -59,6 +59,16 @@ object ScaleSanity {
     val gcAgree = ReferenceQueries.all.take(4).zip(preGc)
       .forall { case (q, before) => eng2.topK(q, 10) == before }
     println(s"[scale] post-gc identical results: $gcAgree")
+    // compact-and-rebase at scale: the docId renumber over the full
+    // posting volume (the maintenance job a decade-long stream needs)
+    val preRb = ReferenceQueries.all.take(4).map(q =>
+      eng2.search(q, 10).select("path", "score").collect().toSeq)
+    val rbm = timed("rebase (renumber)") { SegmentMerge.rebase(spark, root) }
+    val eng3 = new QueryEngine(spark, root)
+    val rbAgree = ReferenceQueries.all.take(4).zip(preRb).forall { case (q, b) =>
+      eng3.search(q, 10).select("path", "score").collect().toSeq == b }
+    println(s"[scale] post-rebase identical results: $rbAgree; " +
+      s"batchBase=${rbm.batchBase} batches=${rbm.segments.flatMap(graft.table.IcebergLite.batchesOf).toSet}")
     spark.stop()
   }
 }

@@ -59,6 +59,42 @@ object VerifyProbe {
     try { new QueryEngine(spark, "/root/repo/target/graftwork/nope"); println("PROBE open-missing -> NO ERROR (BAD)") }
     catch { case e: IllegalStateException => println("PROBE open-missing -> rejected: " + e.getMessage.take(60)) }
 
-    spark.stop()
+    // SQL TVF surface: good call, malformed args, unknown root
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val sx = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions()).getOrCreate()
+    println("PROBE sql match_topk -> " + sx.sql(
+      s"SELECT count(*) AS n FROM match_topk('$root', 'def return', 5)")
+      .collect().head.getLong(0) + " rows")
+    try {
+      sx.sql(s"SELECT * FROM match_topk('$root', 7, 5)").collect()
+      println("PROBE sql match_topk bad-arg -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql match_topk bad-arg -> rejected: " + e.getMessage.take(60)) }
+    try {
+      sx.sql("SELECT * FROM match_topk('/nope', 'def', 5)").collect()
+      println("PROBE sql match_topk missing-root -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql match_topk missing-root -> rejected: " + e.getMessage.take(60)) }
+
+    // rebase lifecycle: ingest near the batch budget, rebase, keep going
+    val rbRoot = "/root/repo/target/graftwork/probe-rebase"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rbRoot))
+    IndexBuilder.build(sx, corpus, rbRoot, numShards = 4)
+    import sx.implicits._
+    IndexBuilder.build(sx,
+      sx.range(300, 330).map(i => CorpusGen.doc(42L, i)), rbRoot, 4, batch = 2047)
+    val preRebase = new QueryEngine(sx, rbRoot).topK("def return", 5)
+    val rm = graft.index.SegmentMerge.rebase(sx, rbRoot)
+    val postRebase = new QueryEngine(sx, rbRoot).topK("def return", 5)
+    println("PROBE rebase -> batchBase=" + rm.batchBase +
+      " scoresIdentical=" + (preRebase.map(_.score) == postRebase.map(_.score)))
+    val after = IndexBuilder.build(sx,
+      sx.range(330, 360).map(i => CorpusGen.doc(42L, i)), rbRoot, 4, batch = 2048)
+    println("PROBE post-rebase ingest -> docs=" + after.docs +
+      " numDocs=" + after.manifest.numDocs)
+
+    sx.stop()
   }
 }

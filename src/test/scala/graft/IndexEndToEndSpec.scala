@@ -200,6 +200,23 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(tbl.gc(keepManifests = 1).isEmpty)
   }
 
+  test("GC sweeps crash debris and tolerates foreign file names") {
+    val root2 = s"$work/index-resumed"
+    val tbl = new IcebergLite(root2)
+    // crash between the tmp snapshot write and the atomic rename
+    Files.writeString(Paths.get(root2, "snapshot.json.tmp-99"), "{}")
+    // a foreign file that does NOT parse as a manifest version must be
+    // skipped, not abort GC with a NumberFormatException
+    Files.writeString(Paths.get(root2, "manifest-v2.json"), "backup")
+    val deleted = tbl.gc(keepManifests = 1)
+    assert(deleted.contains("snapshot.json.tmp-99"))
+    assert(!Files.exists(Paths.get(root2, "snapshot.json.tmp-99")))
+    assert(Files.exists(Paths.get(root2, "manifest-v2.json"))) // untouched
+    Files.deleteIfExists(Paths.get(root2, "manifest-v2.json"))
+    // the table still opens and answers
+    assert(new QueryEngine(spark, root2).manifest.segments.nonEmpty)
+  }
+
   test("DROP: index delete API retracts the snapshot then removes data") {
     val root4 = s"$work/index-dropped"
     val ds = CorpusGen.dataset(spark, 100L, 7L, 4)
@@ -365,33 +382,40 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
       eng0.search(q, 10).select("path", "score", "sha256").collect().toSeq)
 
     val m = SegmentMerge.rebase(spark, root8)
-    // effective ids {0, 2045, 2046, 2047} -> {0, 1, 2, 3}; base moves so
-    // the next raw id (2048) maps to effective 4
-    assert(m.batchBase === 2044L)
+    // DENSE renumber: every doc lands in batch 0 (a contiguous stream's
+    // ids leave no gaps a batch-remap could reclaim — the renumber does);
+    // base moves to the largest RAW id ever ingested
+    assert(m.batchBase === 2047L)
     assert(m.segments.size === 1)
-    assert(IcebergLite.batchesOf(m.segments.head) === Set(0, 1, 2, 3))
+    assert(IcebergLite.batchesOf(m.segments.head) === Set(0))
     assert(IcebergLite.origBatchesOf(m.segments.head) ===
       Set(0L, 2045L, 2046L, 2047L))
+    assert(m.segments.head.lineage("origBatches") === "0,2045-2047") // range-encoded
     assert(m.numDocs === 420L)
 
     // identical query results through the rebased index (path/score/sha —
-    // docIds are remapped by design)
+    // docIds are renumbered by design)
     val eng1 = new QueryEngine(spark, root8)
     refQueries.take(5).zip(before).foreach { case (q, b) =>
       assert(eng1.search(q, 10).select("path", "score", "sha256")
         .collect().toSeq === b, s"query '$q' changed across rebase")
     }
-    // docmeta ids were remapped consistently: still unique, batch bits dense
-    val ids = eng1.docmeta.select("docId").collect().map(_.getLong(0))
-    assert(ids.distinct.length === ids.length)
+    // docmeta ids were renumbered consistently: still unique, ALL in
+    // batch 0, dense 0..n-1 within each shard
+    val meta = eng1.docmeta.select("docId").collect().map(_.getLong(0))
+    assert(meta.distinct.length === meta.length)
     val shift = IndexBuilder.IdxBits + IndexBuilder.ShardBits
-    assert(ids.map(id => (id >>> shift).toInt).toSet === Set(0, 1, 2, 3))
+    assert(meta.map(id => (id >>> shift).toInt).toSet === Set(0))
+    meta.groupBy(IndexBuilder.shardOf).foreach { case (s, ids) =>
+      assert(ids.map(_ & ((1L << IndexBuilder.IdxBits) - 1)).sorted.toSeq ===
+        (0L until ids.length).toSeq, s"shard $s not densely renumbered")
+    }
 
-    // fresh headroom: raw batch 2048 now ingests as effective 4
+    // fresh headroom: raw batch 2048 now ingests as effective 1
     val ds = spark.range(420L, 460L).map(i => CorpusGen.doc(42L, i))
     val rep = IndexBuilder.build(spark, ds, root8, 4, batch = 2048)
     assert(rep.docs === 40L)
-    assert(rep.segment.exists(s => IcebergLite.batchesOf(s) === Set(4)))
+    assert(rep.segment.exists(s => IcebergLite.batchesOf(s) === Set(1)))
     assert(new QueryEngine(spark, root8).manifest.numDocs === 460L)
 
     // re-delivery of a pre-rebase RAW id stays a no-op
