@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_engine_bool" -> (SearchOps.qEngineBool _),
     "q63_index_metrics" -> (SearchOps.qIndexMetrics _),
     "q65_index_stats" -> (SearchOps.qIndexStats _),
+    "q66_match_operator" -> (SearchOps.qMatchOperator _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _))
 
@@ -273,6 +274,7 @@ object SparkEntry {
     "q62_engine_bool" -> SearchOps.engineBoolOracleSql,
     "q63_index_metrics" -> SearchOps.indexMetricsOracleSql,
     "q65_index_stats" -> SearchOps.indexStatsOracleSql,
+    "q66_match_operator" -> SearchOps.engineSearchOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql) ++
     DedupOps.oracles ++ AnnOps.oracles

@@ -76,16 +76,23 @@ object DedupOps {
   }
 
   /** LSH banding: one row per (doc, band) with a portable md5 bucket key
-    * over the band's 4 signature slots. */
-  def bandsDF(spark: SparkSession, dir: String): DataFrame =
-    sigsDF(spark, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band").cast("long").as("band"),
-        md5(concat_ws("_", col("band").cast("string") +:
-          (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), (col("band") * RowsPerBand + r + 1).cast("int"))
-              .cast("string")): _*)).as("bucket"))
+    * over the band's 4 signature slots. Persisted per dataset dir: the
+    * capped candidate join reads it three times (bucket sizes + both join
+    * sides) and q42/q49 reuse the same pass. */
+  private val bandCache = mutable.HashMap.empty[String, DataFrame]
+  def bandsDF(spark: SparkSession, dir: String): DataFrame = synchronized {
+    evictDeadSessions(bandCache, spark)
+    bandCache.getOrElseUpdate(sessionCacheKey(spark, dir),
+      sigsDF(spark, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          md5(concat_ws("_", col("band").cast("string") +:
+            (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), (col("band") * RowsPerBand + r + 1).cast("int"))
+                .cast("string")): _*)).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Exact dedup: group by content hash, keep lowest doc_id (F4/F5 —
     * the reference's tweet_id / headline dedup lists,

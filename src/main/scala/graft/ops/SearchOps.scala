@@ -240,6 +240,21 @@ object SearchOps {
       .orderBy(desc("score"), asc("path"))
   }
 
+  /** q66: the same disjunctive search through the MatchTopK CUSTOM
+    * CATALYST OPERATOR (logical leaf -> MatchStrategy -> MatchTopKExec)
+    * instead of the engine API — the operator itself becomes
+    * DuckDB-oracled, not just spec-tested. Same oracle-comparable
+    * tie-break as q61. */
+  def qMatchOperator(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    graft.GraftSql.search(spark, eng.root, QueryTerms.mkString(" "), 10 + TieMargin)
+      .select(col("path"), col("score").as("score_raw"))
+      .withColumn("table_id", substring_index(col("path"), "_", -1).cast("long"))
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), round(col("score_raw"), 4).as("score"))
+  }
+
   /** Per-segment metrics from the committed manifest, SQL-checkable
     * subset: docs + postings are corpus-derivable (postings = sum of
     * per-doc distinct analyzed terms), so the oracle verifies the
