@@ -155,6 +155,14 @@ object IndexBuilder {
     val prev = tbl.currentManifest().getOrElse(Manifest(0, numShards, Nil, 0L, 0L))
     require(prev.segments.isEmpty || prev.numShards == numShards,
       s"index at $root was created with numShards=${prev.numShards}")
+    // resume=false exists for streaming re-delivery simulation (batch > 0,
+    // where the lineage guard dedupes); a resume=false BULK build over an
+    // index that already holds batch-0 documents would re-assign their
+    // docIds — duplicates, not an overwrite. Fail loudly instead.
+    require(resume || batch > 0 ||
+        prev.segments.forall(s => IcebergLite.batch0Shards(s).isEmpty),
+      s"bulk build with resume=false over $root would duplicate batch-0 " +
+        "docIds; drop() the index first or build with resume=true")
 
     // idempotence for streaming re-delivery (W5): a batchId whose docs are
     // already in a committed segment is a no-op re-run. Checked against
