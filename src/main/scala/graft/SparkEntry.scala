@@ -266,9 +266,9 @@ object SparkEntry {
          |SELECT vec_id, label, ${AnnOps.r6Sql(AnnOps.cosineSql("e.e", "q.qe"))} AS cos
          |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q51_embed_norms" ->
-      """SELECT vec_id,
-        | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id,
+         | ${AnnOps.r6Sql(AnnOps.normSql("CAST(embedding AS DOUBLE[])"))} AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q60_bm25_topk" -> SearchOps.bm25OracleSql,
     "q61_engine_search" -> SearchOps.engineSearchOracleSql,
     "q62_engine_bool" -> SearchOps.engineBoolOracleSql,

@@ -63,11 +63,17 @@ object AnnOps {
       .limit(10)
   }
 
-  /** Vector norms + global norm stats (sanity surface, SQL-oracled). */
+  /** Vector norms + global norm stats (sanity surface, SQL-oracled;
+    * fold-safe rounding like the cosine family). */
   def qEmbedNorms(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
-      .select(col("vec_id"), round(l2(asDouble(col("embedding"))), 6).as("norm"))
+      .select(col("vec_id"), r6(l2(asDouble(col("embedding")))).as("norm"))
       .orderBy("vec_id")
+
+  /** The L2 norm as a sequential fold in DuckDB SQL (same op order as
+    * the Spark l2 expression). */
+  def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, v -> v * v), (acc, v) -> acc + v))"
 
   /** The query vector (vec_id = 0) as a driver-side double array —
     * point lookup, row-group pruned on vec_id. */
