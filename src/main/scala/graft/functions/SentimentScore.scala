@@ -158,13 +158,13 @@ object SentimentHelper {
                        (wl(i - 2) == "doubt" || wl(i - 1) == "doubt")) ()
               else if (negated(wl(i - 3))) v = v * VaderNegScalar
           }
-          // least check (published: inside the distance-3 pass)
+          // least check (published: inside the distance-3 pass, so the
+          // enclosing i >= 3 guard makes the published i == 1 clause
+          // unreachable — intentionally NOT carried here or in the SQL
+          // twin, which must stay expression-identical)
           if (d == 3) {
-            if (i > 1 && !inLex(i - 1) && wl(i - 1) == "least") {
-              if (wl(i - 2) != "at" && wl(i - 2) != "very") v = v * VaderNegScalar
-            } else if (i == 1 && !inLex(i - 1) && wl(i - 1) == "least") {
-              v = v * VaderNegScalar
-            }
+            if (!inLex(i - 1) && wl(i - 1) == "least" &&
+                wl(i - 2) != "at" && wl(i - 2) != "very") v = v * VaderNegScalar
           }
           vs(i) = v
         }

@@ -101,11 +101,24 @@ object SegmentMerge {
 
     // per-shard dense renumber of docmeta; the same window defines the
     // (old -> new) mapping the postings remap consumes
-    val w = Window.partitionBy("shard").orderBy("docId")
     val oldMeta = spark.read.parquet(s"$root/${seg.name}/docmeta")
+    // docId-budget guard, loud like docIdFor's per-row requires: the
+    // renumbered rank must fit the idx bits AND row_number's Int range
+    // (every other ingestion path checks this; the maintenance job must
+    // not be the one silent corruption path)
+    val maxShardDocs = oldMeta.groupBy("shard").count()
+      .agg(max("count")).head().getLong(0)
+    require(maxShardDocs <= Int.MaxValue.toLong &&
+        maxShardDocs <= (1L << IndexBuilder.IdxBits),
+      s"rebase: a shard holds $maxShardDocs docs, exceeding the " +
+        s"${IndexBuilder.IdxBits}-bit local-index budget — re-shard first")
+    val w = Window.partitionBy("shard").orderBy("docId")
     val withNew = oldMeta
       .withColumn("__newId", shiftLeft(col("shard").cast("long"), shiftBits)
         .bitwiseOR(row_number().over(w).cast("long") - 1L))
+      // persisted: the docmeta write and the postings-remap mapping both
+      // consume this window, which is otherwise a full shuffle each time
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withNew.withColumn("docId", col("__newId")).drop("__newId")
       .write.mode("overwrite").parquet(s"$segRoot/docmeta")
     val mapping = withNew
@@ -149,14 +162,22 @@ object SegmentMerge {
     val metrics = SegmentMetrics(seg.metrics.docs, mrow.getLong(0),
       mrow.getLong(1), mrow.getLong(2))
 
-    // the dict (term -> df) is docId-independent: carry it over untouched
+    withNew.unpersist()
+
+    // the dict (term -> df) is docId-independent: carry it over untouched.
+    // batch0Shards after a rebase = EVERY shard: the renumber moves all
+    // documents (bulk AND streamed) into the batch-0 docId space, so the
+    // whole space is occupied — a later bulk batch-0 build must see every
+    // shard as complete (a no-op), never re-issue ids from rank 0 over a
+    // stream-only index whose original batch0Shards was empty. New bulk
+    // corpora enter a rebased index as stream batches (> batchBase).
     val origRaw = IcebergLite.origBatchesOf(seg)
     val newBase = if (origRaw.isEmpty) prev.batchBase else origRaw.max
     val newSeg = SegmentInfo(prev.version, segName, seg.shards, metrics,
       Map("rebasedFrom" -> seg.name,
         "batches" -> "0",
         "origBatches" -> IcebergLite.encodeRanges(origRaw),
-        "batch0Shards" -> IcebergLite.batch0Shards(seg).toSeq.sorted.mkString(",")))
+        "batch0Shards" -> (0 until prev.numShards).mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(newSeg),
       prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase)
     tbl.commit(manifest)

@@ -54,6 +54,10 @@ object AnnIndex {
   /** lsh partition key: low 6 bits of the 16-bit bucket (64 partitions;
     * at scale use more planes/partitions — same mechanism). */
   val Bucket6Mask = 0x3f
+  /** Plane count of the partition key — every probe-code computation
+    * (Scala AND the generated oracles) derives from this, so widening
+    * the mask updates them all in lockstep. */
+  val Bucket6Bits: Int = java.lang.Integer.bitCount(Bucket6Mask)
 
   /** Deterministic pseudo-random hyperplane weight (plane p, dim d) in
     * [-1, 1] — splitmix64 on (p, d), public-domain mixer. Embedded as
@@ -220,6 +224,24 @@ object AnnIndex {
           SegmentMetrics(cents.length.toLong, 0, cents.length.toLong, 0),
           lineage + ("kind" -> "quantizer"))),
       numDocs = nVec, totalTokens = 0L))
+
+    // sweep SUPERSEDED stores of this same dataset dir: each in-place
+    // regeneration mints a fresh fingerprinted root, and the stores are
+    // corpus-sized (vectors duplicated into their cells) — without this
+    // every regeneration would leak a full copy forever. Retention
+    // contract: committing a new store for a source dir invalidates
+    // readers still pinned to its stale-content stores (same horizon
+    // policy as IcebergLite.gc).
+    val work = new java.io.File(SearchOps.workDir)
+    Option(work.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("ann-") && f.getPath != root) {
+        val supersedes =
+          try new IcebergLite(f.getPath).currentManifest()
+            .exists(_.segments.exists(_.lineage.get("source").contains(dir)))
+          catch { case _: Exception => false } // foreign/corrupt: leave it
+        if (supersedes) org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
+    }
     paths
   }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  */
 object AnnOps {
   import Tables._
-  import AnnIndex.{IvfCentroids, IvfProbes, NumPlanes, Dim, Bucket6Mask}
+  import AnnIndex.{IvfCentroids, IvfProbes, NumPlanes, Dim, Bucket6Mask, Bucket6Bits}
 
   /** Cast to double once; all math in doubles (matches the DuckDB oracle). */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -44,8 +44,6 @@ object AnnOps {
   def cosineSql(a: String, b: String): String = {
     def dotSql(x: String, y: String) =
       s"list_reduce(list_transform(list_zip($x, $y), z -> z[1] * z[2]), (acc, v) -> acc + v)"
-    def normSql(x: String) =
-      s"sqrt(list_reduce(list_transform($x, v -> v * v), (acc, v) -> acc + v))"
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
   }
 
@@ -118,7 +116,7 @@ object AnnOps {
     * the same plane dots that chose the bucket; ties break on plane id
     * (the oracle orders identically). */
   def lshProbeCodes(qv: Array[Double]): Seq[Long] = {
-    val dots = (0 until 6).map { p =>
+    val dots = (0 until AnnIndex.Bucket6Bits).map { p =>
       var s = 0.0
       var d = 0
       val n = math.min(qv.length, Dim)
@@ -224,16 +222,16 @@ object AnnOps {
          |FROM e ORDER BY vec_id""".stripMargin,
     "q53_ann_lsh_topk" ->
       s"""WITH $eCte,
-         |b AS (SELECT vec_id, e, ${bucketExpr(6)} AS b6 FROM e),
+         |b AS (SELECT vec_id, e, ${bucketExpr(Bucket6Bits)} AS b6 FROM e),
          |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0)
          |SELECT vec_id, ${r6Sql(cosineSql("b.e", "q.qe"))} AS cos
          |FROM b, q WHERE b.b6 = q.qb6
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q56_ann_lsh_multiprobe" ->
       s"""WITH $eCte,
-         |b AS (SELECT vec_id, e, ${bucketExpr(6)} AS b6 FROM e),
+         |b AS (SELECT vec_id, e, ${bucketExpr(Bucket6Bits)} AS b6 FROM e),
          |q AS (SELECT e AS qe, b6 AS qb6 FROM b WHERE vec_id = 0),
-         |margins AS (${(0 until 6).map(p =>
+         |margins AS (${(0 until Bucket6Bits).map(p =>
               s"SELECT $p AS p, abs(${planeDot(p, "qe")}) AS m FROM q")
               .mkString(" UNION ALL ")}),
          |flips AS (SELECT p FROM margins ORDER BY m, p LIMIT ${AnnIndex.LshProbes - 1}),

@@ -61,12 +61,16 @@ object ScaleSanity {
     println(s"[scale] post-gc identical results: $gcAgree")
     // compact-and-rebase at scale: the docId renumber over the full
     // posting volume (the maintenance job a decade-long stream needs)
-    val preRb = ReferenceQueries.all.take(4).map(q =>
-      eng2.search(q, 10).select("path", "score").collect().toSeq)
+    // compared as path-sorted sets: the display order breaks exact-score
+    // ties by internal docId, which the renumber intentionally changes
+    def topSet(e: QueryEngine, q: String) =
+      e.search(q, 10).select("path", "score").collect().toSeq
+        .sortBy(_.getString(0))
+    val preRb = ReferenceQueries.all.take(4).map(q => topSet(eng2, q))
     val rbm = timed("rebase (renumber)") { SegmentMerge.rebase(spark, root) }
     val eng3 = new QueryEngine(spark, root)
     val rbAgree = ReferenceQueries.all.take(4).zip(preRb).forall { case (q, b) =>
-      eng3.search(q, 10).select("path", "score").collect().toSeq == b }
+      topSet(eng3, q) == b }
     println(s"[scale] post-rebase identical results: $rbAgree; " +
       s"batchBase=${rbm.batchBase} batches=${rbm.segments.flatMap(graft.table.IcebergLite.batchesOf).toSet}")
     spark.stop()

@@ -77,6 +77,10 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p2.root == root2)
     assert(spark.read.parquet(p2.lsh).count() == 32,
       "the fresh store must index the regenerated data, not the stale one")
+    // the superseded store for the SAME dataset dir is swept (a corpus-
+    // sized copy per regeneration would otherwise leak forever)
+    assert(!new java.io.File(root1).exists(),
+      "stale store for the regenerated dataset must be deleted")
   }
 
   test("a crashed (uncommitted) build is cleared and rebuilt on the next ensure") {
