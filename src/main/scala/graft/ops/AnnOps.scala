@@ -26,7 +26,18 @@ object AnnOps {
 
   def l2(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+  /** Cosine with DuckDB's division semantics on degenerate input: a
+    * zero-norm vector (an empty doc's hashed histogram) yields NULL —
+    * Spark 4's ANSI mode otherwise THROWS on double 0/0 (found by the
+    * adversarial-corpus fuzz), while DuckDB returns NULL; NULL drops out
+    * of threshold filters and sorts last in both engines, so parity
+    * holds row-for-row. (Cauchy-Schwarz: zero denominator implies zero
+    * dot, so no information is lost.) */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2(a) * l2(b)
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / denom)
+  }
 
   /** Fold-safe 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 computes the
     * SAME double in Spark and DuckDB (pure fp ops), unlike round(x, 6)

@@ -250,10 +250,11 @@ object DedupOps {
       .join(vecs.select(col("doc_id").as("a"), col("v").as("va")), "a")
       .join(vecs.select(col("doc_id").as("b"), col("v").as("vb")), "b")
       .select(col("a"), col("b"), AnnOps.r6(cos).as("cos"))
-      // NaN guard: two empty docs pair up (identical empty-shingle
-      // signatures) with zero vectors -> cos = 0/0 = NaN, and Spark
-      // orders NaN ABOVE the threshold — exclude it explicitly, as the
-      // oracle does
+      // degenerate-pair guard: two empty docs pair up (identical
+      // empty-shingle signatures) with zero vectors -> cosine yields
+      // NULL (AnnOps.cosine, matching DuckDB's 0/0), which the threshold
+      // drops in both engines; the isnan belt stays for any true-NaN
+      // input the threshold would otherwise keep (Spark orders NaN high)
       .where(col("cos") >= CosineThreshold && !isnan(col("cos")))
       .orderBy("a", "b")
   }
@@ -275,11 +276,14 @@ object DedupOps {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')"
+  // coalesce: DuckDB array_to_string([]) is NULL where Spark concat_ws
+  // is '' — an EMPTY document must shingle to [''] in both engines
+  // (found by the adversarial-corpus fuzz, tools/docs_fuzz.py)
   private val shsSql =
     s"""CASE WHEN len(toks) >= $ShingleSize
        | THEN list_transform(range(1, len(toks) - 1),
        |        j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
-       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+       | ELSE [coalesce(array_to_string(toks, ' '), '')] END""".stripMargin
   private def keysSql =
     s"list_transform(shs, s -> ${PortableHash.duckHex60("s")} % ${PortableHash.P})"
   private def sigListSql =

@@ -111,12 +111,16 @@ object TextOps {
     val tk = toks(col("text"))
     val stopHits = filter(tk, w => w.isInCollection(
       graft.analyze.CodeAnalyzer.Stopwords.toSeq))
+    // nullif guard: an EMPTY document has no token count to divide by —
+    // its ratios are NULL (visible to a pipeline that wants to drop it),
+    // never an ANSI divide-by-zero error
+    val nTok = nullif(size(tk).cast("long"), lit(0L))
     t(spark, dir, "documents").select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars2"),
       size(tk).cast("long").as("n_tokens"),
-      round(size(stopHits).cast("double") / size(tk), 4).as("stop_ratio"),
-      round((length(col("text")) - size(tk) + 1).cast("double") / size(tk), 4)
+      round(size(stopHits).cast("double") / nTok, 4).as("stop_ratio"),
+      round((length(col("text")) - size(tk) + 1).cast("double") / nTok, 4)
         .as("mean_word_len")
     ).orderBy("doc_id")
   }
@@ -152,9 +156,11 @@ object TextOps {
       size(toks(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+      // nullif: empty text -> NULL ratio, not an ANSI divide-by-zero
       round(length(col("text")).cast("double") /
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))), 4).as("chars_per_token")
+        nullif(size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"), lit(0L)),
+        4).as("chars_per_token")
     ).orderBy("doc_id")
 
   /** T5/T10 URL extraction + host parse over synthesized URL-bearing
