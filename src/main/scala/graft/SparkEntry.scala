@@ -114,17 +114,17 @@ object SparkEntry {
         | count(*) AS cnt FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q05_datehist_metrics" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-        | event_type, round(sum(value), 4) AS sum_value,
-        | round(avg(value), 4) AS avg_value, count(*) AS cnt
+        | event_type, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+        | floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "q06_stats_value" ->
-      """SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value,
-        | round(quantile_cont(value, 0.5), 4) AS median_value,
-        | round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+      """SELECT count(*) AS cnt, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        | floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_value,
+        | floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS min_value, floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
         | count(DISTINCT user_id) AS n_users FROM events""".stripMargin,
     "q07_sort_recent" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, user_id,
-        | event_type, round(value, 4) AS value_r
+        | event_type, floor((value) * 10000.0 + 0.5) / 10000.0 AS value_r
         |FROM events ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
     "q08_topk_per_key" ->
       """SELECT user_id, rn, event_id, event_type FROM (
@@ -132,16 +132,27 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
     "q09_pct_change" ->
-      """SELECT event_id, event_type, round((value - prev) / prev * 100.0, 4) AS pct_change
+      """SELECT event_id, event_type, floor(((value - prev) / prev * 100.0) * 10000.0 + 0.5) / 10000.0 AS pct_change
         |FROM (SELECT event_id, event_type, value,
         |        lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
         |      FROM events)
         |WHERE prev IS NOT NULL AND prev <> 0.0 ORDER BY event_id""".stripMargin,
+    // the running sum is spelled as an explicit ORDERED PREFIX FOLD, not
+    // a window sum: DuckDB evaluates windowed aggregates via segment
+    // trees (tree-shaped addition order) while Spark accumulates in frame
+    // order — fp non-associativity diverges at the ulp on mixed-magnitude
+    // values (found by tools/tables_fuzz.py). The left fold reproduces
+    // Spark's accumulation bit-for-bit.
     "q10_running_sum" ->
-      """SELECT event_id, user_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH g AS (SELECT user_id,
+        |             list(value ORDER BY ts, event_id) AS vs,
+        |             list(event_id ORDER BY ts, event_id) AS ids
+        |           FROM events GROUP BY user_id)
+        |SELECT ids[i] AS event_id, user_id,
+        |       floor((list_reduce(vs[1:i], (a, b) -> a + b)) * 10000.0 + 0.5)
+        |         / 10000.0 AS running_value
+        |FROM g, unnest(range(1, len(vs) + 1)) AS t(i)
+        |ORDER BY event_id""".stripMargin,
     "q11_join_dims" ->
       """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -165,13 +176,18 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q16_argmax" ->
-      """SELECT user_id, arg_max(event_type, value) AS top_type,
-        | round(max(value), 4) AS top_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id, event_type AS top_type,
+        | floor((mx) * 10000.0 + 0.5) / 10000.0 AS top_value
+        |FROM (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id DESC) AS rn,
+        |        max(value) OVER (PARTITION BY user_id) AS mx
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q17_json_array_fallback" ->
-      """SELECT event_id, round(coalesce(
+      """SELECT event_id, floor((coalesce(
         |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[1]') AS DOUBLE),
-        |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[0]') AS DOUBLE)), 4) AS last_value
+        |  CAST(json_extract_string('[' || CAST(value AS VARCHAR) || ',null]', '$[0]') AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS last_value
         |FROM events ORDER BY event_id""".stripMargin,
     "q18_datehist_dense" ->
       """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
@@ -184,11 +200,15 @@ object SparkEntry {
         |FROM axis LEFT JOIN counts ON axis.bucket_ts = counts.bucket_ts
         |ORDER BY bucket""".stripMargin,
     "q19_asof_join" ->
-      """WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
-        |     b AS (SELECT * FROM events WHERE event_type = 'view')
-        |SELECT a.event_id, a.user_id, round(b.value, 4) AS asof_value
-        |FROM a ASOF JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
-        |ORDER BY a.event_id""".stripMargin,
+      """WITH cv AS (SELECT * FROM events WHERE event_type IN ('click', 'view')),
+        |w AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN value END
+        |        IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+        |      FROM cv)
+        |SELECT event_id, user_id,
+        |       floor((view_value) * 10000.0 + 0.5) / 10000.0 AS asof_value
+        |FROM w WHERE event_type = 'click' AND view_value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q20_clean_text" ->
       """SELECT doc_id, clean, length(clean) AS clean_len FROM (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
@@ -219,7 +239,7 @@ object SparkEntry {
          |w AS (SELECT user_id, n_events_total,
          |        list_slice(lfull, greatest(1, len(lfull) - ${SentimentOps.MergeWindow - 1}),
          |          len(lfull)) AS l FROM g)
-         |SELECT user_id, round(list_reduce(l, (a, x) -> (a + x) / 2.0), 4) AS merged,
+         |SELECT user_id, floor((list_reduce(l, (a, x) -> (a + x) / 2.0)) * 10000.0 + 0.5) / 10000.0 AS merged,
          |       CAST(len(l) AS BIGINT) AS n_events_used, n_events_total
          |FROM w ORDER BY user_id""".stripMargin,
     "q30_quality" ->

@@ -39,12 +39,10 @@ object AnnOps {
       .otherwise(dot(a, b) / denom)
   }
 
-  /** Fold-safe 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 computes the
-    * SAME double in Spark and DuckDB (pure fp ops), unlike round(x, 6)
-    * whose knife-edge behavior differs between the engines — the same
-    * r4 treatment SentimentOps uses, at cosine precision. */
-  def r6(c: Column): Column = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
-  def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+  /** Fold-safe 6-decimal rounding (Tables.rd: double-floor semantics,
+    * bit-identical to the DuckDB twin even at extreme magnitudes). */
+  def r6(c: Column): Column = Tables.rd(c, 6)
+  def r6Sql(e: String): String = Tables.rdSql(e, 6)
 
   /** The cosine spelled as SEQUENTIAL left folds in DuckDB SQL — the same
     * operands in the same order as the Spark `cosine` expression above

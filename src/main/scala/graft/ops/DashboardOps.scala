@@ -59,8 +59,8 @@ object DashboardOps {
   def qDateHistMetrics(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(round(sum("value"), 4).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"),
+      .agg(rd(sum("value"), 4).as("sum_value"),
+        rd(avg("value"), 4).as("avg_value"),
         count(lit(1)).as("cnt"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("sum_value"), col("avg_value"), col("cnt"))
@@ -92,10 +92,10 @@ object DashboardOps {
   def qStatsValue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events").agg(
       count(lit(1)).as("cnt"),
-      round(avg("value"), 4).as("avg_value"),
-      round(expr("percentile(value, 0.5)"), 4).as("median_value"),
-      round(min("value"), 4).as("min_value"),
-      round(max("value"), 4).as("max_value"),
+      rd(avg("value"), 4).as("avg_value"),
+      rd(expr("percentile(value, 0.5)"), 4).as("median_value"),
+      rd(min("value"), 4).as("min_value"),
+      rd(max("value"), 4).as("max_value"),
       countDistinct("user_id").as("n_users"))
 
   /** O1 sort by date desc + paging (export.json:34-37). */
@@ -105,7 +105,7 @@ object DashboardOps {
       .limit(100)
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
-        col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+        col("user_id"), col("event_type"), rd(col("value"), 4).as("value_r"))
 
   /** O3 per-key cap: first 3 events per user (row_number window). */
   def qTopPerKey(spark: SparkSession, dir: String): DataFrame = {
@@ -125,7 +125,7 @@ object DashboardOps {
       .withColumn("prev", lag("value", 1).over(w))
       .where(col("prev").isNotNull && col("prev") =!= 0.0)  // F11 null guard
       .select(col("event_id"), col("event_type"),
-        round((col("value") - col("prev")) / col("prev") * 100.0, 4).as("pct_change"))
+        rd((col("value") - col("prev")) / col("prev") * 100.0, 4).as("pct_change"))
       .orderBy("event_id")
   }
 
@@ -135,7 +135,7 @@ object DashboardOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
-        round(sum("value").over(w), 4).as("running_value"))
+        rd(sum("value").over(w), 4).as("running_value"))
       .orderBy("event_id")
   }
 
@@ -197,7 +197,7 @@ object DashboardOps {
       org.apache.spark.sql.types.DoubleType))
     t(spark, dir, "events")
       .select(col("event_id"),
-        round(coalesce(element_at(arr, -1), element_at(arr, -2)), 4).as("last_value"))
+        rd(coalesce(element_at(arr, -1), element_at(arr, -2)), 4).as("last_value"))
       .orderBy("event_id")
   }
 
@@ -215,15 +215,17 @@ object DashboardOps {
       .withColumn("view_value",
         last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
       .where(col("event_type") === "click" && col("view_value").isNotNull)
-      .select(col("event_id"), col("user_id"), round(col("view_value"), 4).as("asof_value"))
+      .select(col("event_id"), col("user_id"), rd(col("view_value"), 4).as("asof_value"))
       .orderBy("event_id")
   }
 
-  /** arg-max: highest-value event type per user (max_by). */
+  /** arg-max: highest-value event type per user (max_by). Ordered by the
+    * (value, event_id) PAIR: value ties are broken deterministically (the
+    * same event both engines pick), never left to aggregation order. */
   def qArgMax(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy("user_id")
-      .agg(expr("max_by(event_type, value)").as("top_type"),
-        round(max("value"), 4).as("top_value"))
+      .agg(expr("max_by(event_type, struct(value, event_id))").as("top_type"),
+        rd(max("value"), 4).as("top_value"))
       .orderBy("user_id")
 }

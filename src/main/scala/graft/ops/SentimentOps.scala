@@ -30,15 +30,15 @@ object SentimentOps {
   import Tables._
   import Lexicon._
 
-  /** Fold-safe 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 computes the
-    * SAME double in Spark and DuckDB (pure fp mul/add/floor/div), unlike
-    * round(x, 4) — Spark rounds the exact binary value (BigDecimal
-    * HALF_UP) while DuckDB rounds a decimal rendering, and the two
-    * disagree on knife-edge sums like -0.056249999999999994 (observed on
-    * real data). Sentiment outputs sit on such edges by construction
-    * (small rational sums), so this family uses r4 everywhere. */
-  private def r4(c: Column): Column = floor(c * 10000.0 + lit(0.5)) / 10000.0
-  private def r4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+  /** Fold-safe 4-decimal rounding (Tables.rd): floor(x*1e4 + 0.5)/1e4
+    * computes the SAME double in Spark and DuckDB, unlike round(x, 4) —
+    * Spark rounds the exact binary value (BigDecimal HALF_UP) while
+    * DuckDB rounds a decimal rendering, and the two disagree on knife
+    * edges like -0.056249999999999994 (observed on real data). Sentiment
+    * outputs sit on such edges by construction, so this family uses r4
+    * everywhere. */
+  private def r4(c: Column): Column = Tables.rd(c, 4)
+  private def r4Sql(e: String): String = Tables.rdSql(e, 4)
 
   /** RAW whitespace tokens, ORIGINAL case, empties dropped — the VADER
     * rules need case (ALL-CAPS emphasis) and attached punctuation
@@ -143,12 +143,12 @@ object SentimentOps {
         count(lit(1)).as("n_events_used"),
         max("n_events_total").as("n_events_total"))
       .select(col("user_id"),
-        round(expr(
+        r4(expr(
           "aggregate(transform(ordered, o -> o.value), " +
           "named_struct('started', false, 'acc', cast(0.0 as double)), " +
           "(s, x) -> named_struct('started', true, " +
           "'acc', IF(s.started, (s.acc + x) / 2.0, x)), " +
-          "s -> s.acc)"), 4).as("merged"),
+          "s -> s.acc)")).as("merged"),
         col("n_events_used"), col("n_events_total"))
       .orderBy("user_id")
   }

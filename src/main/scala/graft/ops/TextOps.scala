@@ -39,6 +39,31 @@ object Tables {
     fp(new java.io.File(path))
   }
 
+  /** IEEE double floor as a Column. Spark's `floor` returns LONG and
+    * SATURATES at ±2^63 (observed: floor(8e21) -> Long.MaxValue) while
+    * DuckDB's floor is double -> double; any double with |v| >= 2^52 is
+    * already integral, so passing it through reproduces IEEE floor — and
+    * DuckDB — everywhere. NaN passes through (DuckDB floor(NaN) = NaN;
+    * Spark's long floor would turn it into 0). */
+  def dfloor(c: Column): Column =
+    when(isnan(c), c)
+      .when(abs(c) >= 4503599627370496.0, c) // 2^52: spacing >= 1
+      .otherwise(floor(c).cast("double"))
+
+  /** Fold-safe cross-engine rounding to `d` decimals:
+    * floor(x*10^d + 0.5)/10^d with the SAME fp ops in both engines
+    * (Spark round() uses exact-binary HALF_UP, DuckDB rounds a decimal
+    * rendering; they disagree on knife edges — and big magnitudes need
+    * the double floor above). The SQL twin is rdSql. */
+  def rd(c: Column, d: Int): Column = {
+    val m = math.pow(10, d)
+    dfloor(c * m + lit(0.5)) / m
+  }
+  def rdSql(e: String, d: Int): String = {
+    val m = "1" + ("0" * d) + ".0"
+    s"floor(($e) * $m + 0.5) / $m"
+  }
+
   /** Session-bound cache key + eviction: cached DataFrames/engines are
     * bound to the SparkContext that created them, so keys carry the
     * applicationId and entries from stopped applications are dropped on
