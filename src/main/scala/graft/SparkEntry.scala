@@ -97,9 +97,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_price,
-        | round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
+      """SELECT l_returnflag, l_linestatus, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+        | floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_terms_top5" ->
@@ -154,7 +154,7 @@ object SparkEntry {
         |FROM g, unnest(range(1, len(vs) + 1)) AS t(i)
         |ORDER BY event_id""".stripMargin,
     "q11_join_dims" ->
-      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT r_name, count(*) AS cnt, floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,

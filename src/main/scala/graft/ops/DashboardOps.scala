@@ -22,9 +22,9 @@ object DashboardOps {
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        rd(sum("l_quantity"), 2).as("sum_qty"),
+        rd(sum("l_extendedprice"), 2).as("sum_price"),
+        rd(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -147,7 +147,7 @@ object DashboardOps {
       .join(broadcast(t(spark, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name").agg(count(lit(1)).as("cnt"),
-        round(sum("c_acctbal"), 2).as("sum_bal"))
+        rd(sum("c_acctbal"), 2).as("sum_bal"))
       .orderBy("r_name")
 
   /** J3 semi join: orders that have lineitems, per status. */
