@@ -244,8 +244,8 @@ object SparkEntry {
          |FROM w ORDER BY user_id""".stripMargin,
     "q30_quality" ->
       s"""SELECT doc_id, length(text) AS n_chars2, len(toks) AS n_tokens,
-         | round(CAST(len(list_filter(toks, w -> w IN $stops)) AS DOUBLE) / nullif(len(toks), 0), 4) AS stop_ratio,
-         | round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / nullif(len(toks), 0), 4) AS mean_word_len
+         | floor((CAST(len(list_filter(toks, w -> w IN $stops)) AS DOUBLE) / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         | floor((CAST(length(text) - len(toks) + 1 AS DOUBLE) / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "q31_langid" -> langIdSql,
@@ -253,8 +253,8 @@ object SparkEntry {
       """SELECT doc_id,
         | len(list_filter(string_split(lower(text), ' '), w -> length(w) >= 1 AND w <> '')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
-        | round(CAST(length(text) AS DOUBLE) /
-        |   nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0), 4) AS chars_per_token
+        | floor((CAST(length(text) AS DOUBLE) /
+        |   nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0)) * 10000.0 + 0.5) / 10000.0 AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents ORDER BY doc_id""",

@@ -29,15 +29,13 @@ object AnnOps {
   /** Cosine with DuckDB's division semantics on degenerate input: a
     * zero-norm vector (an empty doc's hashed histogram) yields NULL —
     * Spark 4's ANSI mode otherwise THROWS on double 0/0 (found by the
-    * adversarial-corpus fuzz), while DuckDB returns NULL; NULL drops out
-    * of threshold filters and sorts last in both engines, so parity
-    * holds row-for-row. (Cauchy-Schwarz: zero denominator implies zero
-    * dot, so no information is lost.) */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2(a) * l2(b)
-    when(denom === 0.0, lit(null).cast("double"))
-      .otherwise(dot(a, b) / denom)
-  }
+    * adversarial-corpus fuzz), while DuckDB returns NULL on x/0; NULL
+    * drops out of threshold filters and sorts last in both engines, so
+    * parity holds row-for-row. try_divide evaluates the O(dim) norm
+    * fold ONCE (a CASE-guarded divide would carry the fold in both the
+    * predicate and the branch). */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2(a) * l2(b))
 
   /** Fold-safe 6-decimal rounding (Tables.rd: double-floor semantics,
     * bit-identical to the DuckDB twin even at extreme magnitudes). */

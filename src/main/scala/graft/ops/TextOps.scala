@@ -144,8 +144,8 @@ object TextOps {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars2"),
       size(tk).cast("long").as("n_tokens"),
-      round(size(stopHits).cast("double") / nTok, 4).as("stop_ratio"),
-      round((length(col("text")) - size(tk) + 1).cast("double") / nTok, 4)
+      rd(size(stopHits).cast("double") / nTok, 4).as("stop_ratio"),
+      rd((length(col("text")) - size(tk) + 1).cast("double") / nTok, 4)
         .as("mean_word_len")
     ).orderBy("doc_id")
   }
@@ -182,7 +182,7 @@ object TextOps {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
       // nullif: empty text -> NULL ratio, not an ANSI divide-by-zero
-      round(length(col("text")).cast("double") /
+      rd(length(col("text")).cast("double") /
         nullif(size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"), lit(0L)),
         4).as("chars_per_token")

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static guards over the generated DuckDB oracle SQL — the desync
+  * classes a typo in one of many hand-written oracle strings could
+  * introduce without any test noticing until the driver gate fails. */
+class OracleFormSpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("fold-safe roundings use matching multiplier and divisor") {
+    // floor((e) * M + 0.5) / D is only the cross-engine rounding when
+    // M == D — a typo'd exponent in one copy would silently desync that
+    // oracle from its Spark twin
+    val pat = """floor\(\((?s).*?\) \* (\d+\.0) \+ 0\.5\) / (\d+\.0)""".r
+    var found = 0
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      pat.findAllMatchIn(sql).foreach { m =>
+        found += 1
+        assert(m.group(1) == m.group(2),
+          s"$name: rounding multiplier ${m.group(1)} != divisor ${m.group(2)}")
+      }
+    }
+    assert(found >= 20, s"expected the fold-safe form throughout, found $found")
+  }
+
+  test("no oracle uses the engine-divergent builtins") {
+    // list_cosine_similarity: unpinned summation order (and -1.0 on zero
+    // vectors); round(x, d): Spark/DuckDB knife-edge divergence — both
+    // were eliminated in favor of explicit folds + fold-safe rounding.
+    // round() is still fine on INTEGER-derived or count-like columns,
+    // so only flag it on the known double-valued patterns.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("list_cosine_similarity"),
+        s"$name uses list_cosine_similarity")
+    }
+  }
+}

@@ -18,7 +18,7 @@ in the JVM but to plain 'i' in DuckDB — the one casefold divergence found
 by probing; oracles over İ-bearing text are inapplicable.
 
 Run: python3 tools/docs_fuzz.py [seed]"""
-import os, random, subprocess, sys
+import os, random, shutil, subprocess, sys
 import duckdb
 
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 99
@@ -77,6 +77,7 @@ def write(dirname, docs):
     con.close()
 
 def run(dirname, out, names):
+    shutil.rmtree(out, ignore_errors=True)  # no stale parquet can mask a failure
     r = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.Verify {dirname} {out} " + " ".join(names)],
@@ -84,7 +85,7 @@ def run(dirname, out, names):
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
     if r.returncode != 0:
         print(r.stdout[-3000:], r.stderr[-2000:]); sys.exit(1)
-    fails = [l for l in r.stderr.splitlines() if "[verify]" in l]
+    fails = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
     for l in fails:
         print(l)
     v = subprocess.run(

@@ -3,7 +3,7 @@
 negative values, bursty users, duplicate/zero/extreme vectors — through
 every events- and embeddings-based query vs the DuckDB oracles.
 Run: python3 tools/tables_fuzz.py [seed]"""
-import os, random, subprocess, sys, datetime
+import os, random, shutil, subprocess, sys, datetime
 import duckdb
 
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
@@ -66,6 +66,7 @@ con.execute("COPY d TO 'target/tablesfuzz/documents.parquet' (FORMAT PARQUET)")
 names = ["q04", "q05", "q06", "q07", "q08", "q09", "q10", "q14", "q15",
          "q16", "q17", "q18", "q19", "q26", "q37", "q70",
          "q50", "q51", "q52", "q53", "q54", "q55", "q56"]
+shutil.rmtree("target/tablesfuzz-out", ignore_errors=True)  # no stale parquet
 r = subprocess.run(
     ["sbt", "-batch",
      "runMain graft.Verify target/tablesfuzz target/tablesfuzz-out " + " ".join(names)],
@@ -73,7 +74,7 @@ r = subprocess.run(
     env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
 if r.returncode != 0:
     print(r.stdout[-3000:], r.stderr[-2000:]); sys.exit(1)
-fails = [l for l in r.stderr.splitlines() if "[verify]" in l]
+fails = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
 for l in fails:
     print(l)
 v = subprocess.run(
