@@ -167,7 +167,7 @@ object DedupOps {
     * jaccard >= 0.8 (the driver testdata contains genuine near-dup pairs). */
   def qMinHashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashCandidates(spark, dir, simThreshold = 0.8)
-      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .select(col("a"), col("b"), Tables.rd(col("est_jaccard"), 4).as("est_jaccard"))
 
   /** SimHash (60-bit, tf-weighted) per document via the native SimHash64
     * expression — portable scheme, one pass per row. */
@@ -223,7 +223,7 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(col("shared").cast("double") /
+        Tables.rd(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
       .orderBy(desc("jaccard"), asc("a"), asc("b"))
       .limit(20)
@@ -349,7 +349,7 @@ object DedupOps {
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
          |          FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2)
-         |SELECT a, b, round(shared::DOUBLE / (na + nb - shared), 6) AS jaccard
+         |SELECT a, b, floor((shared::DOUBLE / (na + nb - shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          |FROM pairs
          |JOIN (SELECT doc_id AS a, n_sh AS na FROM sizes) USING (a)
          |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
@@ -362,7 +362,7 @@ object DedupOps {
          |            i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $NumHashes AS ej
          |        FROM cand c JOIN sigs sa ON sa.doc_id = c.a
          |                    JOIN sigs sb ON sb.doc_id = c.b)
-         |SELECT a, b, round(ej, 4) AS est_jaccard FROM est
+         |SELECT a, b, floor((ej) * 10000.0 + 0.5) / 10000.0 AS est_jaccard FROM est
          |WHERE ej >= 0.8 ORDER BY a, b""".stripMargin,
     "q47_ngram_cap_metrics" ->
       s"""WITH $docsCte, $shsCte, $dsCte,

@@ -59,7 +59,7 @@ object SearchOps {
       .where(col("score_raw") > 0.0)
       .orderBy(desc("score_raw"), asc("doc_id"))
       .limit(10)
-      .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+      .select(col("doc_id"), Tables.rd(col("score_raw"), 4).as("score"))
   }
 
   /** Shared BM25-over-documents CTEs for a term list (same analyzer
@@ -94,7 +94,7 @@ object SearchOps {
     val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
     s"""WITH ${bm25Ctes(QueryTerms)},
        |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs)
-       |SELECT doc_id, round(score_raw, 4) AS score FROM scored
+       |SELECT doc_id, floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score FROM scored
        |WHERE score_raw > 0.0 ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
   }
 
@@ -106,7 +106,7 @@ object SearchOps {
     val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
     s"""WITH ${bm25Ctes(QueryTerms)},
        |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs)
-       |SELECT 'doc_' || doc_id AS path, round(score_raw, 4) AS score FROM scored
+       |SELECT 'doc_' || doc_id AS path, floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score FROM scored
        |WHERE score_raw > 0.0 ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
   }
 
@@ -131,7 +131,7 @@ object SearchOps {
     // the top-10 set and the row order aligned even on ties
     s"""WITH ${bm25Ctes(allTerms)},
        |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
-       |topk AS (SELECT 'doc_' || doc_id AS path, round($best, 4) AS score
+       |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
        |         FROM scored WHERE $anyMatch
        |         ORDER BY $best DESC, doc_id LIMIT 10)
        |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
@@ -225,7 +225,7 @@ object SearchOps {
     withTableId(spark, eng, hits)
       .orderBy(desc("score_raw"), asc("table_id"))
       .limit(10)
-      .select(col("path"), round(col("score_raw"), 4).as("score"))
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
   }
 
   /** Boolean keyword query through the engine ("spaces are ANDs commas
@@ -236,7 +236,7 @@ object SearchOps {
     withTableId(spark, eng, hits)
       .orderBy(desc("score_raw"), asc("table_id"))
       .limit(10)
-      .select(col("path"), round(col("score_raw"), 4).as("score"))
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
       .orderBy(desc("score"), asc("path"))
   }
 
@@ -252,7 +252,7 @@ object SearchOps {
       .withColumn("table_id", substring_index(col("path"), "_", -1).cast("long"))
       .orderBy(desc("score_raw"), asc("table_id"))
       .limit(10)
-      .select(col("path"), round(col("score_raw"), 4).as("score"))
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
   }
 
   /** Per-segment metrics from the committed manifest, SQL-checkable

@@ -14,8 +14,9 @@ class OracleFormSpec extends AnyFunSuite {
   test("fold-safe roundings use matching multiplier and divisor") {
     // floor((e) * M + 0.5) / D is only the cross-engine rounding when
     // M == D — a typo'd exponent in one copy would silently desync that
-    // oracle from its Spark twin
-    val pat = """floor\(\((?s).*?\) \* (\d+\.0) \+ 0\.5\) / (\d+\.0)""".r
+    // oracle from its Spark twin. The tail tolerates line wraps (q10's
+    // running-sum oracle wraps before the divisor).
+    val pat = """floor\(\((?s).*?\) \* (\d+\.0) \+ 0\.5\)\s*/\s*(\d+\.0)""".r
     var found = 0
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       pat.findAllMatchIn(sql).foreach { m =>
@@ -24,18 +25,19 @@ class OracleFormSpec extends AnyFunSuite {
           s"$name: rounding multiplier ${m.group(1)} != divisor ${m.group(2)}")
       }
     }
-    assert(found >= 20, s"expected the fold-safe form throughout, found $found")
+    assert(found >= 25, s"expected the fold-safe form throughout, found $found")
   }
 
   test("no oracle uses the engine-divergent builtins") {
     // list_cosine_similarity: unpinned summation order (and -1.0 on zero
-    // vectors); round(x, d): Spark/DuckDB knife-edge divergence — both
-    // were eliminated in favor of explicit folds + fold-safe rounding.
-    // round() is still fine on INTEGER-derived or count-like columns,
-    // so only flag it on the known double-valued patterns.
+    // vectors); round(): Spark rounds the exact binary value (HALF_UP)
+    // while DuckDB rounds a decimal rendering — knife-edge divergence.
+    // Both are banned outright; every rounding goes through the fold-safe
+    // floor form (Tables.rd / rdSql) instead.
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("list_cosine_similarity"),
         s"$name uses list_cosine_similarity")
+      assert(!sql.contains("round("), s"$name uses engine-divergent round()")
     }
   }
 }

@@ -21,6 +21,8 @@ Run: python3 tools/docs_fuzz.py [seed]"""
 import os, random, shutil, subprocess, sys
 import duckdb
 
+os.chdir("/root/repo")  # all corpus/output paths are repo-relative
+
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 99
 rng = random.Random(seed)
 

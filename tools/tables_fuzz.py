@@ -6,6 +6,8 @@ Run: python3 tools/tables_fuzz.py [seed]"""
 import os, random, shutil, subprocess, sys, datetime
 import duckdb
 
+os.chdir("/root/repo")  # all corpus/output paths are repo-relative
+
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
 rng = random.Random(seed)
 base = datetime.datetime(2024, 3, 1, 0, 0, 0)
