@@ -6,9 +6,9 @@ pipes, weird whitespace), score them with the Spark native expression
 compare value-exactly. Run: python3 tools/sent_fuzz.py [seed]"""
 import os, random, subprocess, sys, glob
 import duckdb
+import pyarrow.parquet as pq
 
 os.chdir("/root/repo")  # all corpus/output paths are repo-relative
-import pyarrow.parquet as pq
 
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1234
 rng = random.Random(seed)
