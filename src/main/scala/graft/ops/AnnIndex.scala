@@ -15,18 +15,31 @@ import org.apache.spark.sql.functions._
  * identical corpus always reopens; a crash mid-build leaves no
  * snapshot.json, so the next ensure() clears the debris and rebuilds.
  *
+ * INCREMENTAL MAINTENANCE (the streaming-corpus contract, mirroring the
+ * inverted index's micro-batch segments): `append(batch, batchId)` adds
+ * new vectors WITHOUT touching the committed base — each batch becomes
+ * its own immutable pair of segment dirs (seg-lsh-b<k>, seg-ivf-b<k>),
+ * assigned against the store's FROZEN quantizer (standard IVF practice:
+ * appends never move centroids; re-clustering happens at rebuild), and
+ * becomes visible only at its atomic manifest commit, so a re-delivered
+ * micro-batch is a no-op and a crashed append leaves only unreachable
+ * files that the retry overwrites. `compact()` merges the per-batch
+ * segments back to one dir per structure and GCs the dead ones — the
+ * same build/append/compact lifecycle as the posting-list index.
+ *
  * Layout under workDir/ann-f<ver>-<sha12(dir+fingerprint)>-r<iters>/:
- *   snapshot.json + manifest-1.json  (IcebergLite commit: three segments
- *                                     named lsh/ivf/centroids, with row
- *                                     metrics + build lineage)
- *   lsh/bucket6=<b>/...parquet       (vec_id, label, embedding, bucket16)
- *   ivf/centroid=<c>/...parquet      (vec_id, label, embedding)
- *   centroids/...parquet             (centroid, embedding)
+ *   snapshot.json + manifest-<v>.json (IcebergLite commit: segments
+ *                                      named below, with row metrics +
+ *                                      batch lineage)
+ *   seg-lsh-b<k>/bucket6=<b>/...     (vec_id, label, embedding, bucket16)
+ *   seg-ivf-b<k>/centroid=<c>/...    (vec_id, label, embedding)
+ *   seg-centroids/...parquet         (centroid, embedding — frozen)
  *
  * Both data tables are PARTITIONED BY their probe key, so a query reads
- * only the probed partitions (partition pruning visible in the plan) and
- * never scans the full vector set. At 10^12 vectors this is the standard
- * IVF/LSH store shape: the vectors are duplicated into their cell.
+ * only the probed partitions of every live segment (partition pruning
+ * visible in the plan) and never scans the full vector set. At 10^12
+ * vectors this is the standard IVF/LSH store shape: the vectors are
+ * duplicated into their cell.
  *
  * Determinism/portability: LSH planes come from splitmix64(p,d) and the
  * IVF coarse quantizer uses SEED CENTROIDS (the embeddings of
@@ -40,8 +53,9 @@ object AnnIndex {
 
   /** ANN store FORMAT version: bump when planes/quantizer/layout
     * semantics change, so stores built by an older engine are rebuilt
-    * instead of reopened (the root embeds it). */
-  val FormatVersion = "1"
+    * instead of reopened (the root embeds it). v2: manifest-resolved
+    * per-batch segment dirs (append/compact lifecycle). */
+  val FormatVersion = "2"
 
   val NumPlanes = 16
   val Dim = 64
@@ -144,11 +158,37 @@ object AnnIndex {
     cents
   }
 
+  /** Handle to a committed store root. Data dirs are resolved through
+    * the CURRENT manifest (a file stat), so readers see exactly the
+    * committed segment set — per-batch dirs after appends, a single dir
+    * per structure after compaction. */
   final case class AnnPaths(root: String) {
-    def lsh: String = s"$root/lsh"
-    def ivf: String = s"$root/ivf"
-    def centroids: String = s"$root/centroids"
+    private def manifest: Manifest =
+      new IcebergLite(root).currentManifest().getOrElse(
+        throw new IllegalStateException(s"no committed ANN store at $root"))
+    private def dirs(prefix: String): Seq[String] =
+      manifest.segments.filter(_.name.startsWith(prefix))
+        .map(s => s"$root/${s.name}")
+    def lshDirs: Seq[String] = dirs("seg-lsh")
+    def ivfDirs: Seq[String] = dirs("seg-ivf")
+    def centroidsDir: String = dirs("seg-centroids").head
   }
+
+  /** Read a set of committed store segment dirs as one DataFrame. Each
+    * dir is its own partitioned root (Spark rejects sibling partitioned
+    * roots in a single read), so read them separately and union — a
+    * probe-key filter pushes through the Union into EVERY scan, keeping
+    * partition pruning per segment. A single-segment store (the common,
+    * post-compaction shape) stays a single pruned scan. */
+  private[ops] def readSegs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** Ingest batch ids a store segment contains, RANGE-ENCODED in lineage
+    * ("0,3-7"): a long-lived stream appends thousands of contiguous
+    * batches and compaction folds them into one span, so the manifest
+    * never grows per-batch. */
+  private def segBatches(s: SegmentInfo): Set[Long] =
+    s.lineage.get("batches").map(IcebergLite.decodeRanges).getOrElse(Set.empty)
 
   /** The committed store root for a dataset dir: format version +
     * content fingerprint + build parameters, all in the path (the
@@ -157,6 +197,54 @@ object AnnIndex {
     s"${SearchOps.workDir}/ann-f$FormatVersion-${
       graft.index.IndexBuilder.sha256Hex(dir + "|" +
         Tables.contentFingerprint(s"$dir/embeddings.parquet")).take(12)}-r$refineIters"
+
+  /** One LSH segment write: bucket every vector, partition by bucket6,
+    * return the row count (rides the write job via observe — no extra
+    * pass). Shared by the base build and append. */
+  private def writeLshSegment(spark: SparkSession, src: DataFrame,
+                              dest: String): Long = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(s"ann-lsh-$dest")
+    src.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val b = lshBucket16(e)
+        (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
+      }
+      .toDF("vec_id", "label", "embedding", "bucket16", "bucket6")
+      .observe(obs, count(lit(1)).as("rows"))
+      .repartition(col("bucket6"))
+      .write.partitionBy("bucket6").mode("overwrite").parquet(dest)
+    // an empty write fires no observation metric at all
+    obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
+  }
+
+  /** One IVF segment write against a FIXED quantizer. */
+  private def writeIvfSegment(spark: SparkSession, src: DataFrame,
+                              cents: Array[Array[Double]], dest: String): Unit = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    src.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val c = nearestCentroid(e.map(_.toDouble).toArray, bc.value)
+        (id, label, e, c.toLong)
+      }
+      .toDF("vec_id", "label", "embedding", "centroid")
+      .repartition(col("centroid"))
+      .write.partitionBy("centroid").mode("overwrite").parquet(dest)
+  }
+
+  private def lshLineage(dir: String, batches: String): Map[String, String] =
+    Map("source" -> dir, "format" -> FormatVersion, "kind" -> "lsh-sign-rp",
+      "planes" -> NumPlanes.toString, "partitionKey" -> "bucket6",
+      "batches" -> batches)
+
+  private def ivfLineage(dir: String, batches: String,
+                         refineIters: Int): Map[String, String] =
+    Map("source" -> dir, "format" -> FormatVersion, "kind" -> "ivf",
+      "cells" -> IvfCentroids.toString, "refineIters" -> refineIters.toString,
+      "partitionKey" -> "centroid", "batches" -> batches)
 
   /** Open the committed ANN store for a dataset dir, building it first
     * iff no committed snapshot covers this exact (content, format,
@@ -175,54 +263,29 @@ object AnnIndex {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val emb = t(spark, dir, "embeddings")
 
-    // LSH store: (vec_id, label, embedding, bucket16) partitioned by
-    // bucket6; row metrics ride the write job via observe() (no extra pass)
-    val lshObs = org.apache.spark.sql.Observation(s"ann-lsh-$root")
-    emb.select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Seq[Float])]
-      .map { case (id, label, e) =>
-        val b = lshBucket16(e)
-        (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
-      }
-      .toDF("vec_id", "label", "embedding", "bucket16", "bucket6")
-      .observe(lshObs, count(lit(1)).as("rows"))
-      .repartition(col("bucket6"))
-      .write.partitionBy("bucket6").mode("overwrite").parquet(paths.lsh)
-
-    // IVF store: (vec_id, label, embedding) partitioned by centroid
+    // base (batch 0) LSH + IVF segments
+    val nVec = writeLshSegment(spark, emb, s"$root/seg-lsh-b0")
     val cents0 = seedCentroids(spark, dir)
     val cents = if (refineIters > 0) lloydRefine(spark, dir, cents0, refineIters)
                 else cents0
-    val bc = spark.sparkContext.broadcast(cents)
-    emb.select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Seq[Float])]
-      .map { case (id, label, e) =>
-        val c = nearestCentroid(e.map(_.toDouble).toArray, bc.value)
-        (id, label, e, c.toLong)
-      }
-      .toDF("vec_id", "label", "embedding", "centroid")
-      .repartition(col("centroid"))
-      .write.partitionBy("centroid").mode("overwrite").parquet(paths.ivf)
+    writeIvfSegment(spark, emb, cents, s"$root/seg-ivf-b0")
 
     cents.zipWithIndex
       .map { case (e, c) => (c.toLong, e.toSeq) }.toSeq
       .toDF("centroid", "embedding")
-      .coalesce(1).write.mode("overwrite").parquet(paths.centroids)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/seg-centroids")
 
     // atomic snapshot commit: reopenable from any later session/process
-    val nVec = lshObs.get("rows").asInstanceOf[Long]
-    val lineage = Map("source" -> dir, "format" -> FormatVersion)
     tbl.commit(Manifest(version = 1, numShards = Bucket6Mask + 1,
       segments = Seq(
-        SegmentInfo(0, "lsh", Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          lineage + ("kind" -> "lsh-sign-rp", "planes" -> NumPlanes.toString,
-            "partitionKey" -> "bucket6")),
-        SegmentInfo(1, "ivf", Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          lineage + ("kind" -> "ivf", "cells" -> IvfCentroids.toString,
-            "refineIters" -> refineIters.toString, "partitionKey" -> "centroid")),
-        SegmentInfo(2, "centroids", Nil,
+        SegmentInfo(0, "seg-lsh-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          lshLineage(dir, "0")),
+        SegmentInfo(1, "seg-ivf-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          ivfLineage(dir, "0", refineIters)),
+        SegmentInfo(2, "seg-centroids", Nil,
           SegmentMetrics(cents.length.toLong, 0, cents.length.toLong, 0),
-          lineage + ("kind" -> "quantizer"))),
+          Map("source" -> dir, "format" -> FormatVersion,
+            "kind" -> "quantizer"))),
       numDocs = nVec, totalTokens = 0L))
 
     // sweep SUPERSEDED stores of this same dataset dir: each in-place
@@ -242,6 +305,106 @@ object AnnIndex {
         if (supersedes) org.apache.commons.io.FileUtils.deleteQuietly(f)
       }
     }
+    paths
+  }
+
+  /** Append one ingest micro-batch of NEW vectors (vec_id, embedding,
+    * label; ids must not collide with committed ones — the caller owns
+    * id assignment, as with the inverted index's docIds) to an existing
+    * committed store. The batch is bucketed/assigned against the store's
+    * FROZEN planes and quantizer and written as its own immutable
+    * segment pair, visible only at the atomic manifest commit. Returns
+    * false (a no-op) when this batchId is already committed — the
+    * exactly-once re-delivery contract; a crashed append commits
+    * nothing and the retry overwrites its debris. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             batchId: Long, refineIters: Int = 0): Boolean = synchronized {
+    import spark.implicits._
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build), got $batchId")
+    val root = rootFor(dir, refineIters)
+    val tbl = new IcebergLite(root)
+    val m = tbl.currentManifest().getOrElse(throw new IllegalStateException(
+      s"no committed ANN store for $dir — run ensure() before append()"))
+    if (m.segments.exists(s => segBatches(s).contains(batchId)))
+      return false // already committed: re-delivered micro-batch
+
+    val cents = spark.read.parquet(AnnPaths(root).centroidsDir)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val lshName = s"seg-lsh-b$batchId"
+    val ivfName = s"seg-ivf-b$batchId"
+    val n = writeLshSegment(spark, batch, s"$root/$lshName")
+    if (n == 0) {
+      // empty micro-batch (streams deliver them routinely): a file-less
+      // partitioned dir would break later segment reads, so commit no
+      // new segment — just fold the batchId into the existing lineage
+      // ranges, which keeps the re-delivery check exact
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$root/$lshName"))
+      val segs = m.segments.map { s =>
+        if (s.name.startsWith("seg-lsh") || s.name.startsWith("seg-ivf"))
+          s.copy(lineage = s.lineage + ("batches" ->
+            IcebergLite.encodeRanges(segBatches(s) + batchId)))
+        else s
+      }
+      tbl.commit(m.copy(version = m.version + 1, segments = segs))
+      return true
+    }
+    writeIvfSegment(spark, batch, cents, s"$root/$ivfName")
+
+    val nextSeg = m.segments.map(_.segId).max + 1
+    val refine = m.segments.find(_.name.startsWith("seg-ivf"))
+      .flatMap(_.lineage.get("refineIters")).getOrElse("0")
+    tbl.commit(m.copy(version = m.version + 1,
+      segments = m.segments ++ Seq(
+        SegmentInfo(nextSeg, lshName, Nil, SegmentMetrics(n, 0, n, 0),
+          lshLineage(dir, batchId.toString)),
+        SegmentInfo(nextSeg + 1, ivfName, Nil, SegmentMetrics(n, 0, n, 0),
+          ivfLineage(dir, batchId.toString, refine.toInt))),
+      numDocs = m.numDocs + n))
+    true
+  }
+
+  /** Merge the per-batch segment dirs back to ONE dir per structure
+    * (re-partitioned by probe key) and GC the dead ones — the ANN
+    * analogue of SegmentMerge over posting segments. Queries before,
+    * during and after see identical rows: the merged segments become
+    * visible only at the atomic commit, and batch lineage is folded into
+    * ranges so re-delivery of any pre-compaction batch stays a no-op. */
+  def compact(spark: SparkSession, dir: String,
+              refineIters: Int = 0): AnnPaths = synchronized {
+    val root = rootFor(dir, refineIters)
+    val tbl = new IcebergLite(root)
+    val m = tbl.currentManifest().getOrElse(throw new IllegalStateException(
+      s"no committed ANN store for $dir — nothing to compact"))
+    val paths = AnnPaths(root)
+    val lshSegs = m.segments.filter(_.name.startsWith("seg-lsh"))
+    val ivfSegs = m.segments.filter(_.name.startsWith("seg-ivf"))
+    if (lshSegs.size <= 1 && ivfSegs.size <= 1) return paths // already compact
+
+    val v = m.version + 1
+    val batches = IcebergLite.encodeRanges(
+      (lshSegs ++ ivfSegs).flatMap(segBatches).toSet)
+    val lshName = s"seg-lsh-v$v"
+    val ivfName = s"seg-ivf-v$v"
+    // explicit partition count: AQE must not coalesce the merge write
+    readSegs(spark, paths.lshDirs)
+      .repartition(Bucket6Mask + 1, col("bucket6"))
+      .write.partitionBy("bucket6").mode("overwrite").parquet(s"$root/$lshName")
+    readSegs(spark, paths.ivfDirs)
+      .repartition(IvfCentroids, col("centroid"))
+      .write.partitionBy("centroid").mode("overwrite").parquet(s"$root/$ivfName")
+
+    val nLsh = lshSegs.map(_.metrics.docs).sum
+    val refine = ivfSegs.flatMap(_.lineage.get("refineIters"))
+      .headOption.getOrElse("0")
+    val centroidsSeg = m.segments.filter(_.name.startsWith("seg-centroids"))
+    tbl.commit(m.copy(version = v,
+      segments = centroidsSeg ++ Seq(
+        SegmentInfo(0, lshName, Nil, SegmentMetrics(nLsh, 0, nLsh, 0),
+          lshLineage(dir, batches)),
+        SegmentInfo(1, ivfName, Nil, SegmentMetrics(nLsh, 0, nLsh, 0),
+          ivfLineage(dir, batches, refine.toInt)))))
+    tbl.gc() // delete the dead per-batch dirs + old manifests
     paths
   }
 }

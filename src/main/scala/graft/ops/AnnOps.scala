@@ -21,6 +21,9 @@ object AnnOps {
   /** Cast to double once; all math in doubles (matches the DuckDB oracle). */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  private def readSegs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    AnnIndex.readSegs(spark, dirs)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -93,7 +96,7 @@ object AnnOps {
     * is hash-verified. */
   def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val paths = AnnIndex.ensure(spark, dir)
-    spark.read.parquet(paths.lsh)
+    readSegs(spark, paths.lshDirs)
       .select(col("vec_id"), col("bucket16").as("bucket"))
       .orderBy("vec_id")
   }
@@ -106,7 +109,7 @@ object AnnOps {
     val paths = AnnIndex.ensure(spark, dir)
     val qv = queryVec(spark, dir)
     val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & Bucket6Mask
-    val cand = spark.read.parquet(paths.lsh)
+    val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
     cand.crossJoin(broadcast(qvDf))
@@ -146,7 +149,7 @@ object AnnOps {
     val paths = AnnIndex.ensure(spark, dir)
     val qv = queryVec(spark, dir)
     val probes = lshProbeCodes(qv)
-    val cand = spark.read.parquet(paths.lsh)
+    val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
     cand.crossJoin(broadcast(qvDf))
@@ -160,7 +163,7 @@ object AnnOps {
     * the oracle recomputes argmin-to-seed-centroids from raw embeddings. */
   def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame = {
     val paths = AnnIndex.ensure(spark, dir)
-    spark.read.parquet(paths.ivf)
+    readSegs(spark, paths.ivfDirs)
       .select(col("vec_id"), col("centroid").cast("long").as("centroid"))
       .orderBy("vec_id")
   }
@@ -172,7 +175,7 @@ object AnnOps {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir)
     val qv = queryVec(spark, dir)
-    val cents = spark.read.parquet(paths.centroids)
+    val cents = spark.read.parquet(paths.centroidsDir)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val probed: Seq[Long] = cents.map { case (c, ce) =>
       var d = 0.0
@@ -181,7 +184,7 @@ object AnnOps {
       while (i < n) { val x = qv(i) - ce(i); d += x * x; i += 1 }
       (c, d)
     }.sortBy { case (c, d) => (d, c) }.take(IvfProbes).map(_._1).toSeq
-    val cand = spark.read.parquet(paths.ivf)
+    val cand = readSegs(spark, paths.ivfDirs)
       .where(col("centroid").isin(probed: _*)) // partition filter
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
     cand.crossJoin(broadcast(qvDf))

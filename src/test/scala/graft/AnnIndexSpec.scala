@@ -2,12 +2,15 @@ package graft
 
 import graft.ops.{AnnIndex, AnnOps, Tables}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Durability contract of the materialized ANN stores: built once,
-  * committed behind the snapshot protocol, REOPENED (not rebuilt) by
-  * later opens; content-fingerprinted roots so a regenerated dataset
-  * rebuilds instead of serving stale buckets. */
+/** Durability + incremental-maintenance contract of the materialized ANN
+  * stores: built once, committed behind the snapshot protocol, REOPENED
+  * (not rebuilt) by later opens; content-fingerprinted roots so a
+  * regenerated dataset rebuilds instead of serving stale buckets; and
+  * the append/compact micro-batch lifecycle mirroring the inverted
+  * index (frozen quantizer, idempotent re-delivery, atomic visibility). */
 class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
 
   private val sf = "/root/testdata/sf0.001"
@@ -15,6 +18,17 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
   private def snap(f: java.io.File): Seq[(String, Long, Long)] =
     if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(snap)
     else Seq((f.getPath, f.length, f.lastModified))
+
+  /** A temp dataset dir holding the sf embeddings rows with vec_id in
+    * [lo, hi) as its embeddings table. */
+  private def subsetDir(prefix: String, lo: Int, hi: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), prefix).toString
+    Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") >= lo && col("vec_id") < hi)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
 
   test("committed ANN store is reopened, never rebuilt: no jobs, no file churn, same results") {
     val p1 = AnnIndex.ensure(spark, sf)
@@ -48,16 +62,16 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
   test("manifest records the three store segments with row metrics") {
     val p = AnnIndex.ensure(spark, sf)
     val m = new graft.table.IcebergLite(p.root).currentManifest().get
-    assert(m.segments.map(_.name).sorted == Seq("centroids", "ivf", "lsh"))
-    val lsh = m.segments.find(_.name == "lsh").get
+    assert(m.segments.map(_.name).sorted ==
+      Seq("seg-centroids", "seg-ivf-b0", "seg-lsh-b0"))
+    val lsh = m.segments.find(_.name.startsWith("seg-lsh")).get
     assert(lsh.metrics.docs == Tables.t(spark, sf, "embeddings").count())
     assert(lsh.lineage("source") == sf)
-    assert(m.segments.find(_.name == "centroids").get.metrics.docs ==
+    assert(m.segments.find(_.name == "seg-centroids").get.metrics.docs ==
       AnnIndex.IvfCentroids.toLong)
   }
 
   test("regenerated dataset at the same path gets a fresh fingerprinted root") {
-    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "annfp").toString
     val src = Tables.t(spark, sf, "embeddings").limit(64)
@@ -75,7 +89,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
       "fingerprint must change when the dataset is regenerated in place")
     val p2 = AnnIndex.ensure(spark, dir)
     assert(p2.root == root2)
-    assert(spark.read.parquet(p2.lsh).count() == 32,
+    assert(spark.read.parquet(p2.lshDirs: _*).count() == 32,
       "the fresh store must index the regenerated data, not the stale one")
     // the superseded store for the SAME dataset dir is swept (a corpus-
     // sized copy per regeneration would otherwise leak forever)
@@ -84,18 +98,110 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("a crashed (uncommitted) build is cleared and rebuilt on the next ensure") {
-    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "anncrash").toString
     Tables.t(spark, sf, "embeddings").limit(48).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val root = AnnIndex.rootFor(dir)
     // simulate a crash: partial store files on disk, NO snapshot commit
-    new java.io.File(s"$root/lsh").mkdirs()
+    new java.io.File(s"$root/seg-lsh-b0").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/lsh/garbage.parquet"), "not parquet")
+      java.nio.file.Paths.get(s"$root/seg-lsh-b0/garbage.parquet"), "not parquet")
     val p = AnnIndex.ensure(spark, dir)
     assert(new graft.table.IcebergLite(p.root).exists)
-    assert(spark.read.parquet(p.lsh).count() == 48)
+    assert(spark.read.parquet(p.lshDirs: _*).count() == 48)
+  }
+
+  test("APPEND: base + appended batch answers exactly like a fresh full build") {
+    // grown store: base build over vec_id [0,120), one appended batch
+    // [120,200) assigned against the FROZEN planes + seed quantizer
+    val grown = subsetDir("anngrow", 0, 120)
+    AnnIndex.ensure(spark, grown)
+    val batch = Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") >= 120 && col("vec_id") < 200)
+    assert(AnnIndex.append(spark, grown, batch, batchId = 1))
+
+    // reference store: one fresh build over the full [0,200) — the seed
+    // centroids (vec_id < 16) are identical, so assignments must agree
+    val full = subsetDir("annfull", 0, 200)
+    AnnIndex.ensure(spark, full)
+
+    assert(AnnOps.qAnnLshBuckets(spark, grown).collect().toSeq ==
+      AnnOps.qAnnLshBuckets(spark, full).collect().toSeq)
+    assert(AnnOps.qAnnIvfAssign(spark, grown).collect().toSeq ==
+      AnnOps.qAnnIvfAssign(spark, full).collect().toSeq)
+    assert(AnnOps.qAnnLshTopK(spark, grown).collect().toSeq ==
+      AnnOps.qAnnLshTopK(spark, full).collect().toSeq)
+    assert(AnnOps.qAnnLshMultiProbe(spark, grown).collect().toSeq ==
+      AnnOps.qAnnLshMultiProbe(spark, full).collect().toSeq)
+    assert(AnnOps.qAnnIvfTopK(spark, grown).collect().toSeq ==
+      AnnOps.qAnnIvfTopK(spark, full).collect().toSeq)
+
+    // queries on the grown store still PRUNE: they read only the probed
+    // bucket partitions of each live segment, never the full store
+    val scan = AnnOps.qAnnLshTopK(spark, grown)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+    val scans = scan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, "one pruned scan per live segment")
+    val sel = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(sel <= 2, s"single-probe over 2 segments must read <= 2 dirs, got $sel")
+    assert(scans.map(_.relation.location.inputFiles.length).sum > sel)
+
+    // re-delivered micro-batch: a committed batchId is a NO-OP
+    val root = AnnIndex.rootFor(grown)
+    val mBefore = new graft.table.IcebergLite(root).currentManifest().get
+    val before = snap(new java.io.File(root))
+    assert(!AnnIndex.append(spark, grown, batch, batchId = 1))
+    assert(new graft.table.IcebergLite(root).currentManifest().get.version ==
+      mBefore.version)
+    assert(snap(new java.io.File(root)) == before,
+      "re-delivery must not touch the store")
+    assert(mBefore.numDocs == 200L)
+
+    // COMPACT: per-batch segments merge to one dir per structure; same
+    // answers, dead dirs GC'd, pre-compaction re-delivery still a no-op
+    val lshTop = AnnOps.qAnnLshTopK(spark, grown).collect().toSeq
+    AnnIndex.compact(spark, grown)
+    val mAfter = new graft.table.IcebergLite(root).currentManifest().get
+    assert(mAfter.segments.size == 3,
+      s"compacted store must hold 3 segments, got ${mAfter.segments.map(_.name)}")
+    assert(!new java.io.File(s"$root/seg-lsh-b0").exists(),
+      "dead per-batch dir must be GC'd")
+    assert(!new java.io.File(s"$root/seg-lsh-b1").exists())
+    assert(AnnOps.qAnnLshTopK(spark, grown).collect().toSeq == lshTop)
+    assert(AnnOps.qAnnLshBuckets(spark, grown).count() == 200L)
+    assert(!AnnIndex.append(spark, grown, batch, batchId = 1),
+      "range-folded lineage must still recognize a pre-compaction batch")
+    // a genuinely new batch keeps working after compaction
+    val batch2 = Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") >= 200 && col("vec_id") < 210)
+    assert(AnnIndex.append(spark, grown, batch2, batchId = 2))
+    assert(AnnOps.qAnnLshBuckets(spark, grown).count() == 210L)
+
+    // EMPTY micro-batch: committed as lineage only (no file-less dirs),
+    // still exactly-once on re-delivery, store answers unchanged
+    val empty = Tables.t(spark, sf, "embeddings").where(col("vec_id") < 0)
+    assert(AnnIndex.append(spark, grown, empty, batchId = 3))
+    assert(!AnnIndex.append(spark, grown, empty, batchId = 3))
+    assert(!new java.io.File(s"$root/seg-lsh-b3").exists())
+    assert(AnnOps.qAnnLshBuckets(spark, grown).count() == 210L)
+  }
+
+  test("append without a committed base build fails loudly") {
+    val dir = subsetDir("annnobase", 0, 32)
+    val batch = Tables.t(spark, sf, "embeddings").where(col("vec_id") < 8)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, batch, batchId = 1)
+    }
+    assert(e.getMessage.contains("ensure"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, batch, batchId = 0)
+    }
   }
 }
