@@ -61,6 +61,7 @@ object SparkEntry {
     "q35_lang_filter" -> (TextOps.qLangFilter _),
     "q36_contains_filter" -> (TextOps.qContainsFilter _),
     "q37_date_parse" -> (TextOps.qDateParse _),
+    "q38_approx_distinct" -> (DashboardOps.qApproxDistinct _),
     // dedup family
     "q40_dedup_exact" -> (DedupOps.qDedupExact _),
     "q41_minhash_sigs" -> (DedupOps.qMinHashSigs _),
@@ -276,6 +277,14 @@ object SparkEntry {
         | strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'),
         |   '%Y-%m-%dT%H:%M:%S') AS iso_ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // exact_users is hash-checked; approx_ok pins Spark's HLL++ sketch
+    // to its published error contract (rsd 0.02, margin 5%) — the
+    // sketch itself is engine-internal, so the oracle asserts the
+    // contract, not the register values
+    "q38_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT sha256(trim(lower(text))) AS content_sha, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -98,6 +98,25 @@ object DashboardOps {
       rd(max("value"), 4).as("max_value"),
       countDistinct("user_id").as("n_users"))
 
+  /** Kibana "unique count" = ES `cardinality` (HLL sketch) — present on
+    * the reference platform though unused by its dashboard (SURVEY §2.5
+    * optional stretch). Spark's approx_count_distinct is the same
+    * HyperLogLog++ shape: mergeable register sketches, so the result is
+    * deterministic under any partitioning — the 100 TB cardinality path
+    * (exact distinct shuffles every key; the sketch ships 2^p bytes per
+    * partition). The exact count is hash-oracled; the sketch is verified
+    * by its published error contract (rsd 0.02 → |err| well under 5%),
+    * which the oracle pins as a boolean both engines must agree on. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
   /** O1 sort by date desc + paging (export.json:34-37). */
   def qSortRecent(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
