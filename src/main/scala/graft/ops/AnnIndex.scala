@@ -137,9 +137,19 @@ object AnnIndex {
   def lloydRefine(spark: SparkSession, dir: String,
                   init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
+    lloydRefineVecs(spark, t(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      .as[(Long, Seq[Double])]
+      .as[(Long, Seq[Double])], init, iters)
+  }
+
+  /** Lloyd core over any (id, vector) dataset — the compact(recluster)
+    * path refines over the STORE's own rows (base + appended batches),
+    * not the original source table. */
+  private def lloydRefineVecs(spark: SparkSession,
+                              emb: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+                              init: Array[Array[Double]],
+                              iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
     var cents = init
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
@@ -369,9 +379,18 @@ object AnnIndex {
     * analogue of SegmentMerge over posting segments. Queries before,
     * during and after see identical rows: the merged segments become
     * visible only at the atomic commit, and batch lineage is folded into
-    * ranges so re-delivery of any pre-compaction batch stays a no-op. */
-  def compact(spark: SparkSession, dir: String,
-              refineIters: Int = 0): AnnPaths = synchronized {
+    * ranges so re-delivery of any pre-compaction batch stays a no-op.
+    *
+    * `recluster > 0` additionally runs that many Lloyd rounds over the
+    * STORE's own vectors (base + every appended batch) and reassigns all
+    * inverted lists to the refined centroids — the standard remedy for
+    * quantizer drift under append-only growth (appends are assigned
+    * against frozen centroids; a corpus that drifts from the seed
+    * distribution degrades cell balance until a recluster). The LSH side
+    * never needs this: its planes are data-independent. */
+  def compact(spark: SparkSession, dir: String, refineIters: Int = 0,
+              recluster: Int = 0): AnnPaths = synchronized {
+    import spark.implicits._
     val root = rootFor(dir, refineIters)
     val tbl = new IcebergLite(root)
     val m = tbl.currentManifest().getOrElse(throw new IllegalStateException(
@@ -379,31 +398,73 @@ object AnnIndex {
     val paths = AnnPaths(root)
     val lshSegs = m.segments.filter(_.name.startsWith("seg-lsh"))
     val ivfSegs = m.segments.filter(_.name.startsWith("seg-ivf"))
-    if (lshSegs.size <= 1 && ivfSegs.size <= 1) return paths // already compact
+    val fragmented = lshSegs.size > 1 || ivfSegs.size > 1
+    if (!fragmented && recluster <= 0) return paths // already compact
 
     val v = m.version + 1
     val batches = IcebergLite.encodeRanges(
       (lshSegs ++ ivfSegs).flatMap(segBatches).toSet)
-    val lshName = s"seg-lsh-v$v"
-    val ivfName = s"seg-ivf-v$v"
-    // explicit partition count: AQE must not coalesce the merge write
-    readSegs(spark, paths.lshDirs)
-      .repartition(Bucket6Mask + 1, col("bucket6"))
-      .write.partitionBy("bucket6").mode("overwrite").parquet(s"$root/$lshName")
-    readSegs(spark, paths.ivfDirs)
-      .repartition(IvfCentroids, col("centroid"))
-      .write.partitionBy("centroid").mode("overwrite").parquet(s"$root/$ivfName")
-
-    val nLsh = lshSegs.map(_.metrics.docs).sum
+    val nVec = lshSegs.map(_.metrics.docs).sum
     val refine = ivfSegs.flatMap(_.lineage.get("refineIters"))
       .headOption.getOrElse("0")
-    val centroidsSeg = m.segments.filter(_.name.startsWith("seg-centroids"))
-    tbl.commit(m.copy(version = v,
-      segments = centroidsSeg ++ Seq(
-        SegmentInfo(0, lshName, Nil, SegmentMetrics(nLsh, 0, nLsh, 0),
-          lshLineage(dir, batches)),
-        SegmentInfo(1, ivfName, Nil, SegmentMetrics(nLsh, 0, nLsh, 0),
-          ivfLineage(dir, batches, refine.toInt)))))
+
+    // LSH: merge when fragmented (planes are data-independent, so a
+    // single-segment store needs no rewrite even when reclustering);
+    // explicit partition count: AQE must not coalesce the merge write
+    val lshSeg =
+      if (lshSegs.size > 1) {
+        val lshName = s"seg-lsh-v$v"
+        readSegs(spark, paths.lshDirs)
+          .repartition(Bucket6Mask + 1, col("bucket6"))
+          .write.partitionBy("bucket6").mode("overwrite")
+          .parquet(s"$root/$lshName")
+        SegmentInfo(0, lshName, Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          lshLineage(dir, batches))
+      } else lshSegs.head.copy(segId = 0,
+        lineage = lshSegs.head.lineage + ("batches" -> batches))
+
+    // quantizer: refined over the store's own vectors, or carried over
+    val centroidsSeg0 = m.segments.find(_.name.startsWith("seg-centroids")).get
+    val (newCents, centroidsSeg) =
+      if (recluster > 0) {
+        val cur = spark.read.parquet(paths.centroidsDir)
+          .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+        val vecs = readSegs(spark, paths.lshDirs)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .as[(Long, Seq[Double])]
+        val nc = lloydRefineVecs(spark, vecs, cur, recluster)
+        val name = s"seg-centroids-v$v"
+        nc.zipWithIndex.map { case (e, c) => (c.toLong, e.toSeq) }.toSeq
+          .toDF("centroid", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+        (Some(nc), SegmentInfo(2, name, Nil,
+          SegmentMetrics(nc.length.toLong, 0, nc.length.toLong, 0),
+          centroidsSeg0.lineage + ("reclustered" -> recluster.toString)))
+      } else (None, centroidsSeg0.copy(segId = 2))
+
+    // IVF: reassign against refined centroids, else a pure merge of the
+    // stored assignments (deterministic — no recompute needed)
+    val ivfSeg =
+      if (recluster > 0 || ivfSegs.size > 1) {
+        val ivfName = s"seg-ivf-v$v"
+        newCents match {
+          case Some(nc) =>
+            writeIvfSegment(spark, readSegs(spark, paths.lshDirs), nc,
+              s"$root/$ivfName")
+          case None =>
+            readSegs(spark, paths.ivfDirs)
+              .repartition(IvfCentroids, col("centroid"))
+              .write.partitionBy("centroid").mode("overwrite")
+              .parquet(s"$root/$ivfName")
+        }
+        SegmentInfo(1, ivfName, Nil, SegmentMetrics(nVec, 0, nVec, 0),
+          ivfLineage(dir, batches, refine.toInt) ++
+            newCents.map(_ => "reclustered" -> recluster.toString))
+      } else ivfSegs.head.copy(segId = 1,
+        lineage = ivfSegs.head.lineage + ("batches" -> batches))
+
+    tbl.commit(m.copy(version = v, segments = Seq(lshSeg, ivfSeg, centroidsSeg)))
     tbl.gc() // delete the dead per-batch dirs + old manifests
     paths
   }

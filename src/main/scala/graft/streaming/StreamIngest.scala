@@ -49,6 +49,31 @@ object StreamIngest {
       .start()
   }
 
+  /** Continuous ANN-store ingest: arriving embedding batches APPEND to
+    * the committed store for `datasetDir` (built by AnnIndex.ensure)
+    * against its frozen planes/quantizer — the same exactly-once recipe
+    * as indexStream: streaming checkpoint + foreachBatch + the store's
+    * idempotent batch lineage (a re-delivered batchId no-ops). Stream
+    * batches are 1-based; batch 0 stays the base build. */
+  def annStream(spark: SparkSession, sourceDir: String, datasetDir: String,
+                checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = spark.read
+      .parquet(s"$datasetDir/embeddings.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AnnIndex.append(batch.sparkSession, datasetDir, batch,
+          batchId = batchId + 1)
+        ()
+      }
+      .start()
+  }
+
   /** W2/W3: the dashboard's date_histogram as a stream — tumbling 30 s
     * windows with a 2 min watermark (late rows beyond it are dropped,
     * a documented completeness tradeoff vs the reference's

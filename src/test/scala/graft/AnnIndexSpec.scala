@@ -193,6 +193,38 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(AnnOps.qAnnLshBuckets(spark, grown).count() == 210L)
   }
 
+  test("compact(recluster): Lloyd over the store's own vectors, lists reassigned, quantizer committed") {
+    import spark.implicits._
+    val dir = subsetDir("annrecl", 0, 100)
+    val p = AnnIndex.ensure(spark, dir)
+    val batch = Tables.t(spark, sf, "embeddings")
+      .where(col("vec_id") >= 100 && col("vec_id") < 160)
+    assert(AnnIndex.append(spark, dir, batch, batchId = 1))
+    val before = spark.read.parquet(p.centroidsDir)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+
+    AnnIndex.compact(spark, dir, recluster = 2)
+    val root = AnnIndex.rootFor(dir)
+    val m = new graft.table.IcebergLite(root).currentManifest().get
+    assert(m.segments.exists(_.name.startsWith("seg-centroids-v")),
+      "recluster must commit a fresh quantizer segment")
+    assert(m.segments.find(_.name.startsWith("seg-ivf")).get
+      .lineage("reclustered") == "2")
+    val after = spark.read.parquet(p.centroidsDir)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(after.size == AnnIndex.IvfCentroids)
+    assert(after != before, "Lloyd rounds must move at least one centroid")
+
+    // every vector (base + appended) reassigned; probe query still exact
+    // on its own cell; a second compact finds nothing to do
+    assert(AnnOps.qAnnIvfAssign(spark, dir).count() == 160L)
+    assert(AnnOps.qAnnIvfTopK(spark, dir).collect().head.getLong(0) == 0L)
+    assert(AnnOps.qAnnLshBuckets(spark, dir).count() == 160L)
+    val vNow = m.version
+    AnnIndex.compact(spark, dir)
+    assert(new graft.table.IcebergLite(root).currentManifest().get.version == vNow)
+  }
+
   test("append without a committed base build fails loudly") {
     val dir = subsetDir("annnobase", 0, 32)
     val batch = Tables.t(spark, sf, "embeddings").where(col("vec_id") < 8)

@@ -56,6 +56,38 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r.builtShards.isEmpty && r.manifest.numDocs === before.numDocs)
   }
 
+  test("streaming ANN ingest: arriving embedding batches grow the committed store exactly-once") {
+    val sf = "/root/testdata/sf0.001"
+    val ds = s"$work/ann-dataset"
+    val src = s"$work/ann-incoming"
+    val ckpt = s"$work/ann-ckpt"
+    Files.createDirectories(Paths.get(src))
+    val emb = graft.ops.Tables.t(spark, sf, "embeddings")
+    emb.where(col("vec_id") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    graft.ops.AnnIndex.ensure(spark, ds)
+
+    emb.where(col("vec_id") >= 100 && col("vec_id") < 150)
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamIngest.annStream(spark, src, ds, ckpt).awaitTermination()
+    assert(graft.ops.AnnOps.qAnnLshBuckets(spark, ds).count() === 150L)
+
+    // second arrival through the same checkpoint
+    emb.where(col("vec_id") >= 150 && col("vec_id") < 180)
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamIngest.annStream(spark, src, ds, ckpt).awaitTermination()
+    assert(graft.ops.AnnOps.qAnnLshBuckets(spark, ds).count() === 180L)
+    assert(graft.ops.AnnOps.qAnnIvfAssign(spark, ds).count() === 180L)
+
+    // exactly-once both ways: a restart with nothing new is a no-op
+    // (checkpoint), and a manual re-delivery of a committed batch id
+    // no-ops through the store's lineage
+    StreamIngest.annStream(spark, src, ds, ckpt).awaitTermination()
+    assert(graft.ops.AnnOps.qAnnLshBuckets(spark, ds).count() === 180L)
+    val redelivered = emb.where(col("vec_id") >= 100 && col("vec_id") < 150)
+    assert(!graft.ops.AnnIndex.append(spark, ds, redelivered, batchId = 1))
+  }
+
   test("watermarked 30s window counts over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
