@@ -278,9 +278,10 @@ object SparkEntry {
         |   '%Y-%m-%dT%H:%M:%S') AS iso_ts
         |FROM events ORDER BY event_id""".stripMargin,
     // exact_users is hash-checked; approx_ok pins Spark's HLL++ sketch
-    // to its published error contract (rsd 0.02, margin 5%) — the
-    // sketch itself is engine-internal, so the oracle asserts the
-    // contract, not the register values
+    // to its published error contract (rsd 0.02, margin 10% = 5 sigma:
+    // real bound, un-flakeable on regenerated data) — the sketch itself
+    // is engine-internal, so the oracle asserts the contract, not the
+    // register values
     "q38_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | TRUE AS approx_ok

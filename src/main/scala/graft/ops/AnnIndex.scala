@@ -338,8 +338,6 @@ object AnnIndex {
     if (m.segments.exists(s => segBatches(s).contains(batchId)))
       return false // already committed: re-delivered micro-batch
 
-    val cents = spark.read.parquet(AnnPaths(root).centroidsDir)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val lshName = s"seg-lsh-b$batchId"
     val ivfName = s"seg-ivf-b$batchId"
     val n = writeLshSegment(spark, batch, s"$root/$lshName")
@@ -359,6 +357,10 @@ object AnnIndex {
       tbl.commit(m.copy(version = m.version + 1, segments = segs))
       return true
     }
+    // quantizer read deferred past the empty-batch path: a sparse stream
+    // fires mostly empty triggers, which must not pay a centroids job
+    val cents = spark.read.parquet(AnnPaths(root).centroidsDir)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     writeIvfSegment(spark, batch, cents, s"$root/$ivfName")
 
     val nextSeg = m.segments.map(_.segId).max + 1
@@ -380,6 +382,10 @@ object AnnIndex {
     * during and after see identical rows: the merged segments become
     * visible only at the atomic commit, and batch lineage is folded into
     * ranges so re-delivery of any pre-compaction batch stays a no-op.
+    * (Visibility is at manifest granularity: a DataFrame that resolved
+    * the OLD segment files before the compaction follows IcebergLite's
+    * gc retention horizon — re-resolve after the commit, as every
+    * AnnOps query does.)
     *
     * `recluster > 0` additionally runs that many Lloyd rounds over the
     * STORE's own vectors (base + every appended batch) and reassigns all
@@ -399,6 +405,10 @@ object AnnIndex {
     val lshSegs = m.segments.filter(_.name.startsWith("seg-lsh"))
     val ivfSegs = m.segments.filter(_.name.startsWith("seg-ivf"))
     val fragmented = lshSegs.size > 1 || ivfSegs.size > 1
+    // sweep first: a crash between a previous compact's commit and its
+    // gc() would otherwise strand the corpus-sized dead per-batch dirs
+    // forever (the early return below never reached them)
+    tbl.gc()
     if (!fragmented && recluster <= 0) return paths // already compact
 
     val v = m.version + 1

@@ -21,8 +21,7 @@ object AnnOps {
   /** Cast to double once; all math in doubles (matches the DuckDB oracle). */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def readSegs(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    AnnIndex.readSegs(spark, dirs)
+  import AnnIndex.readSegs
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

@@ -105,8 +105,11 @@ object DashboardOps {
     * deterministic under any partitioning — the 100 TB cardinality path
     * (exact distinct shuffles every key; the sketch ships 2^p bytes per
     * partition). The exact count is hash-oracled; the sketch is verified
-    * by its published error contract (rsd 0.02 → |err| well under 5%),
-    * which the oracle pins as a boolean both engines must agree on. */
+    * by its published error contract, which the oracle pins as a boolean
+    * both engines must agree on. The margin is 10% = 5 sigma of the
+    * rsd-0.02 sketch: a REAL bound (a broken sketch blows far past it)
+    * that a freshly generated unlucky dataset cannot flake (a 5%/2.5
+    * sigma pin would fail ~1% of groups on regenerated data). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(col("event_type"))
@@ -114,7 +117,7 @@ object DashboardOps {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
-          col("exact_users").cast("double") * 0.05).as("approx_ok"))
+          col("exact_users").cast("double") * 0.10).as("approx_ok"))
       .orderBy("event_type")
 
   /** O1 sort by date desc + paging (export.json:34-37). */

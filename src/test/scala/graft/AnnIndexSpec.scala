@@ -225,6 +225,17 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(new graft.table.IcebergLite(root).currentManifest().get.version == vNow)
   }
 
+  test("a no-op compact still sweeps dead dirs (crash between a prior commit and its gc)") {
+    val dir = subsetDir("anngc", 0, 40)
+    AnnIndex.ensure(spark, dir)
+    val root = AnnIndex.rootFor(dir)
+    // debris a crash can leave: a segment dir no kept manifest references
+    val dead = new java.io.File(s"$root/seg-lsh-b9")
+    dead.mkdirs()
+    AnnIndex.compact(spark, dir) // nothing to merge — must sweep anyway
+    assert(!dead.exists(), "early-return compact must still GC orphans")
+  }
+
   test("append without a committed base build fails loudly") {
     val dir = subsetDir("annnobase", 0, 32)
     val batch = Tables.t(spark, sf, "embeddings").where(col("vec_id") < 8)
