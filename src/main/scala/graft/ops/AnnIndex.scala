@@ -121,12 +121,13 @@ object AnnIndex {
     best
   }
 
-  /** Seed centroids: the embeddings of vec_id < IvfCentroids (as doubles),
+  /** Seed centroids: the embeddings of vec_id < cells (as doubles),
     * index == vec_id. SQL-expressible, hence oracle-verifiable. */
-  def seedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+  def seedCentroids(spark: SparkSession, dir: String,
+                    cells: Int = IvfCentroids): Array[Array[Double]] = {
     import spark.implicits._
     t(spark, dir, "embeddings")
-      .where(col("vec_id") < IvfCentroids)
+      .where(col("vec_id") < cells)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
   }
@@ -200,13 +201,23 @@ object AnnIndex {
   private def segBatches(s: SegmentInfo): Set[Long] =
     s.lineage.get("batches").map(IcebergLite.decodeRanges).getOrElse(Set.empty)
 
+  /** Build-time store parameters. `cells` is the IVF cell count — the
+    * first-order scale knob: a probe scans ~probes/cells of the corpus,
+    * so cells should grow ~sqrt(N) with the vector count (the oracled
+    * default 16 is the demo constant the DuckDB SQL can enumerate; at
+    * 1M vectors the AnnScale tool uses 1024). Seed centroids are the
+    * embeddings of vec_id < cells. `refineIters` runs that many Lloyd
+    * rounds over the source table at build time. */
+  final case class BuildParams(refineIters: Int = 0, cells: Int = IvfCentroids)
+
   /** The committed store root for a dataset dir: format version +
     * content fingerprint + build parameters, all in the path (the
     * docEngine scheme — a regenerated dataset changes the root). */
-  def rootFor(dir: String, refineIters: Int = 0): String =
+  def rootFor(dir: String, p: BuildParams = BuildParams()): String =
     s"${SearchOps.workDir}/ann-f$FormatVersion-${
       graft.index.IndexBuilder.sha256Hex(dir + "|" +
-        Tables.contentFingerprint(s"$dir/embeddings.parquet")).take(12)}-r$refineIters"
+        Tables.contentFingerprint(s"$dir/embeddings.parquet")).take(12)
+    }-r${p.refineIters}-c${p.cells}"
 
   /** One LSH segment write: bucket every vector, partition by bucket6,
     * return the row count (rides the write job via observe — no extra
@@ -250,10 +261,10 @@ object AnnIndex {
       "planes" -> NumPlanes.toString, "partitionKey" -> "bucket6",
       "batches" -> batches)
 
-  private def ivfLineage(dir: String, batches: String,
-                         refineIters: Int): Map[String, String] =
+  private def ivfLineage(dir: String, batches: String, refineIters: Int,
+                         cells: Int): Map[String, String] =
     Map("source" -> dir, "format" -> FormatVersion, "kind" -> "ivf",
-      "cells" -> IvfCentroids.toString, "refineIters" -> refineIters.toString,
+      "cells" -> cells.toString, "refineIters" -> refineIters.toString,
       "partitionKey" -> "centroid", "batches" -> batches)
 
   /** Open the committed ANN store for a dataset dir, building it first
@@ -263,9 +274,9 @@ object AnnIndex {
     * pass over embeddings per structure, writes partitioned by probe
     * key, then an atomic snapshot commit). */
   def ensure(spark: SparkSession, dir: String,
-             refineIters: Int = 0): AnnPaths = synchronized {
+             p: BuildParams = BuildParams()): AnnPaths = synchronized {
     import spark.implicits._
-    val root = rootFor(dir, refineIters)
+    val root = rootFor(dir, p)
     val tbl = new IcebergLite(root)
     val paths = AnnPaths(root)
     if (tbl.exists) return paths // REOPEN: committed store, metadata only
@@ -275,8 +286,8 @@ object AnnIndex {
 
     // base (batch 0) LSH + IVF segments
     val nVec = writeLshSegment(spark, emb, s"$root/seg-lsh-b0")
-    val cents0 = seedCentroids(spark, dir)
-    val cents = if (refineIters > 0) lloydRefine(spark, dir, cents0, refineIters)
+    val cents0 = seedCentroids(spark, dir, p.cells)
+    val cents = if (p.refineIters > 0) lloydRefine(spark, dir, cents0, p.refineIters)
                 else cents0
     writeIvfSegment(spark, emb, cents, s"$root/seg-ivf-b0")
 
@@ -291,15 +302,16 @@ object AnnIndex {
         SegmentInfo(0, "seg-lsh-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
           lshLineage(dir, "0")),
         SegmentInfo(1, "seg-ivf-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          ivfLineage(dir, "0", refineIters)),
+          ivfLineage(dir, "0", p.refineIters, cents.length)),
         SegmentInfo(2, "seg-centroids", Nil,
           SegmentMetrics(cents.length.toLong, 0, cents.length.toLong, 0),
           Map("source" -> dir, "format" -> FormatVersion,
             "kind" -> "quantizer"))),
       numDocs = nVec, totalTokens = 0L))
 
-    // sweep SUPERSEDED stores of this same dataset dir: each in-place
-    // regeneration mints a fresh fingerprinted root, and the stores are
+    // sweep SUPERSEDED stores of this same dataset dir (param variants
+    // included — ONE live store per dataset): each in-place regeneration
+    // or param change mints a fresh root, and the stores are
     // corpus-sized (vectors duplicated into their cells) — without this
     // every regeneration would leak a full copy forever. Retention
     // contract: committing a new store for a source dir invalidates
@@ -328,10 +340,10 @@ object AnnIndex {
     * exactly-once re-delivery contract; a crashed append commits
     * nothing and the retry overwrites its debris. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             batchId: Long, refineIters: Int = 0): Boolean = synchronized {
+             batchId: Long, p: BuildParams = BuildParams()): Boolean = synchronized {
     import spark.implicits._
     require(batchId > 0, s"batchId must be > 0 (0 is the base build), got $batchId")
-    val root = rootFor(dir, refineIters)
+    val root = rootFor(dir, p)
     val tbl = new IcebergLite(root)
     val m = tbl.currentManifest().getOrElse(throw new IllegalStateException(
       s"no committed ANN store for $dir — run ensure() before append()"))
@@ -371,7 +383,7 @@ object AnnIndex {
         SegmentInfo(nextSeg, lshName, Nil, SegmentMetrics(n, 0, n, 0),
           lshLineage(dir, batchId.toString)),
         SegmentInfo(nextSeg + 1, ivfName, Nil, SegmentMetrics(n, 0, n, 0),
-          ivfLineage(dir, batchId.toString, refine.toInt))),
+          ivfLineage(dir, batchId.toString, refine.toInt, cents.length))),
       numDocs = m.numDocs + n))
     true
   }
@@ -394,10 +406,11 @@ object AnnIndex {
     * against frozen centroids; a corpus that drifts from the seed
     * distribution degrades cell balance until a recluster). The LSH side
     * never needs this: its planes are data-independent. */
-  def compact(spark: SparkSession, dir: String, refineIters: Int = 0,
+  def compact(spark: SparkSession, dir: String,
+              p: BuildParams = BuildParams(),
               recluster: Int = 0): AnnPaths = synchronized {
     import spark.implicits._
-    val root = rootFor(dir, refineIters)
+    val root = rootFor(dir, p)
     val tbl = new IcebergLite(root)
     val m = tbl.currentManifest().getOrElse(throw new IllegalStateException(
       s"no committed ANN store for $dir — nothing to compact"))
@@ -464,12 +477,12 @@ object AnnIndex {
               s"$root/$ivfName")
           case None =>
             readSegs(spark, paths.ivfDirs)
-              .repartition(IvfCentroids, col("centroid"))
+              .repartition(p.cells, col("centroid"))
               .write.partitionBy("centroid").mode("overwrite")
               .parquet(s"$root/$ivfName")
         }
         SegmentInfo(1, ivfName, Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          ivfLineage(dir, batches, refine.toInt) ++
+          ivfLineage(dir, batches, refine.toInt, p.cells) ++
             newCents.map(_ => "reclustered" -> recluster.toString))
       } else ivfSegs.head.copy(segId = 1,
         lineage = ivfSegs.head.lineage + ("batches" -> batches))

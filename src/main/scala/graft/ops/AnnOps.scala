@@ -93,8 +93,12 @@ object AnnOps {
   /** LSH bucket inventory — reads the MATERIALIZED table, which the
     * oracle recomputes from raw embeddings: the materialization itself
     * is hash-verified. */
-  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val paths = AnnIndex.ensure(spark, dir)
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(spark, dir, AnnIndex.BuildParams())
+
+  def lshBuckets(spark: SparkSession, dir: String,
+                 p: AnnIndex.BuildParams): DataFrame = {
+    val paths = AnnIndex.ensure(spark, dir, p)
     readSegs(spark, paths.lshDirs)
       .select(col("vec_id"), col("bucket16").as("bucket"))
       .orderBy("vec_id")
@@ -103,9 +107,13 @@ object AnnOps {
   /** Bucketed ANN top-10: the query's coarse bucket is computed driver-
     * side, then ONLY that bucket6 partition is read (partition pruning —
     * the 100 TB path: per-query work is the bucket size, not the corpus). */
-  def qAnnLshTopK(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnLshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(spark, dir, AnnIndex.BuildParams())
+
+  def lshTopK(spark: SparkSession, dir: String,
+              p: AnnIndex.BuildParams): DataFrame = {
     import spark.implicits._
-    val paths = AnnIndex.ensure(spark, dir)
+    val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
     val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & Bucket6Mask
     val cand = readSegs(spark, paths.lshDirs)
@@ -143,9 +151,13 @@ object AnnOps {
     * partitions (4 of 64 — partition pruning in the plan), exact cosine
     * inside. Strictly higher recall than the single-probe q53 at 4x the
     * per-query read — the recall/cost dial the verdict asked for. */
-  def qAnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnLshMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    lshMultiProbe(spark, dir, AnnIndex.BuildParams())
+
+  def lshMultiProbe(spark: SparkSession, dir: String,
+                    p: AnnIndex.BuildParams): DataFrame = {
     import spark.implicits._
-    val paths = AnnIndex.ensure(spark, dir)
+    val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
     val probes = lshProbeCodes(qv)
     val cand = readSegs(spark, paths.lshDirs)
@@ -160,8 +172,12 @@ object AnnOps {
 
   /** IVF assignment inventory — reads the materialized inverted lists;
     * the oracle recomputes argmin-to-seed-centroids from raw embeddings. */
-  def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val paths = AnnIndex.ensure(spark, dir)
+  def qAnnIvfAssign(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir, AnnIndex.BuildParams())
+
+  def ivfAssign(spark: SparkSession, dir: String,
+                p: AnnIndex.BuildParams): DataFrame = {
+    val paths = AnnIndex.ensure(spark, dir, p)
     readSegs(spark, paths.ivfDirs)
       .select(col("vec_id"), col("centroid").cast("long").as("centroid"))
       .orderBy("vec_id")
@@ -170,9 +186,13 @@ object AnnOps {
   /** IVF top-10: probe the IvfProbes nearest centroids (16-row driver
     * lookup), read ONLY those centroid partitions, exact cosine inside —
     * the standard recall/cost dial, with pruning in the plan. */
-  def qAnnIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, AnnIndex.BuildParams())
+
+  def ivfTopK(spark: SparkSession, dir: String, p: AnnIndex.BuildParams,
+              probes: Int = IvfProbes): DataFrame = {
     import spark.implicits._
-    val paths = AnnIndex.ensure(spark, dir)
+    val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
     val cents = spark.read.parquet(paths.centroidsDir)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
@@ -182,7 +202,7 @@ object AnnOps {
       val n = math.min(qv.length, ce.length)
       while (i < n) { val x = qv(i) - ce(i); d += x * x; i += 1 }
       (c, d)
-    }.sortBy { case (c, d) => (d, c) }.take(IvfProbes).map(_._1).toSeq
+    }.sortBy { case (c, d) => (d, c) }.take(probes).map(_._1).toSeq
     val cand = readSegs(spark, paths.ivfDirs)
       .where(col("centroid").isin(probed: _*)) // partition filter
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")

@@ -54,15 +54,17 @@ object StreamIngest {
     * against its frozen planes/quantizer — the same exactly-once recipe
     * as indexStream: streaming checkpoint + foreachBatch + the store's
     * idempotent batch lineage (a re-delivered batchId no-ops). Stream
-    * batches are 1-based; batch 0 stays the base build. `refineIters`
-    * must match the ensure() call that built the store (it is part of
-    * the store root). The checkpoint and the store form a PAIR: deleting
+    * batches are 1-based; batch 0 stays the base build. `params`
+    * must match the ensure() call that built the store (they are part
+    * of the store root). The checkpoint and the store form a PAIR: deleting
     * the checkpoint while keeping the store restarts batch numbering
     * from 0, and already-committed low ids are skipped by lineage — such
     * skips are surfaced on stderr so a lost-checkpoint restart cannot
     * silently drop data that arrived after the original batches. */
   def annStream(spark: SparkSession, sourceDir: String, datasetDir: String,
-                checkpointDir: String, refineIters: Int = 0,
+                checkpointDir: String,
+                params: graft.ops.AnnIndex.BuildParams =
+                  graft.ops.AnnIndex.BuildParams(),
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val schema = spark.read
       .parquet(s"$datasetDir/embeddings.parquet").schema
@@ -74,7 +76,7 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val appended = graft.ops.AnnIndex.append(batch.sparkSession,
-          datasetDir, batch, batchId = batchId + 1, refineIters = refineIters)
+          datasetDir, batch, batchId = batchId + 1, p = params)
         if (!appended)
           System.err.println(s"annStream: batch ${batchId + 1} already " +
             s"committed in the ANN store for $datasetDir — skipped (expected " +
