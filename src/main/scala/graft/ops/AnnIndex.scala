@@ -208,7 +208,17 @@ object AnnIndex {
     * 1M vectors the AnnScale tool uses 1024). Seed centroids are the
     * embeddings of vec_id < cells. `refineIters` runs that many Lloyd
     * rounds over the source table at build time. */
-  final case class BuildParams(refineIters: Int = 0, cells: Int = IvfCentroids)
+  final case class BuildParams(refineIters: Int = 0, cells: Int = IvfCentroids,
+                               lshBits: Int = Bucket6Bits) {
+    require(lshBits >= 1 && lshBits <= NumPlanes,
+      s"lshBits must be in [1, $NumPlanes], got $lshBits")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    /** LSH partition-key mask: the low lshBits of the 16-bit bucket.
+      * Like `cells`, grow it ~sqrt(N) with the corpus — a probe reads
+      * ~1/2^lshBits of the vectors; 6 bits (64 partitions) is the
+      * oracled demo constant. */
+    def lshMask: Int = (1 << lshBits) - 1
+  }
 
   /** The committed store root for a dataset dir: format version +
     * content fingerprint + build parameters, all in the path (the
@@ -217,20 +227,22 @@ object AnnIndex {
     s"${SearchOps.workDir}/ann-f$FormatVersion-${
       graft.index.IndexBuilder.sha256Hex(dir + "|" +
         Tables.contentFingerprint(s"$dir/embeddings.parquet")).take(12)
-    }-r${p.refineIters}-c${p.cells}"
+    }-r${p.refineIters}-c${p.cells}-l${p.lshBits}"
 
   /** One LSH segment write: bucket every vector, partition by bucket6,
     * return the row count (rides the write job via observe — no extra
     * pass). Shared by the base build and append. */
   private def writeLshSegment(spark: SparkSession, src: DataFrame,
-                              dest: String): Long = {
+                              dest: String, mask: Int): Long = {
     import spark.implicits._
     val obs = org.apache.spark.sql.Observation(s"ann-lsh-$dest")
     src.select(col("vec_id"), col("label"), col("embedding"))
       .as[(Long, Int, Seq[Float])]
       .map { case (id, label, e) =>
         val b = lshBucket16(e)
-        (id, label, e, b.toLong, (b & Bucket6Mask).toLong)
+        // the partition column keeps its historical name whatever the
+        // mask width: it holds the low lshBits of the 16-bit bucket
+        (id, label, e, b.toLong, (b & mask).toLong)
       }
       .toDF("vec_id", "label", "embedding", "bucket16", "bucket6")
       .observe(obs, count(lit(1)).as("rows"))
@@ -256,10 +268,11 @@ object AnnIndex {
       .write.partitionBy("centroid").mode("overwrite").parquet(dest)
   }
 
-  private def lshLineage(dir: String, batches: String): Map[String, String] =
+  private def lshLineage(dir: String, batches: String,
+                         bits: Int): Map[String, String] =
     Map("source" -> dir, "format" -> FormatVersion, "kind" -> "lsh-sign-rp",
       "planes" -> NumPlanes.toString, "partitionKey" -> "bucket6",
-      "batches" -> batches)
+      "partitionBits" -> bits.toString, "batches" -> batches)
 
   private def ivfLineage(dir: String, batches: String, refineIters: Int,
                          cells: Int): Map[String, String] =
@@ -285,7 +298,7 @@ object AnnIndex {
     val emb = t(spark, dir, "embeddings")
 
     // base (batch 0) LSH + IVF segments
-    val nVec = writeLshSegment(spark, emb, s"$root/seg-lsh-b0")
+    val nVec = writeLshSegment(spark, emb, s"$root/seg-lsh-b0", p.lshMask)
     val cents0 = seedCentroids(spark, dir, p.cells)
     val cents = if (p.refineIters > 0) lloydRefine(spark, dir, cents0, p.refineIters)
                 else cents0
@@ -297,10 +310,10 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/seg-centroids")
 
     // atomic snapshot commit: reopenable from any later session/process
-    tbl.commit(Manifest(version = 1, numShards = Bucket6Mask + 1,
+    tbl.commit(Manifest(version = 1, numShards = p.lshMask + 1,
       segments = Seq(
         SegmentInfo(0, "seg-lsh-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          lshLineage(dir, "0")),
+          lshLineage(dir, "0", p.lshBits)),
         SegmentInfo(1, "seg-ivf-b0", Nil, SegmentMetrics(nVec, 0, nVec, 0),
           ivfLineage(dir, "0", p.refineIters, cents.length)),
         SegmentInfo(2, "seg-centroids", Nil,
@@ -352,7 +365,7 @@ object AnnIndex {
 
     val lshName = s"seg-lsh-b$batchId"
     val ivfName = s"seg-ivf-b$batchId"
-    val n = writeLshSegment(spark, batch, s"$root/$lshName")
+    val n = writeLshSegment(spark, batch, s"$root/$lshName", p.lshMask)
     if (n == 0) {
       // empty micro-batch (streams deliver them routinely): a file-less
       // partitioned dir would break later segment reads, so commit no
@@ -381,7 +394,7 @@ object AnnIndex {
     tbl.commit(m.copy(version = m.version + 1,
       segments = m.segments ++ Seq(
         SegmentInfo(nextSeg, lshName, Nil, SegmentMetrics(n, 0, n, 0),
-          lshLineage(dir, batchId.toString)),
+          lshLineage(dir, batchId.toString, p.lshBits)),
         SegmentInfo(nextSeg + 1, ivfName, Nil, SegmentMetrics(n, 0, n, 0),
           ivfLineage(dir, batchId.toString, refine.toInt, cents.length))),
       numDocs = m.numDocs + n))
@@ -438,11 +451,11 @@ object AnnIndex {
       if (lshSegs.size > 1) {
         val lshName = s"seg-lsh-v$v"
         readSegs(spark, paths.lshDirs)
-          .repartition(Bucket6Mask + 1, col("bucket6"))
+          .repartition(p.lshMask + 1, col("bucket6"))
           .write.partitionBy("bucket6").mode("overwrite")
           .parquet(s"$root/$lshName")
         SegmentInfo(0, lshName, Nil, SegmentMetrics(nVec, 0, nVec, 0),
-          lshLineage(dir, batches))
+          lshLineage(dir, batches, p.lshBits))
       } else lshSegs.head.copy(segId = 0,
         lineage = lshSegs.head.lineage + ("batches" -> batches))
 

@@ -115,7 +115,7 @@ object AnnOps {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
-    val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & Bucket6Mask
+    val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & p.lshMask
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")
@@ -132,8 +132,9 @@ object AnnOps {
     * (multi-probe LSH, Lv et al. VLDB '07). Computed driver-side from
     * the same plane dots that chose the bucket; ties break on plane id
     * (the oracle orders identically). */
-  def lshProbeCodes(qv: Array[Double]): Seq[Long] = {
-    val dots = (0 until AnnIndex.Bucket6Bits).map { p =>
+  def lshProbeCodes(qv: Array[Double],
+                    bits: Int = AnnIndex.Bucket6Bits): Seq[Long] = {
+    val dots = (0 until bits).map { p =>
       var s = 0.0
       var d = 0
       val n = math.min(qv.length, Dim)
@@ -159,7 +160,7 @@ object AnnOps {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
-    val probes = lshProbeCodes(qv)
+    val probes = lshProbeCodes(qv, p.lshBits)
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
     val qvDf = Seq(Tuple1(qv.toSeq)).toDF("qv")

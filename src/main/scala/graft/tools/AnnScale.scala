@@ -21,12 +21,24 @@ object AnnScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // sqrt(N) cells (power of two), probes sized to ~3% of the corpus
+    // Two DIFFERENT scaling rules (measured, see BENCH/BASELINE.md):
+    // - IVF cells follow sqrt(N): probe cost is the SCAN FRACTION
+    //   (probes/cells of all rows), so more cells always shrink the scan.
+    // - LSH partition bits follow a VOLUME floor (~8 MB/partition): a
+    //   probe reads whole partitions, and once they fall under a few MB
+    //   the per-partition listing/scheduling overhead exceeds the scan —
+    //   512 partitions at 1M vecs measured SLOWER than 64 despite an 8x
+    //   smaller scan.
     val cells = math.max(16, Integer.highestOneBit(math.sqrt(n.toDouble).toInt))
     val probes = math.max(4, cells / 32)
-    val P = BuildParams(cells = cells)
+    val approxStoreBytes = n * 280L // ~parquet bytes per 64-float row
+    val lshBits = math.min(AnnIndex.NumPlanes, math.max(AnnIndex.Bucket6Bits,
+      63 - java.lang.Long.numberOfLeadingZeros(approxStoreBytes / (8L << 20))))
+    val P = BuildParams(cells = cells, lshBits = lshBits.toInt)
     println(s"[annscale] n=$n cells=$cells probes=$probes " +
-      s"(probe fraction ${"%.1f".format(100.0 * probes / cells)}%)")
+      s"(ivf probe fraction ${"%.1f".format(100.0 * probes / cells)}%), " +
+      s"lshBits=${P.lshBits} (${1 << P.lshBits} partitions, " +
+      s"~${approxStoreBytes / (1L << P.lshBits) / (1 << 20)} MB each)")
 
     val work = "/root/repo/target/graftwork"
     val ds = s"$work/annscale-dataset"
