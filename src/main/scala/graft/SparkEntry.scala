@@ -90,7 +90,9 @@ object SparkEntry {
     "q65_index_stats" -> (SearchOps.qIndexStats _),
     "q66_match_operator" -> (SearchOps.qMatchOperator _),
     // multimodal plumbing
-    "q70_media_meta" -> (MultimodalOps.qMediaMeta _))
+    "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
+    "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
+    "q72_ppm_grid" -> (MultimodalOps.qPpmGrid _))
 
   private val stops = Tables.stopListSql
   private val toksSql =
@@ -306,7 +308,9 @@ object SparkEntry {
     "q65_index_stats" -> SearchOps.indexStatsOracleSql,
     "q66_match_operator" -> SearchOps.engineSearchOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
-    "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql) ++
+    "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
+    "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,
+    "q72_ppm_grid" -> MultimodalOps.ppmGridOracleSql) ++
     DedupOps.oracles ++ AnnOps.oracles
 
   private def langIdSql: String = {
