@@ -98,7 +98,11 @@ def run(dirname, out, names):
 
 NASTY = ["q03", "q20", "q21", "q22", "q23", "q24", "q25", "q27", "q28",
          "q30", "q31", "q32", "q33", "q34", "q35", "q36",
-         "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49"]
+         "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48", "q49",
+         # media pipelines: q70 hits the UTF-8 byte path (exotic texts ->
+         # multi-byte payloads), q71/q72 the WAV/PPM decode roundtrips
+         # over fuzzed doc_id / n_chars
+         "q70", "q71", "q72"]
 PLAIN = ["q60", "q61", "q62", "q63", "q64", "q65", "q66"]
 
 write("target/docsfuzz", corpus(exotic=True))
