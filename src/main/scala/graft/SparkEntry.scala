@@ -92,7 +92,8 @@ object SparkEntry {
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
-    "q72_ppm_grid" -> (MultimodalOps.qPpmGrid _))
+    "q72_ppm_grid" -> (MultimodalOps.qPpmGrid _),
+    "q73_frame_sample" -> (MultimodalOps.qFrameSample _))
 
   private val stops = Tables.stopListSql
   private val toksSql =
@@ -310,7 +311,8 @@ object SparkEntry {
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,
-    "q72_ppm_grid" -> MultimodalOps.ppmGridOracleSql) ++
+    "q72_ppm_grid" -> MultimodalOps.ppmGridOracleSql,
+    "q73_frame_sample" -> MultimodalOps.frameSampleOracleSql) ++
     DedupOps.oracles ++ AnnOps.oracles
 
   private def langIdSql: String = {

@@ -64,6 +64,19 @@ object Ppm {
   def luminance(img: Image, x: Int, y: Int): Int =
     (299 * img.at(x, y, 0) + 587 * img.at(x, y, 1) + 114 * img.at(x, y, 2)) / 1000
 
+  /** Mean luminance over all pixels (integer division by the pixel
+    * count) — the per-frame scalar the video frame-sampler extracts. */
+  def meanLuminance(img: Image): Int = {
+    var sum = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) { sum += luminance(img, x, y); x += 1 }
+      y += 1
+    }
+    (sum / (img.width.toLong * img.height)).toInt
+  }
+
   /** Nearest-neighbor resize of the luminance plane to grid x grid —
     * the standard integer mapping src = (dst * srcDim) / dstDim. The
     * real thumbnail/feature-extraction shape, all integer math. */

@@ -220,6 +220,81 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---- REAL video path (q73): frame-sequence container -> stride
+  // sampling (skipped frames are never pixel-decoded) -> per-sampled-
+  // frame mean luminance. ---------------------------------------------
+
+  val FrameStride = 2
+
+  private def framePixel(docId: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    (c match {
+      case 0 => (x * 7 + y * 13 + docId + f * 31) % 256
+      case 1 => (x * 3 + y * 5 + docId * 2 + f * 17) % 256
+      case _ => (x + y + f) % 256
+    }).toInt
+
+  def synthVideo(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 5).toInt
+    val h = (8 + docId % 3).toInt
+    val nFrames = (4 + docId % 5).toInt
+    val frames = (0 until nFrames).map { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            rgb((y * w + x) * 3 + c) = framePixel(docId, f, x, y, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      graft.media.Ppm.encode(graft.media.Ppm.Image(w, h, rgb))
+    }
+    graft.media.FrameSeq.encode(frames)
+  }
+
+  /** documents -> real frame-sequence bytes -> stride-2 sample (the
+    * skipped frames stay undecoded) -> mean luminance per kept frame. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = synthVideo(id)
+          val sampled = graft.media.FrameSeq.sample(bytes, FrameStride)
+          (id, graft.media.FrameSeq.frameCount(bytes).toLong,
+            sampled.size.toLong,
+            sampled.map(img => Ppm.meanLuminance(img).toLong))
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "mean_lums")
+      .orderBy("doc_id")
+  }
+
+  def frameSampleOracleSql: String = {
+    val x = "(p % w)"
+    val y = "(p // w)"
+    val lum = s"(299 * (($x * 7 + $y * 13 + doc_id + f * 31) % 256) + " +
+      s"587 * (($x * 3 + $y * 5 + doc_id * 2 + f * 17) % 256) + " +
+      s"114 * (($x + $y + f) % 256)) // 1000"
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+       |                  4 + doc_id % 5 AS nf FROM documents),
+       |s AS (SELECT doc_id, w, h, nf,
+       |        list_filter(range(nf), f -> f % $FrameStride = 0) AS kept
+       |      FROM d)
+       |SELECT doc_id, nf AS n_frames, len(kept) AS n_sampled,
+       |  list_transform(kept, f ->
+       |    list_reduce(list_transform(range(w * h), p -> $lum),
+       |                (a, b) -> a + b) // (w * h)) AS mean_lums
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def ppmGridOracleSql: String = {
     // sx = (g%4)*w/4, sy = (g/4)*h/4, all integer division
     val sx = s"(((g % $PpmGrid) * width) // $PpmGrid)"

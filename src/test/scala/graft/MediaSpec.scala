@@ -92,6 +92,28 @@ class MediaSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("frame sequence: stride sampling decodes ONLY the kept frames") {
+    import graft.media.FrameSeq
+    def frame(v: Int): Array[Byte] =
+      Ppm.encode(Ppm.Image(2, 2, Array.fill(12)(v.toByte)))
+    val corrupt = "NOT A PPM FRAME".getBytes("US-ASCII")
+    // frames 0,2 valid; frame 1 corrupt — stride 2 must never touch it
+    val seq = FrameSeq.encode(Seq(frame(10), corrupt, frame(30)))
+    assert(FrameSeq.frameCount(seq) == 3)
+    val kept = FrameSeq.sample(seq, stride = 2)
+    assert(kept.size == 2 && kept.forall(_.width == 2))
+    assert(kept.head.rgb(0) == 10.toByte && kept(1).rgb(0) == 30.toByte)
+    // stride 1 DOES decode the corrupt frame and must fail loudly
+    assert(intercept[IllegalArgumentException](
+      FrameSeq.sample(seq, stride = 1)).getMessage.contains("P6"))
+    // truncated container rejects
+    assert(intercept[IllegalArgumentException](
+      FrameSeq.sample(seq.dropRight(3), stride = 2)).getMessage.nonEmpty)
+    // mean luminance of a uniform frame: channel v everywhere ->
+    // (299v + 587v + 114v)/1000 == v
+    assert(Ppm.meanLuminance(kept.head) == 10)
+  }
+
   test("q71/q72 pipelines: decoded output matches the synthesis formulas") {
     val sf = "/root/testdata/sf0.001"
     val wav = MultimodalOps.qWavFeatures(spark, sf).collect()

@@ -102,7 +102,7 @@ NASTY = ["q03", "q20", "q21", "q22", "q23", "q24", "q25", "q27", "q28",
          # media pipelines: q70 hits the UTF-8 byte path (exotic texts ->
          # multi-byte payloads), q71/q72 the WAV/PPM decode roundtrips
          # over fuzzed doc_id / n_chars
-         "q70", "q71", "q72"]
+         "q70", "q71", "q72", "q73"]
 PLAIN = ["q60", "q61", "q62", "q63", "q64", "q65", "q66"]
 
 write("target/docsfuzz", corpus(exotic=True))
