@@ -27,7 +27,9 @@ object FrameSeq {
   def frameCount(bytes: Array[Byte]): Int = {
     require(bytes.length >= 8 &&
       java.util.Arrays.equals(bytes.take(4), Magic), "not a GFV1 sequence")
-    ByteBuffer.wrap(bytes, 4, 4).getInt
+    val n = ByteBuffer.wrap(bytes, 4, 4).getInt
+    require(n >= 0, s"negative frame count $n")
+    n
   }
 
   /** Every `stride`-th frame (0, stride, 2*stride, ...), decoded. */
@@ -37,6 +39,7 @@ object FrameSeq {
     val bb = ByteBuffer.wrap(bytes)
     bb.position(8)
     (0 until n).flatMap { i =>
+      require(bb.remaining() >= 4, s"truncated frame header $i")
       val len = bb.getInt
       require(len >= 0 && len <= bb.remaining(), s"truncated frame $i")
       if (i % stride == 0) {

@@ -40,7 +40,11 @@ object Ppm {
       skipWsAndComments()
       require(peek >= '0' && peek <= '9', s"expected digit at byte $pos")
       var v = 0
-      while (peek >= '0' && peek <= '9') { v = v * 10 + (peek - '0'); pos += 1 }
+      while (peek >= '0' && peek <= '9') {
+        v = v * 10 + (peek - '0')
+        require(v <= 1000000000, "header field overflows")
+        pos += 1
+      }
       v
     }
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
@@ -52,10 +56,15 @@ object Ppm {
     require(maxval == 255, s"only 8-bit PPM supported, got maxval $maxval")
     require(isWs(peek), "expected single whitespace before pixel data")
     pos += 1 // exactly one whitespace byte, then raster
-    val need = w * h * 3
+    require(w > 0 && h > 0, s"invalid dimensions ${w}x$h")
+    // overflow-safe: 65536x65536 would wrap an Int to need=0 and
+    // "successfully" decode an impossible image
+    val need = w.toLong * h * 3L
+    require(need <= Int.MaxValue - 16,
+      s"image too large: ${w}x$h needs $need raster bytes")
     require(bytes.length - pos >= need,
       s"truncated raster: need $need bytes, have ${bytes.length - pos}")
-    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + need)
+    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)
     Image(w, h, rgb)
   }
 

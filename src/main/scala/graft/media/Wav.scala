@@ -56,26 +56,38 @@ object Wav {
     while (bb.remaining() >= 8 && (data == null || sampleRate < 0)) {
       val id = tag()
       val len = bb.getInt
-      val clamped = math.min(len, bb.remaining())
+      // a negative length is always corruption (and would walk the
+      // buffer backwards into an infinite loop)
+      require(len >= 0, s"negative length $len for chunk '$id'")
       id match {
         case "fmt " =>
+          require(len >= 16 && bb.remaining() >= 16,
+            s"fmt chunk too short ($len bytes)")
           val fmtStart = bb.position()
           val audioFormat = bb.getShort
           require(audioFormat == 1,
             s"only PCM supported (format $audioFormat); compressed audio is the documented codec seam")
           channels = bb.getShort
+          require(channels >= 1, s"invalid channel count $channels")
           sampleRate = bb.getInt
           bb.getInt   // byte rate
           bb.getShort // block align
           bits = bb.getShort
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
-          bb.position(fmtStart + clamped + (clamped & 1)) // chunks pad to even
+          val skip = math.min(len + (len & 1), bb.remaining() + 16)
+          bb.position(math.min(fmtStart + skip, bytes.length)) // pad to even
         case "data" =>
-          data = new Array[Byte](clamped)
+          // truncated payload is a LOUD reject (silently clamping would
+          // compute features over a partial signal)
+          require(len <= bb.remaining(),
+            s"truncated data chunk: declared $len, have ${bb.remaining()}")
+          data = new Array[Byte](len)
           bb.get(data)
-          if ((clamped & 1) == 1 && bb.hasRemaining) bb.get()
-        case _ => // LIST / fact / anything else: skip (padded to even)
-          bb.position(bb.position() + clamped + (clamped & 1))
+          if ((len & 1) == 1 && bb.hasRemaining) bb.get()
+        case _ => // LIST / fact / anything else: skip (padded to even;
+          // a truncated TRAILING unknown chunk just ends the walk)
+          bb.position(math.min(
+            bb.position().toLong + len + (len & 1), bytes.length.toLong).toInt)
       }
     }
     require(sampleRate > 0 && data != null, "missing fmt or data chunk")

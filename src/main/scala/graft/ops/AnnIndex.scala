@@ -205,7 +205,7 @@ object AnnIndex {
     * first-order scale knob: a probe scans ~probes/cells of the corpus,
     * so cells should grow ~sqrt(N) with the vector count (the oracled
     * default 16 is the demo constant the DuckDB SQL can enumerate; at
-    * 1M vectors the AnnScale tool uses 1024). Seed centroids are the
+    * 1M vectors the AnnScale tool uses 512). Seed centroids are the
     * embeddings of vec_id < cells. `refineIters` runs that many Lloyd
     * rounds over the source table at build time. */
   final case class BuildParams(refineIters: Int = 0, cells: Int = IvfCentroids,

@@ -173,15 +173,17 @@ object MultimodalOps {
 
   val PpmGrid = 4
 
-  private def ppmChannel(docId: Long, x: Int, y: Int, c: Int): Int = (c match {
-    case 0 => (x * 7 + y * 13 + docId) % 256
-    case 1 => (x * 3 + y * 5 + docId * 2) % 256
-    case _ => (x + y) % 256
-  }).toInt
+  /** ONE pixel formula for both image (f = 0) and video (frame f)
+    * syntheses — q72's and q73's oracle SQL restate it, so a single
+    * definition keeps the Scala and both oracles in lockstep. */
+  private def framePixel(docId: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    (c match {
+      case 0 => (x * 7 + y * 13 + docId + f * 31) % 256
+      case 1 => (x * 3 + y * 5 + docId * 2 + f * 17) % 256
+      case _ => (x + y + f) % 256
+    }).toInt
 
-  def synthPpm(docId: Long): Array[Byte] = {
-    val w = (16 + docId % 17).toInt
-    val h = (16 + docId % 13).toInt
+  private def fillRgb(w: Int, h: Int, px: (Int, Int, Int) => Int): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -189,13 +191,20 @@ object MultimodalOps {
       while (x < w) {
         var c = 0
         while (c < 3) {
-          rgb((y * w + x) * 3 + c) = ppmChannel(docId, x, y, c).toByte
+          rgb((y * w + x) * 3 + c) = px(x, y, c).toByte
           c += 1
         }
         x += 1
       }
       y += 1
     }
+    rgb
+  }
+
+  def synthPpm(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 17).toInt
+    val h = (16 + docId % 13).toInt
+    val rgb = fillRgb(w, h, (x, y, c) => framePixel(docId, 0, x, y, c))
     // header with a comment: the decoder must handle the full grammar
     val header = s"P6\n# graft synthetic $docId\n$w $h\n255\n"
       .getBytes("US-ASCII")
@@ -226,32 +235,12 @@ object MultimodalOps {
 
   val FrameStride = 2
 
-  private def framePixel(docId: Long, f: Int, x: Int, y: Int, c: Int): Int =
-    (c match {
-      case 0 => (x * 7 + y * 13 + docId + f * 31) % 256
-      case 1 => (x * 3 + y * 5 + docId * 2 + f * 17) % 256
-      case _ => (x + y + f) % 256
-    }).toInt
-
   def synthVideo(docId: Long): Array[Byte] = {
     val w = (8 + docId % 5).toInt
     val h = (8 + docId % 3).toInt
     val nFrames = (4 + docId % 5).toInt
     val frames = (0 until nFrames).map { f =>
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var c = 0
-          while (c < 3) {
-            rgb((y * w + x) * 3 + c) = framePixel(docId, f, x, y, c).toByte
-            c += 1
-          }
-          x += 1
-        }
-        y += 1
-      }
+      val rgb = fillRgb(w, h, (x, y, c) => framePixel(docId, f, x, y, c))
       graft.media.Ppm.encode(graft.media.Ppm.Image(w, h, rgb))
     }
     graft.media.FrameSeq.encode(frames)

@@ -74,11 +74,11 @@ object AnnScale {
     println(s"[annscale] grown store: numDocs=${m.numDocs} segments=${m.segments.size}")
 
     def lat(name: String, f: => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] = {
-      f // warm
+      val rows = f // warm (and the returned result — no extra run)
       val reps = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
       println(f"[annscale] $name%-28s p50 ${reps.sorted.apply(2)}%.3f s (5 reps)")
-      f
+      rows
     }
     val lshBefore = lat("lsh top-10 (5 segs)", AnnOps.lshTopK(spark, ds, P).collect())
     val ivfBefore = lat("ivf top-10 (5 segs)",

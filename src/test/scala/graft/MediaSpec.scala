@@ -43,6 +43,35 @@ class MediaSpec extends AnyFunSuite with SparkSessionFixture {
       Wav.decode("RIFFxxxxJUNK".getBytes("US-ASCII"))).getMessage.nonEmpty)
   }
 
+  test("malformed-input hardening: negative lengths, zero channels, wrapped dims") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = Wav.encode(8000, 1, Array[Short](1, 2, 3))
+    // negative chunk length must not walk the buffer backwards (hang)
+    val negLen = good.clone()
+    ByteBuffer.wrap(negLen).order(ByteOrder.LITTLE_ENDIAN).putInt(16, -8)
+    assert(intercept[IllegalArgumentException](Wav.decode(negLen))
+      .getMessage.contains("negative length"))
+    // zero channels would make the feature loop never advance
+    val zeroCh = good.clone()
+    ByteBuffer.wrap(zeroCh).order(ByteOrder.LITTLE_ENDIAN).putShort(22, 0)
+    assert(intercept[IllegalArgumentException](Wav.decode(zeroCh))
+      .getMessage.contains("channel"))
+    // truncated data chunk: LOUD reject, never silently-partial features
+    assert(intercept[IllegalArgumentException](
+      Wav.decode(good.dropRight(2))).getMessage.contains("truncated data"))
+    // 65536 x 65536 wraps w*h*3 past Int: must reject, not "decode"
+    val wrapped = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(intercept[IllegalArgumentException](Ppm.decode(wrapped))
+      .getMessage.contains("too large"))
+    // negative frame count: corrupt, not an empty video
+    val negFrames = graft.media.FrameSeq.encode(Nil).clone()
+    ByteBuffer.wrap(negFrames).putInt(4, -1)
+    assert(intercept[IllegalArgumentException](
+      graft.media.FrameSeq.frameCount(negFrames))
+      .getMessage.contains("negative frame count"))
+  }
+
   test("audio features are integer-exact on a known signal") {
     // square wave +1000/-1000, 8 samples: rms = 1000, 7 sign flips
     val sq = Array.tabulate(8)(i => if (i % 2 == 0) 1000 else -1000)
