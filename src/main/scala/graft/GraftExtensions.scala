@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CodeTokenize, MinHashSig}
-import graft.plans.{MatchStrategy, MatchTvf}
+import graft.plans.{AnnTvf, MatchStrategy, MatchTvf}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(MatchTvf.getClass.getName, null, "match_topk",
         MatchTvf.usage, ""),
       (exprs: Seq[Expression]) => MatchTvf.build(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("ann_topk"),
+      new ExpressionInfo(AnnTvf.getClass.getName, null, "ann_topk",
+        AnnTvf.usage, ""),
+      (exprs: Seq[Expression]) => AnnTvf.build(exprs)))
     e.injectFunction((
       FunctionIdentifier("code_tokenize"),
       new ExpressionInfo(classOf[CodeTokenize].getName, null, "code_tokenize",

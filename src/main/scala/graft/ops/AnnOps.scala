@@ -111,7 +111,7 @@ object AnnOps {
     lshTopK(spark, dir, AnnIndex.BuildParams())
 
   def lshTopK(spark: SparkSession, dir: String,
-              p: AnnIndex.BuildParams): DataFrame = {
+              p: AnnIndex.BuildParams, k: Int = 10): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
@@ -123,7 +123,7 @@ object AnnOps {
       .select(col("vec_id"),
         r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Multi-probe LSH probe set: the query's bucket6 plus the
@@ -156,7 +156,7 @@ object AnnOps {
     lshMultiProbe(spark, dir, AnnIndex.BuildParams())
 
   def lshMultiProbe(spark: SparkSession, dir: String,
-                    p: AnnIndex.BuildParams): DataFrame = {
+                    p: AnnIndex.BuildParams, k: Int = 10): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
@@ -168,7 +168,7 @@ object AnnOps {
       .select(col("vec_id"),
         r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** IVF assignment inventory — reads the materialized inverted lists;
@@ -191,7 +191,7 @@ object AnnOps {
     ivfTopK(spark, dir, AnnIndex.BuildParams())
 
   def ivfTopK(spark: SparkSession, dir: String, p: AnnIndex.BuildParams,
-              probes: Int = IvfProbes): DataFrame = {
+              probes: Int = IvfProbes, k: Int = 10): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
     val qv = queryVec(spark, dir)
@@ -211,7 +211,7 @@ object AnnOps {
       .select(col("vec_id"),
         r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   // ---- DuckDB oracles (planes/centroids are SQL-reproducible) ---------

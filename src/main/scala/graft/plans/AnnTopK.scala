@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.ops.{AnnIndex, AnnOps}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+import org.apache.spark.sql.execution.LeafExecNode
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * ANN similarity search as a first-class Catalyst operator — the vector
+ * sibling of MatchTopK: a logical leaf naming a dataset dir, a method
+ * and k, planned by MatchStrategy into a physical node that runs the
+ * materialized-store probe (partition-pruned) as a coordinator phase.
+ * Exposed to SQL as the table-valued function
+ *   SELECT * FROM ann_topk('<datasetDir>', '<method>', k)
+ * with method in ('lsh', 'multiprobe', 'ivf', 'brute'); composes like
+ * any relation (joins, filters, CTEs).
+ */
+case class AnnTopK(datasetDir: String, method: String, k: Int,
+                   override val output: Seq[Attribute] = AnnTopK.freshOutput())
+    extends LeafNode
+
+object AnnTopK {
+  val Methods: Set[String] = Set("lsh", "multiprobe", "ivf", "brute")
+
+  /** Output carried as a constructor field so tree copies keep the same
+    * exprIds (the LocalRelation pattern, as in MatchTopK). */
+  def freshOutput(): Seq[Attribute] = schema
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  val schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = true),
+    StructField("method", StringType, nullable = false)))
+}
+
+case class AnnTopKExec(plan: AnnTopK) extends LeafExecNode {
+  override val output: Seq[Attribute] = plan.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Coordinator phase driver-side (it launches its own pruned probe
+    // jobs, like a broadcast-exchange build); k rows come back as a
+    // one-partition RDD.
+    val spark = SparkSession.active
+    val p = AnnIndex.BuildParams()
+    val df = plan.method match {
+      case "lsh" => AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k)
+      case "multiprobe" => AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k)
+      case "ivf" => AnnOps.ivfTopK(spark, plan.datasetDir, p, k = plan.k)
+      case "brute" => AnnOps.qAnnBruteForce(spark, plan.datasetDir).limit(plan.k)
+      case m => throw new IllegalArgumentException(
+        s"ann_topk: unknown method '$m' (one of ${AnnTopK.Methods.mkString(", ")})")
+    }
+    val rows: Seq[InternalRow] = df.select("vec_id", "cos").collect().toSeq
+      .map { r =>
+        InternalRow(r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          UTF8String.fromString(plan.method))
+      }
+    sparkContext.parallelize(rows, 1).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(AnnTopK.schema)
+      it.map(r => proj(r).copy())
+    }
+  }
+}
+
+/** SQL builder for ann_topk(datasetDir, method, k). */
+object AnnTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  val usage = "ann_topk(datasetDir, method, k) - approximate-nearest-" +
+    "neighbor top-k over the materialized ANN store as a relation " +
+    "(vec_id, cos, method); method in ('lsh','multiprobe','ivf','brute')"
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"ann_topk: $what must be a string literal, got $e")
+  }
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"ann_topk: $what must be an integer literal, got $e")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      "ann_topk(datasetDir, method, k) takes exactly 3 arguments")
+    val method = strArg(args(1), "method")
+    require(AnnTopK.Methods.contains(method),
+      s"ann_topk: method must be one of ${AnnTopK.Methods.mkString(", ")}, got '$method'")
+    AnnTopK(strArg(args(0), "datasetDir"), method, intArg(args(2), "k"))
+  }
+}

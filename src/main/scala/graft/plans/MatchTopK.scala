@@ -104,6 +104,7 @@ object MatchStrategy extends SparkStrategy {
   override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Seq[SparkPlan] = plan match {
     case m: MatchTopK => MatchTopKExec(m) :: Nil
+    case a: AnnTopK => AnnTopKExec(a) :: Nil
     case _ => Nil
   }
 }

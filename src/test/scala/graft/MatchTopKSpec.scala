@@ -86,6 +86,44 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("SQL surface: SELECT ... FROM ann_topk(...) matches the Scala ANN API") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.AnnIndex.ensure(spark, sf) // build on the shared session
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      Seq("lsh", "multiprobe", "ivf", "brute").foreach { m =>
+        val rows = s2.sql(
+          s"SELECT vec_id, cos FROM ann_topk('$sf', '$m', 10)").collect()
+        assert(rows.nonEmpty && rows.length <= 10, m)
+        assert(rows.head.getLong(0) == 0L, s"$m: self-match first")
+      }
+      // rank-identical to the Scala API on the same store
+      val sqlLsh = s2.sql(s"SELECT vec_id FROM ann_topk('$sf', 'lsh', 10)")
+        .collect().map(_.getLong(0)).toSeq
+      val api = graft.ops.AnnOps.qAnnLshTopK(s2, sf)
+        .collect().map(_.getLong(0)).toSeq
+      assert(sqlLsh === api)
+      // composes like any relation
+      val n = s2.sql(
+        s"SELECT count(*) AS n FROM ann_topk('$sf', 'ivf', 10) WHERE cos > 0")
+        .collect().head.getLong(0)
+      assert(n >= 1)
+      // malformed method rejects at analysis
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'hnsw', 10)").collect()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftExtensions applies cleanly; registered functions work via SQL") {
     // builder-time injection can't be exercised on the shared test context
     // (getOrCreate would return it); verify the extension wiring applies
