@@ -78,6 +78,27 @@ object VerifyProbe {
     } catch { case e: Exception =>
       println("PROBE sql match_topk missing-root -> rejected: " + e.getMessage.take(60)) }
 
+    // ANN TVF surface: every method, k=0, bad method, missing dataset
+    val sf = "/root/testdata/sf0.001"
+    Seq("lsh", "multiprobe", "ivf", "brute").foreach { m =>
+      println(s"PROBE sql ann_topk $m -> " + sx.sql(
+        s"SELECT count(*) AS n FROM ann_topk('$sf', '$m', 5)")
+        .collect().head.getLong(0) + " rows")
+    }
+    println("PROBE sql ann_topk k=0 -> " + sx.sql(
+      s"SELECT count(*) AS n FROM ann_topk('$sf', 'lsh', 0)")
+      .collect().head.getLong(0) + " rows")
+    try {
+      sx.sql(s"SELECT * FROM ann_topk('$sf', 'hnsw', 5)").collect()
+      println("PROBE sql ann_topk bad-method -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql ann_topk bad-method -> rejected: " + e.getMessage.take(60)) }
+    try {
+      sx.sql("SELECT * FROM ann_topk('/nope', 'lsh', 5)").collect()
+      println("PROBE sql ann_topk missing-dataset -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql ann_topk missing-dataset -> rejected: " + e.getMessage.take(60)) }
+
     // rebase lifecycle: ingest near the batch budget, rebase, keep going
     val rbRoot = "/root/repo/target/graftwork/probe-rebase"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rbRoot))
