@@ -1,0 +1,97 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, NaiveIndex, QueryEngine, SegmentMerge}
+import graft.table.IcebergLite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based lifecycle fuzz: a seeded-random interleaving of every
+  * maintenance operation the index supports — incremental ingest, full
+  * merge, tiered merge, compact-and-rebase, physical GC — with full
+  * query parity (docIds AND scores, disjunctive AND boolean) against
+  * the in-memory oracle after EVERY step. The targeted specs each pin
+  * one transition; this pins arbitrary compositions of them — the
+  * orderings a long-lived production index actually visits. */
+class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
+
+  test("random ingest/merge/tiered/rebase/gc sequences keep exact query parity") {
+    import spark.implicits._
+    // pinned seed in CI (bounded runtime); sweep more via the env knob:
+    //   GRAFT_LIFEFUZZ_SEED=n sbt "testOnly graft.LifecycleFuzzSpec"
+    val fuzzSeed = sys.env.get("GRAFT_LIFEFUZZ_SEED").map(_.toLong)
+      .getOrElse(20260817L)
+    val rng = new scala.util.Random(fuzzSeed)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "lifefuzz").toString + "/idx"
+    val numShards = 4
+    val seed = 99L
+
+    var nextDoc = 0L
+    var nextBatch = 1
+    def ingest(n: Long, batch: Int): Unit = {
+      val lo = nextDoc
+      nextDoc += n
+      IndexBuilder.build(spark,
+        spark.range(lo, lo + n).map(i => CorpusGen.doc(seed, i)),
+        root, numShards, batch = batch, resume = batch == 0)
+    }
+    ingest(150, batch = 0) // bulk base
+
+    val queries = Seq("def return", "computeHashValue",
+      "posting reader segment", "val match case")
+    val boolQueries = Seq("def return, val match", "reader, segment writer")
+
+    def checkParity(step: String): Unit = {
+      val eng = new QueryEngine(spark, root)
+      val byKey = (0L until nextDoc).map(i => CorpusGen.doc(seed, i))
+        .map(d => (d.repo, d.path, d.commit) -> d.content).toMap
+      val meta = eng.docmeta
+        .select("docId", "repo", "path", "commit").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3))))
+      assert(meta.length.toLong == nextDoc, s"$step: doc count")
+      val oracle = new NaiveIndex(
+        meta.toSeq.map { case (id, k) => (id, byKey(k)) })
+      queries.foreach { q =>
+        val got = eng.topK(q, 10)
+        val exp = oracle.topK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: '$q' docIds")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: '$q' scores") }
+      }
+      boolQueries.foreach { q =>
+        val got = eng.booleanTopK(q, 10)
+        val exp = oracle.booleanTopK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: bool '$q'")
+      }
+    }
+    checkParity("after bulk")
+
+    val log = new StringBuilder
+    (1 to 10).foreach { step =>
+      val op = rng.nextInt(6)
+      val what = op match {
+        case 0 | 1 =>
+          val n = 20 + rng.nextInt(60)
+          ingest(n, nextBatch)
+          nextBatch += 1
+          s"ingest(+$n, batch ${nextBatch - 1})"
+        case 2 =>
+          SegmentMerge.merge(spark, root); "merge"
+        case 3 =>
+          val target = 1 + rng.nextInt(3)
+          SegmentMerge.tiered(spark, root, maxSegments = target)
+          s"tiered(max $target)"
+        case 4 =>
+          val m = SegmentMerge.rebase(spark, root)
+          // the stream keeps its monotonically increasing raw ids; after
+          // a rebase the next raw id must still map to effective >= 1
+          assert(nextBatch > m.batchBase, "raw batch ids stay ahead of the base")
+          s"rebase(base ${m.batchBase})"
+        case 5 =>
+          val n = new IcebergLite(root).gc().size; s"gc($n dead)"
+      }
+      log.append(s"$step:$what ")
+      checkParity(s"step $step [$what] (history: $log)")
+    }
+  }
+}
