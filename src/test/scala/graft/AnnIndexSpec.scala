@@ -236,6 +236,68 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!dead.exists(), "early-return compact must still GC orphans")
   }
 
+  test("model-based ANN lifecycle fuzz: random append/compact/recluster sequences stay consistent") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(
+      sys.env.get("GRAFT_ANNFUZZ_SEED").map(_.toLong).getOrElse(20260817L))
+    val dir = subsetDir("annlife", 0, 64)
+    AnnIndex.ensure(spark, dir)
+    val root = AnnIndex.rootFor(dir)
+    var nextId = 64L
+    var nextBatch = 1L
+    var committed = Set.empty[Long] // batchIds the model says are in
+
+    def check(step: String): Unit = {
+      // LSH buckets are plane-determined: ALWAYS the model's recompute,
+      // whatever maintenance ran (recluster never touches them)
+      val got = AnnOps.qAnnLshBuckets(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size.toLong == nextId, s"$step: store row count")
+      val emb = Tables.t(spark, sf, "embeddings")
+        .where(col("vec_id") < nextId)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+      emb.foreach { case (id, e) =>
+        assert(got(id) == AnnIndex.lshBucket16(e).toLong, s"$step: bucket of $id") }
+      // IVF covers every vector exactly once
+      assert(AnnOps.qAnnIvfAssign(spark, dir).count() == nextId, s"$step: ivf")
+      // re-delivery of every committed batch stays a no-op
+      committed.foreach { b =>
+        assert(!AnnIndex.append(spark, dir,
+          Tables.t(spark, sf, "embeddings").where(col("vec_id") < 0), b),
+          s"$step: batch $b re-delivered")
+      }
+    }
+    check("base")
+    (1 to 8).foreach { step =>
+      val what = rng.nextInt(5) match {
+        case 0 | 1 =>
+          val n = 8 + rng.nextInt(24)
+          val batch = Tables.t(spark, sf, "embeddings")
+            .where(col("vec_id") >= nextId && col("vec_id") < nextId + n)
+          assert(AnnIndex.append(spark, dir, batch, nextBatch))
+          committed += nextBatch
+          nextId += n; nextBatch += 1
+          s"append(+$n)"
+        case 2 => AnnIndex.compact(spark, dir); "compact"
+        case 3 => AnnIndex.compact(spark, dir, recluster = 1); "recluster"
+        case 4 => // empty micro-batch
+          assert(AnnIndex.append(spark, dir,
+            Tables.t(spark, sf, "embeddings").where(col("vec_id") < 0),
+            nextBatch))
+          committed += nextBatch; nextBatch += 1
+          "append(empty)"
+      }
+      check(s"step $step [$what]")
+    }
+    // settle: a final compact leaves exactly one dir per structure and
+    // the whole history still answers identically
+    AnnIndex.compact(spark, dir)
+    check("final compact")
+    val m = new graft.table.IcebergLite(root).currentManifest().get
+    assert(m.segments.size == 3, m.segments.map(_.name))
+  }
+
   test("append without a committed base build fails loudly") {
     val dir = subsetDir("annnobase", 0, 32)
     val batch = Tables.t(spark, sf, "embeddings").where(col("vec_id") < 8)
