@@ -34,6 +34,38 @@ object Bench {
     s
   }
 
+  /** Raw-CPU aggregate throughput with `threads` spin workers — the
+    * in-run version of BASELINE.md's host-ceiling measurement, so every
+    * bench JSON carries the hardware context its scaling pairs ran
+    * under (this shared VM has ~10-minute depressed-aggregate windows
+    * where all pairs drop together; the ceiling column attributes
+    * them). */
+  private def spinAggregate(threads: Int, ms: Long): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var n = 0L
+        var x = 1234567L
+        while (!stop.get()) {
+          var i = 0
+          while (i < 10000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1; i += 1 }
+        }
+        counts.set(t, math.max(n, x & 1)) // keep x live
+      })
+    }
+    ts.foreach(_.start()); Thread.sleep(ms); stop.set(true); ts.foreach(_.join())
+    (0 until threads).map(counts.get).sum.toDouble / (ms / 1000.0)
+  }
+
+  /** Measured 2->8-thread scaling ceiling, in [0, ~1]. */
+  private def cpuCeiling(): Double = {
+    spinAggregate(2, 500) // JIT warm
+    val a2 = spinAggregate(2, 3000)
+    val a8 = spinAggregate(8, 3000)
+    a8 / a2 / 4.0
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -94,10 +126,12 @@ object Bench {
     // each level's best run, while efficiency is the MEDIAN of per-rep
     // pairs (adjacent-in-time runs cancel the drift).
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
+    val ceilingPre = cpuCeiling()
     val levels = Seq(2, 8, cpus).distinct
     val runs: Seq[Seq[Map[String, Double]]] = (1 to reps).map { _ =>
       levels.map(n => runLevel(n, cpus, cpus, nDocs, s"$work/bench-idx-n$n"))
     }
+    val ceilingPost = cpuCeiling()
     def best(n: Int, key: String, agg: Seq[Double] => Double): Double =
       agg(runs.map(_(levels.indexOf(n))(s"${key}_n$n")))
     val mSmall = Map(
@@ -167,7 +201,7 @@ object Bench {
     val qJson = queries.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
+      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"cpu_ceiling_2_8_pre":${f(ceilingPre)},"cpu_ceiling_2_8_post":${f(ceilingPost)},"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
   }
 
   private def SearchOps_workDir: String = graft.ops.SearchOps.workDir
