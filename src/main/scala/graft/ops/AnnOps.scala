@@ -57,17 +57,21 @@ object AnnOps {
   }
 
   /** Exact brute-force cosine top-10 vs the vec_id=0 query vector. */
-  def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(spark, dir, k = 10, qid = 0L)
+
+  def bruteTopK(spark: SparkSession, dir: String, k: Int,
+                qid: Long): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val e = asDouble(col("embedding"))
     // query vector as a correlated scalar: broadcast single-row cross join
-    val qv = emb.where(col("vec_id") === 0)
+    val qv = emb.where(col("vec_id") === qid)
       .select(asDouble(col("embedding")).as("qv"))
     emb.crossJoin(broadcast(qv))
       .select(col("vec_id"), col("label"),
         r6(cosine(e, col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Vector norms + global norm stats (sanity surface, SQL-oracled;
@@ -82,12 +86,15 @@ object AnnOps {
   def normSql(a: String): String =
     s"sqrt(list_reduce(list_transform($a, v -> v * v), (acc, v) -> acc + v))"
 
-  /** The query vector (vec_id = 0) as a driver-side double array —
-    * point lookup, row-group pruned on vec_id. */
-  private def queryVec(spark: SparkSession, dir: String): Array[Double] = {
+  /** The query vector (vec_id = qid; the oracled queries pin 0) as a
+    * driver-side double array — point lookup, row-group pruned. */
+  private def queryVec(spark: SparkSession, dir: String,
+                       qid: Long = 0L): Array[Double] = {
     import spark.implicits._
-    t(spark, dir, "embeddings").where(col("vec_id") === 0)
-      .select(asDouble(col("embedding"))).as[Seq[Double]].head().toArray
+    val rows = t(spark, dir, "embeddings").where(col("vec_id") === qid)
+      .select(asDouble(col("embedding"))).as[Seq[Double]].take(1)
+    require(rows.nonEmpty, s"query vector vec_id=$qid not found in $dir")
+    rows.head.toArray
   }
 
   /** LSH bucket inventory — reads the MATERIALIZED table, which the
@@ -111,10 +118,11 @@ object AnnOps {
     lshTopK(spark, dir, AnnIndex.BuildParams())
 
   def lshTopK(spark: SparkSession, dir: String,
-              p: AnnIndex.BuildParams, k: Int = 10): DataFrame = {
+              p: AnnIndex.BuildParams, k: Int = 10,
+              qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir)
+    val qv = queryVec(spark, dir, qid)
     val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & p.lshMask
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
@@ -156,10 +164,11 @@ object AnnOps {
     lshMultiProbe(spark, dir, AnnIndex.BuildParams())
 
   def lshMultiProbe(spark: SparkSession, dir: String,
-                    p: AnnIndex.BuildParams, k: Int = 10): DataFrame = {
+                    p: AnnIndex.BuildParams, k: Int = 10,
+                    qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir)
+    val qv = queryVec(spark, dir, qid)
     val probes = lshProbeCodes(qv, p.lshBits)
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
@@ -191,10 +200,11 @@ object AnnOps {
     ivfTopK(spark, dir, AnnIndex.BuildParams())
 
   def ivfTopK(spark: SparkSession, dir: String, p: AnnIndex.BuildParams,
-              probes: Int = IvfProbes, k: Int = 10): DataFrame = {
+              probes: Int = IvfProbes, k: Int = 10,
+              qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir)
+    val qv = queryVec(spark, dir, qid)
     val cents = spark.read.parquet(paths.centroidsDir)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val probed: Seq[Long] = cents.map { case (c, ce) =>

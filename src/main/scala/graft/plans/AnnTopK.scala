@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * any relation (joins, filters, CTEs).
  */
 case class AnnTopK(datasetDir: String, method: String, k: Int,
+                   qid: Long = 0L,
+                   cells: Int = AnnIndex.IvfCentroids,
+                   lshBits: Int = AnnIndex.Bucket6Bits,
                    override val output: Seq[Attribute] = AnnTopK.freshOutput())
     extends LeafNode
 
@@ -46,12 +49,16 @@ case class AnnTopKExec(plan: AnnTopK) extends LeafExecNode {
     // jobs, like a broadcast-exchange build); k rows come back as a
     // one-partition RDD.
     val spark = SparkSession.active
-    val p = AnnIndex.BuildParams()
+    val p = AnnIndex.BuildParams(cells = plan.cells, lshBits = plan.lshBits)
     val df = plan.method match {
-      case "lsh" => AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k)
-      case "multiprobe" => AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k)
-      case "ivf" => AnnOps.ivfTopK(spark, plan.datasetDir, p, k = plan.k)
-      case "brute" => AnnOps.qAnnBruteForce(spark, plan.datasetDir).limit(plan.k)
+      case "lsh" =>
+        AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k, plan.qid)
+      case "multiprobe" =>
+        AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k, plan.qid)
+      case "ivf" =>
+        AnnOps.ivfTopK(spark, plan.datasetDir, p, k = plan.k, qid = plan.qid)
+      case "brute" =>
+        AnnOps.bruteTopK(spark, plan.datasetDir, plan.k, plan.qid)
       case m => throw new IllegalArgumentException(
         s"ann_topk: unknown method '$m' (one of ${AnnTopK.Methods.mkString(", ")})")
     }
@@ -74,9 +81,12 @@ object AnnTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-  val usage = "ann_topk(datasetDir, method, k) - approximate-nearest-" +
-    "neighbor top-k over the materialized ANN store as a relation " +
-    "(vec_id, cos, method); method in ('lsh','multiprobe','ivf','brute')"
+  val usage = "ann_topk(datasetDir, method, k[, qid[, cells[, lshBits]]])" +
+    " - approximate-nearest-neighbor top-k over the materialized ANN " +
+    "store as a relation (vec_id, cos, method); method in " +
+    "('lsh','multiprobe','ivf','brute'); qid picks the query vector by " +
+    "vec_id (default 0); cells/lshBits select a store built with " +
+    "non-default BuildParams (Lloyd-refined stores stay on the Scala API)"
 
   private def strArg(e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) if v != null => v.toString
@@ -91,11 +101,16 @@ object AnnTvf {
   }
 
   def build(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 3,
-      "ann_topk(datasetDir, method, k) takes exactly 3 arguments")
+    require(args.size >= 3 && args.size <= 6,
+      "ann_topk(datasetDir, method, k[, qid[, cells[, lshBits]]]) takes 3-6 arguments")
     val method = strArg(args(1), "method")
     require(AnnTopK.Methods.contains(method),
       s"ann_topk: method must be one of ${AnnTopK.Methods.mkString(", ")}, got '$method'")
-    AnnTopK(strArg(args(0), "datasetDir"), method, intArg(args(2), "k"))
+    AnnTopK(strArg(args(0), "datasetDir"), method, intArg(args(2), "k"),
+      qid = args.lift(3).map(intArg(_, "qid").toLong).getOrElse(0L),
+      cells = args.lift(4).map(intArg(_, "cells"))
+        .getOrElse(AnnIndex.IvfCentroids),
+      lshBits = args.lift(5).map(intArg(_, "lshBits"))
+        .getOrElse(AnnIndex.Bucket6Bits))
   }
 }

@@ -114,9 +114,17 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
         s"SELECT count(*) AS n FROM ann_topk('$sf', 'ivf', 10) WHERE cos > 0")
         .collect().head.getLong(0)
       assert(n >= 1)
-      // malformed method rejects at analysis
+      // qid selects the query vector: vec 42's own search self-matches
+      // 42 first and differs from the default qid=0 ranking
+      val q42 = s2.sql(s"SELECT vec_id FROM ann_topk('$sf', 'brute', 10, 42)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(q42.head == 42L && q42 != sqlLsh)
+      // malformed method rejects at analysis; missing qid at runtime
       intercept[Exception] {
         s2.sql(s"SELECT * FROM ann_topk('$sf', 'hnsw', 10)").collect()
+      }
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'lsh', 10, 99999)").collect()
       }
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
