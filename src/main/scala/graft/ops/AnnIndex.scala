@@ -322,17 +322,22 @@ object AnnIndex {
             "kind" -> "quantizer"))),
       numDocs = nVec, totalTokens = 0L))
 
-    // sweep SUPERSEDED stores of this same dataset dir (param variants
-    // included — ONE live store per dataset): each in-place regeneration
-    // or param change mints a fresh root, and the stores are
-    // corpus-sized (vectors duplicated into their cells) — without this
-    // every regeneration would leak a full copy forever. Retention
-    // contract: committing a new store for a source dir invalidates
-    // readers still pinned to its stale-content stores (same horizon
-    // policy as IcebergLite.gc).
+    // sweep SUPERSEDED stores of this same dataset dir — stores whose
+    // CONTENT fingerprint or FORMAT no longer matches (an in-place
+    // regeneration or an engine upgrade mints a fresh root, and the
+    // stores are corpus-sized; without this every regeneration would
+    // leak a full copy forever). Param VARIANTS of the current content
+    // are deliberately KEPT: they are distinct user-built stores, and a
+    // variant may hold appended micro-batch segments that exist nowhere
+    // else — deleting it because a different variant was opened would
+    // destroy data a SELECT cannot rebuild. Retention contract:
+    // committing a fresh-content store invalidates readers still pinned
+    // to stale-content stores (same horizon policy as IcebergLite.gc).
+    val keepPrefix = root.substring(0, root.lastIndexOf("-r")) // fmt+sha
     val work = new java.io.File(SearchOps.workDir)
     Option(work.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith("ann-") && f.getPath != root) {
+      if (f.getName.startsWith("ann-") && f.getPath != root &&
+          !f.getPath.startsWith(keepPrefix + "-")) {
         val supersedes =
           try new IcebergLite(f.getPath).currentManifest()
             .exists(_.segments.exists(_.lineage.get("source").contains(dir)))

@@ -62,6 +62,9 @@ object AnnOps {
 
   def bruteTopK(spark: SparkSession, dir: String, k: Int,
                 qid: Long): DataFrame = {
+    // same loud missing-qid contract as the store-backed methods (the
+    // empty broadcast side would otherwise read as "no similar vectors")
+    if (qid != 0L) queryVec(spark, dir, qid)
     val emb = t(spark, dir, "embeddings")
     val e = asDouble(col("embedding"))
     // query vector as a correlated scalar: broadcast single-row cross join

@@ -50,13 +50,27 @@ case class AnnTopKExec(plan: AnnTopK) extends LeafExecNode {
     // one-partition RDD.
     val spark = SparkSession.active
     val p = AnnIndex.BuildParams(cells = plan.cells, lshBits = plan.lshBits)
+    // a SELECT must never trigger a surprise multi-second store BUILD
+    // for explicitly-chosen params: non-default stores are built via
+    // AnnIndex.ensure (Scala) and only OPENED here; the default-params
+    // store keeps its build-on-first-use demo convenience
+    if (p != AnnIndex.BuildParams())
+      require(new graft.table.IcebergLite(
+          AnnIndex.rootFor(plan.datasetDir, p)).exists,
+        s"ann_topk: no committed ANN store for ${plan.datasetDir} with " +
+          s"cells=${plan.cells}, lshBits=${plan.lshBits} — build it first " +
+          "via AnnIndex.ensure(spark, dir, BuildParams(...))")
+    // probes follow the documented scaling rule (probes = cells/32,
+    // floor 4) so a scaled store keeps its measured recall from SQL
+    val ivfProbes = math.max(AnnIndex.IvfProbes, plan.cells / 32)
     val df = plan.method match {
       case "lsh" =>
         AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k, plan.qid)
       case "multiprobe" =>
         AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k, plan.qid)
       case "ivf" =>
-        AnnOps.ivfTopK(spark, plan.datasetDir, p, k = plan.k, qid = plan.qid)
+        AnnOps.ivfTopK(spark, plan.datasetDir, p, probes = ivfProbes,
+          k = plan.k, qid = plan.qid)
       case "brute" =>
         AnnOps.bruteTopK(spark, plan.datasetDir, plan.k, plan.qid)
       case m => throw new IllegalArgumentException(
@@ -85,8 +99,11 @@ object AnnTvf {
     " - approximate-nearest-neighbor top-k over the materialized ANN " +
     "store as a relation (vec_id, cos, method); method in " +
     "('lsh','multiprobe','ivf','brute'); qid picks the query vector by " +
-    "vec_id (default 0); cells/lshBits select a store built with " +
-    "non-default BuildParams (Lloyd-refined stores stay on the Scala API)"
+    "vec_id FROM THE DATASET'S embeddings table (default 0; appended " +
+    "store-only vectors are searchable but not addressable as queries); " +
+    "cells/lshBits OPEN a store previously built with those BuildParams " +
+    "via AnnIndex.ensure (never built from SQL; Lloyd-refined stores " +
+    "stay on the Scala API)"
 
   private def strArg(e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) if v != null => v.toString
@@ -95,7 +112,15 @@ object AnnTvf {
   }
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      require(v.isValidInt, s"ann_topk: $what out of Int range: $v")
+      v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"ann_topk: $what must be an integer literal, got $e")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
     case _ => throw new IllegalArgumentException(
       s"ann_topk: $what must be an integer literal, got $e")
   }
@@ -107,7 +132,7 @@ object AnnTvf {
     require(AnnTopK.Methods.contains(method),
       s"ann_topk: method must be one of ${AnnTopK.Methods.mkString(", ")}, got '$method'")
     AnnTopK(strArg(args(0), "datasetDir"), method, intArg(args(2), "k"),
-      qid = args.lift(3).map(intArg(_, "qid").toLong).getOrElse(0L),
+      qid = args.lift(3).map(longArg(_, "qid")).getOrElse(0L),
       cells = args.lift(4).map(intArg(_, "cells"))
         .getOrElse(AnnIndex.IvfCentroids),
       lshBits = args.lift(5).map(intArg(_, "lshBits"))

@@ -225,6 +225,27 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(new graft.table.IcebergLite(root).currentManifest().get.version == vNow)
   }
 
+  test("param-variant stores coexist; the sweep removes only stale content") {
+    val dir = subsetDir("annvar", 0, 48)
+    val rootA = AnnIndex.rootFor(dir)
+    AnnIndex.ensure(spark, dir)
+    val pB = AnnIndex.BuildParams(cells = 8, lshBits = 4)
+    val rootB = AnnIndex.rootFor(dir, pB)
+    AnnIndex.ensure(spark, dir, pB)
+    assert(new graft.table.IcebergLite(rootA).exists &&
+      new graft.table.IcebergLite(rootB).exists,
+      "opening one variant must never destroy another (appended segments " +
+        "live only in their store)")
+    // regenerate the content in place: BOTH variants are now stale and
+    // the next build sweeps them
+    Thread.sleep(1100)
+    Tables.t(spark, sf, "embeddings").where(col("vec_id") < 32).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    AnnIndex.ensure(spark, dir)
+    assert(!new java.io.File(rootA).exists() && !new java.io.File(rootB).exists(),
+      "stale-content stores must be swept")
+  }
+
   test("a no-op compact still sweeps dead dirs (crash between a prior commit and its gc)") {
     val dir = subsetDir("anngc", 0, 40)
     AnnIndex.ensure(spark, dir)

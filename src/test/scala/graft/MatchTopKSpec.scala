@@ -115,17 +115,30 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
         .collect().head.getLong(0)
       assert(n >= 1)
       // qid selects the query vector: vec 42's own search self-matches
-      // 42 first and differs from the default qid=0 ranking
+      // 42 first and re-ranks vs the SAME method's qid=0 run
+      val brute0 = s2.sql(s"SELECT vec_id FROM ann_topk('$sf', 'brute', 10)")
+        .collect().map(_.getLong(0)).toSeq
       val q42 = s2.sql(s"SELECT vec_id FROM ann_topk('$sf', 'brute', 10, 42)")
         .collect().map(_.getLong(0)).toSeq
-      assert(q42.head == 42L && q42 != sqlLsh)
+      assert(brute0.head == 0L && q42.head == 42L && q42 != brute0)
       // malformed method rejects at analysis; missing qid at runtime
+      // for BOTH the store-backed and the brute paths
       intercept[Exception] {
         s2.sql(s"SELECT * FROM ann_topk('$sf', 'hnsw', 10)").collect()
       }
       intercept[Exception] {
         s2.sql(s"SELECT * FROM ann_topk('$sf', 'lsh', 10, 99999)").collect()
       }
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'brute', 10, 99999)").collect()
+      }
+      // non-default store params are OPEN-only from SQL: a SELECT must
+      // never trigger a build (or touch other stores) for params no
+      // committed store carries
+      val eNoStore = intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'ivf', 10, 0, 512)").collect()
+      }
+      assert(eNoStore.getMessage.contains("ensure"))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
       org.apache.spark.sql.SparkSession.setActiveSession(old)
