@@ -74,8 +74,10 @@ object Wav {
           bb.getShort // block align
           bits = bb.getShort
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
-          val skip = math.min(len + (len & 1), bb.remaining() + 16)
-          bb.position(math.min(fmtStart + skip, bytes.length)) // pad to even
+          // Long arithmetic like the default branch: a crafted len near
+          // Int.MaxValue must clamp, not overflow negative
+          bb.position(math.min(
+            fmtStart.toLong + len + (len & 1), bytes.length.toLong).toInt)
         case "data" =>
           // truncated payload is a LOUD reject (silently clamping would
           // compute features over a partial signal)

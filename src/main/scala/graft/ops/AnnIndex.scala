@@ -322,31 +322,42 @@ object AnnIndex {
             "kind" -> "quantizer"))),
       numDocs = nVec, totalTokens = 0L))
 
-    // sweep SUPERSEDED stores of this same dataset dir — stores whose
-    // CONTENT fingerprint or FORMAT no longer matches (an in-place
-    // regeneration or an engine upgrade mints a fresh root, and the
-    // stores are corpus-sized; without this every regeneration would
-    // leak a full copy forever). Param VARIANTS of the current content
-    // are deliberately KEPT: they are distinct user-built stores, and a
-    // variant may hold appended micro-batch segments that exist nowhere
-    // else — deleting it because a different variant was opened would
-    // destroy data a SELECT cannot rebuild. Retention contract:
-    // committing a fresh-content store invalidates readers still pinned
-    // to stale-content stores (same horizon policy as IcebergLite.gc).
-    val keepPrefix = root.substring(0, root.lastIndexOf("-r")) // fmt+sha
-    val work = new java.io.File(SearchOps.workDir)
-    Option(work.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith("ann-") && f.getPath != root &&
-          !f.getPath.startsWith(keepPrefix + "-")) {
-        val supersedes =
-          try new IcebergLite(f.getPath).currentManifest()
-            .exists(_.segments.exists(_.lineage.get("source").contains(dir)))
-          catch { case _: Exception => false } // foreign/corrupt: leave it
-        if (supersedes) org.apache.commons.io.FileUtils.deleteQuietly(f)
-      }
-    }
     paths
   }
+
+  /** Sweep SUPERSEDED stores of this dataset dir — stores whose CONTENT
+    * fingerprint or FORMAT no longer matches the current one (an
+    * in-place regeneration or an engine upgrade mints a fresh root, and
+    * the stores are corpus-sized; without a sweep every regeneration
+    * leaks a full copy forever). Param VARIANTS of the current content
+    * are deliberately KEPT: they are distinct user-built stores, and a
+    * variant may hold appended micro-batch segments that exist nowhere
+    * else. This is an EXPLICIT maintenance entry point — called from
+    * compact(), never from ensure(): a SQL SELECT (which ensures the
+    * default store on first use) must never delete store data, however
+    * stale. Every swept root is logged. Returns the swept root paths. */
+  def gcStores(dir: String, p: BuildParams = BuildParams()): Seq[String] =
+    synchronized {
+      val root = rootFor(dir, p)
+      val keepPrefix = root.substring(0, root.lastIndexOf("-r")) // fmt+sha
+      val work = new java.io.File(SearchOps.workDir)
+      val swept = Option(work.listFiles()).getOrElse(Array.empty).filter {
+        f =>
+          f.getName.startsWith("ann-") && f.getPath != root &&
+          !f.getPath.startsWith(keepPrefix + "-") && {
+            try new IcebergLite(f.getPath).currentManifest()
+              .exists(_.segments.exists(_.lineage.get("source").contains(dir)))
+            catch { case _: Exception => false } // foreign/corrupt: leave it
+          }
+      }.toSeq
+      swept.foreach { f =>
+        System.err.println(s"annGcStores: sweeping superseded store " +
+          s"${f.getPath} (stale content/format for source $dir; " +
+          s"current root $root)")
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
+      swept.map(_.getPath)
+    }
 
   /** Append one ingest micro-batch of NEW vectors (vec_id, embedding,
     * label; ids must not collide with committed ones — the caller owns
@@ -438,8 +449,11 @@ object AnnIndex {
     val fragmented = lshSegs.size > 1 || ivfSegs.size > 1
     // sweep first: a crash between a previous compact's commit and its
     // gc() would otherwise strand the corpus-sized dead per-batch dirs
-    // forever (the early return below never reached them)
+    // forever (the early return below never reached them); compaction is
+    // also the maintenance window where superseded-content sibling
+    // stores are reclaimed (logged, never from the SELECT/ensure path)
     tbl.gc()
+    gcStores(dir, p)
     if (!fragmented && recluster <= 0) return paths // already compact
 
     val v = m.version + 1

@@ -63,16 +63,16 @@ object AnnOps {
   def bruteTopK(spark: SparkSession, dir: String, k: Int,
                 qid: Long): DataFrame = {
     // same loud missing-qid contract as the store-backed methods (the
-    // empty broadcast side would otherwise read as "no similar vectors")
-    if (qid != 0L) queryVec(spark, dir, qid)
+    // empty broadcast side would otherwise read as "no similar vectors");
+    // applies to EVERY qid — vec_id 0 may be absent in filtered datasets
+    val qvArr = queryVec(spark, dir, qid)
     val emb = t(spark, dir, "embeddings")
     val e = asDouble(col("embedding"))
-    // query vector as a correlated scalar: broadcast single-row cross join
-    val qv = emb.where(col("vec_id") === qid)
-      .select(asDouble(col("embedding")).as("qv"))
-    emb.crossJoin(broadcast(qv))
+    // the fetched vector doubles as the comparison side (literal array:
+    // one scan of embeddings total, no single-row cross join)
+    emb
       .select(col("vec_id"), col("label"),
-        r6(cosine(e, col("qv"))).as("cos"))
+        r6(cosine(e, typedLit(qvArr.toSeq))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }

@@ -221,8 +221,10 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { id =>
           val img = Ppm.decode(synthPpm(id))
+          // comma-joined scalar (not array<long>): the driver comparator
+          // sorts/hashes every column and cannot handle array cells
           (id, img.width.toLong, img.height.toLong,
-            Ppm.resizeLuminance(img, PpmGrid).map(_.toLong).toSeq)
+            Ppm.resizeLuminance(img, PpmGrid).mkString(","))
         }
       }
       .toDF("doc_id", "width", "height", "grid")
@@ -257,9 +259,10 @@ object MultimodalOps {
         it.map { id =>
           val bytes = synthVideo(id)
           val sampled = graft.media.FrameSeq.sample(bytes, FrameStride)
+          // comma-joined scalar for the same comparator reason as qPpmGrid
           (id, graft.media.FrameSeq.frameCount(bytes).toLong,
             sampled.size.toLong,
-            sampled.map(img => Ppm.meanLuminance(img).toLong))
+            sampled.map(img => Ppm.meanLuminance(img)).mkString(","))
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "mean_lums")
@@ -278,9 +281,9 @@ object MultimodalOps {
        |        list_filter(range(nf), f -> f % $FrameStride = 0) AS kept
        |      FROM d)
        |SELECT doc_id, nf AS n_frames, len(kept) AS n_sampled,
-       |  list_transform(kept, f ->
+       |  array_to_string(list_transform(kept, f ->
        |    list_reduce(list_transform(range(w * h), p -> $lum),
-       |                (a, b) -> a + b) // (w * h)) AS mean_lums
+       |                (a, b) -> a + b) // (w * h)), ',') AS mean_lums
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
@@ -294,7 +297,8 @@ object MultimodalOps {
     s"""WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS width,
        |                  16 + doc_id % 13 AS height FROM documents)
        |SELECT doc_id, width, height,
-       |  list_transform(range(${PpmGrid * PpmGrid}), g -> $lum) AS grid
+       |  array_to_string(list_transform(range(${PpmGrid * PpmGrid}),
+       |                                 g -> $lum), ',') AS grid
        |FROM d ORDER BY doc_id""".stripMargin
   }
 }

@@ -133,7 +133,9 @@ object MatchTvf {
   }
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      require(v.isValidInt, s"match_topk: $what=$v out of Int range")
+      v.toInt
     case _ => throw new IllegalArgumentException(
       s"match_topk: $what must be an integer literal, got $e")
   }

@@ -91,10 +91,25 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p2.root == root2)
     assert(spark.read.parquet(p2.lshDirs: _*).count() == 32,
       "the fresh store must index the regenerated data, not the stale one")
-    // the superseded store for the SAME dataset dir is swept (a corpus-
-    // sized copy per regeneration would otherwise leak forever)
+    // ensure() (the SELECT path) must NOT delete the superseded store —
+    // reads never destroy data, however stale
+    assert(new java.io.File(root1).exists(),
+      "ensure() must leave the stale store alone (no deletes on the read path)")
+    // the EXPLICIT maintenance sweep reclaims it, loudly (a corpus-sized
+    // copy per regeneration would otherwise leak forever)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    val swept = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      AnnIndex.gcStores(dir)
+    } finally System.setErr(saved)
+    assert(swept == Seq(root1),
+      s"gcStores must report the stale root it removed, got $swept")
     assert(!new java.io.File(root1).exists(),
-      "stale store for the regenerated dataset must be deleted")
+      "stale store for the regenerated dataset must be deleted by gcStores")
+    assert(errBuf.toString.contains(root1) &&
+      errBuf.toString.contains("sweeping superseded store"),
+      "every swept root must be logged")
   }
 
   test("a crashed (uncommitted) build is cleared and rebuilt on the next ensure") {
@@ -236,14 +251,18 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
       new graft.table.IcebergLite(rootB).exists,
       "opening one variant must never destroy another (appended segments " +
         "live only in their store)")
-    // regenerate the content in place: BOTH variants are now stale and
-    // the next build sweeps them
+    // regenerate the content in place: BOTH variants are now stale, but
+    // building the fresh store (ensure = the SELECT path) leaves them;
+    // only the explicit compact() maintenance window sweeps them
     Thread.sleep(1100)
     Tables.t(spark, sf, "embeddings").where(col("vec_id") < 32).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     AnnIndex.ensure(spark, dir)
+    assert(new java.io.File(rootA).exists() && new java.io.File(rootB).exists(),
+      "ensure() must not sweep — stale stores survive every read/build")
+    AnnIndex.compact(spark, dir)
     assert(!new java.io.File(rootA).exists() && !new java.io.File(rootB).exists(),
-      "stale-content stores must be swept")
+      "compact() must sweep stale-content stores (both param variants)")
   }
 
   test("a no-op compact still sweeps dead dirs (crash between a prior commit and its gc)") {

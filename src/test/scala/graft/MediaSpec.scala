@@ -154,7 +154,7 @@ class MediaSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r0.getAs[Long]("peak") <= 32768L)
     val ppm = MultimodalOps.qPpmGrid(spark, sf).collect()
     assert(ppm.length == 500)
-    assert(ppm.forall(_.getAs[Seq[Long]]("grid").size == 16))
+    assert(ppm.forall(_.getAs[String]("grid").split(',').length == 16))
     assert(ppm.forall(r => r.getAs[Long]("width") == 16 + r.getAs[Long]("doc_id") % 17))
   }
 }
