@@ -45,6 +45,11 @@ object SentimentHelper {
     Lexicon.Boosters.foreach { case (w, v) => m.put(w, v) }
     m
   }
+  private val idioms: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    Lexicon.SpecialCases.foreach { case (w, v) => m.put(w, v) }
+    m
+  }
   private val negators: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Lexicon.Negators.foreach(s.add)
@@ -158,11 +163,43 @@ object SentimentHelper {
                        (wl(i - 2) == "doubt" || wl(i - 1) == "doubt")) ()
               else if (negated(wl(i - 3))) v = v * VaderNegScalar
           }
-          // least check (published: inside the distance-3 pass, so the
-          // enclosing i >= 3 guard makes the published i == 1 clause
-          // unreachable — intentionally NOT carried here or in the SQL
-          // twin, which must stay expression-identical)
           if (d == 3) {
+            // _special_idioms_check (published: runs at start_i == 2,
+            // after the negation check). Backward sequences first-match-
+            // wins REPLACE the valence; the forward zeroone/zeroonetwo
+            // probes then override; booster n-grams ADD (every match).
+            val onezero = wl(i - 1) + " " + wl(i)
+            val twoone = wl(i - 2) + " " + wl(i - 1)
+            val twoonezero = wl(i - 2) + " " + onezero
+            val threetwo = wl(i - 3) + " " + wl(i - 2)
+            val threetwoone = wl(i - 3) + " " + twoone
+            val seqs = Array(onezero, twoonezero, twoone, threetwoone, threetwo)
+            var k = 0
+            var matched = false
+            while (k < seqs.length && !matched) {
+              val sv = idioms.get(seqs(k))
+              if (sv != null) { v = sv.doubleValue(); matched = true }
+              k += 1
+            }
+            if (i + 1 < n) {
+              val sv = idioms.get(wl(i) + " " + wl(i + 1))
+              if (sv != null) v = sv.doubleValue()
+            }
+            if (i + 2 < n) {
+              val sv = idioms.get(wl(i) + " " + wl(i + 1) + " " + wl(i + 2))
+              if (sv != null) v = sv.doubleValue()
+            }
+            var g = 0
+            val grams = Array(threetwoone, threetwo, twoone)
+            while (g < grams.length) {
+              val bv = boosters.get(grams(g))
+              if (bv != null) v = v + bv.doubleValue()
+              g += 1
+            }
+            // least check (published: inside the distance-3 pass, so the
+            // enclosing i >= 3 guard makes the published i == 1 clause
+            // unreachable — intentionally NOT carried here or in the SQL
+            // twin, which must stay expression-identical)
             if (!inLex(i - 1) && wl(i - 1) == "least" &&
                 wl(i - 2) != "at" && wl(i - 2) != "very") v = v * VaderNegScalar
           }

@@ -17,10 +17,12 @@ package graft.ops
  *     both sentiment words and boosters),
  *   - exclamation/question punctuation amplification (0.292 / 0.18 / 0.96),
  *   - the but-clause re-weighting (0.5 before, 1.5 after),
+ *   - multi-word idioms (SPECIAL_CASES: backward 2/3-gram sequences with
+ *     first-match-wins, then the forward zeroone/zeroonetwo overrides)
+ *     and the two-token booster phrases ("kind of", "sort of",
+ *     "just enough") — both applied inside the distance-3 pass exactly
+ *     where the published _special_idioms_check runs,
  *   - compound normalization x/sqrt(x²+15) clamped to [-1, 1].
- * Not implemented (documented): multi-word idioms and the two-token
- * booster phrases ("kind of", "sort of", "just enough") — token-level
- * rules only.
  *
  * The LEXICON is an expanded subset: the full ~7.5k-entry published file
  * cannot be fetched in this zero-egress sandbox, so `Published` carries
@@ -131,9 +133,11 @@ object Lexicon {
     "wasnt", "werent", "without", "wont", "wouldnt", "rarely", "seldom",
     "despite")
 
-  /** Published degree modifiers (single-token subset of BOOSTER_DICT;
-    * the two-token phrases "kind of"/"sort of"/"just enough" are out of
-    * scope — token-level rules only). */
+  /** Published degree modifiers (BOOSTER_DICT) — single tokens plus the
+    * two-token phrases, which live in the same map exactly as published:
+    * whitespace-split tokens can never contain a space, so the phrase
+    * keys are unreachable from the single-token lookup and only the
+    * idiom-stage n-gram probe can hit them. */
   val BoostIncr = 0.293
   val BoostDecr = -0.293
   val Boosters: Seq[(String, Double)] =
@@ -149,7 +153,20 @@ object Lexicon {
     Seq("almost", "barely", "hardly", "kinda", "kindof", "kind-of", "less",
       "little", "marginal", "marginally", "occasional", "occasionally",
       "partly", "scarce", "scarcely", "slight", "slightly", "somewhat",
-      "sorta", "sortof", "sort-of").map(_ -> BoostDecr)
+      "sorta", "sortof", "sort-of").map(_ -> BoostDecr) ++
+    // two-token phrases (published BOOSTER_DICT entries)
+    Seq("just enough" -> BoostIncr, "kind of" -> BoostDecr,
+      "sort of" -> BoostDecr)
+
+  /** Published SPECIAL_CASES idiom dictionary: a matching token sequence
+    * REPLACES the anchor word's valence ("badass" is carried verbatim
+    * even though the published sequence probes are all 2-3 tokens and
+    * can never produce a single-token key — dead data there too). */
+  val SpecialCases: Seq[(String, Double)] = Seq(
+    "the shit" -> 3.0, "the bomb" -> 3.0, "bad ass" -> 1.5,
+    "badass" -> 1.5, "bus stop" -> 0.0, "yeah right" -> -2.0,
+    "kiss of death" -> -1.5, "to die for" -> 3.0,
+    "beating heart" -> 3.1, "broken heart" -> -2.9)
 
   /** Published VADER constants. */
   val VaderNegScalar = -0.74 // N_SCALAR
@@ -183,6 +200,11 @@ object Lexicon {
   def duckBoosterMapSql: String =
     s"map([${Boosters.map(b => s"'${b._1}'").mkString(", ")}], " +
       s"[${Boosters.map(_._2).mkString(", ")}]::DOUBLE[])"
+
+  /** DuckDB literal map of the SPECIAL_CASES idioms. */
+  def duckIdiomMapSql: String =
+    s"map([${SpecialCases.map(b => s"'${b._1}'").mkString(", ")}], " +
+      s"[${SpecialCases.map(_._2).mkString(", ")}]::DOUBLE[])"
 
   def duckNegatorsSql: String = Negators.map(w => s"'$w'").mkString("(", ", ", ")")
 

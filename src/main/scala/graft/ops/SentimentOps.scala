@@ -161,12 +161,16 @@ object SentimentOps {
     * dampener + least + question marks. Same decoration in both engines;
     * hash-exact outputs prove every stage, not just the negation window. */
   def qVaderRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = col("doc_id") % 4
+    val d = col("doc_id") % 6
     val decorated =
       when(d === 0, concat(lit("really good "), col("text"), lit(" !!")))
         .when(d === 1, concat(lit("GOOD but bad "), col("text")))
         .when(d === 2, concat(lit("never so good "), col("text")))
-        .otherwise(concat(lit("hardly good least slow "), col("text"), lit(" ???")))
+        .when(d === 3, concat(lit("hardly good least slow "), col("text"), lit(" ???")))
+        // 4: backward idiom threetwoone ("to die for" before the anchor)
+        .when(d === 4, concat(lit("pad to die for good "), col("text")))
+        // 5: two-token booster phrase + forward idiom zeroone at the tail
+        .otherwise(concat(lit("pad sort of good "), col("text"), lit(" broken heart")))
     t(spark, dir, "documents")
       .select(col("doc_id") +: scored(decorated): _*)
       .orderBy("doc_id")
@@ -174,10 +178,12 @@ object SentimentOps {
 
   def vaderRulesOracle: String = {
     val decorated =
-      """CASE WHEN doc_id % 4 = 0 THEN 'really good ' || text || ' !!'
-        |     WHEN doc_id % 4 = 1 THEN 'GOOD but bad ' || text
-        |     WHEN doc_id % 4 = 2 THEN 'never so good ' || text
-        |     ELSE 'hardly good least slow ' || text || ' ???' END""".stripMargin
+      """CASE WHEN doc_id % 6 = 0 THEN 'really good ' || text || ' !!'
+        |     WHEN doc_id % 6 = 1 THEN 'GOOD but bad ' || text
+        |     WHEN doc_id % 6 = 2 THEN 'never so good ' || text
+        |     WHEN doc_id % 6 = 3 THEN 'hardly good least slow ' || text || ' ???'
+        |     WHEN doc_id % 6 = 4 THEN 'pad to die for good ' || text
+        |     ELSE 'pad sort of good ' || text || ' broken heart' END""".stripMargin
     s"""WITH ${scoredSql(s"docs AS (SELECT doc_id, $decorated AS text FROM documents)")}
        |$voteSql ORDER BY doc_id""".stripMargin
   }
@@ -238,20 +244,45 @@ object SentimentOps {
            |     WHEN ${negatedSql(w(3))} THEN vb * $VaderNegScalar
            |     ELSE vb END""".stripMargin
     }
+    // _special_idioms_check twin (distance-3 pass only): backward 2/3-
+    // gram sequences first-match-wins REPLACE vn (COALESCE order = the
+    // published probe order, forward overrides strongest), then every
+    // matching booster n-gram ADDS (+0.0 on a miss is bit-identical).
+    val idiom = {
+      val onezero = s"${w(1)} || ' ' || ${w(0)}"
+      val twoone = s"${w(2)} || ' ' || ${w(1)}"
+      val twoonezero = s"${w(2)} || ' ' || $onezero"
+      val threetwo = s"${w(3)} || ' ' || ${w(2)}"
+      val threetwoone = s"${w(3)} || ' ' || $twoone"
+      s"""COALESCE(
+         |  CASE WHEN i + 2 < len(wl)
+         |       THEN im[${w(0)} || ' ' || wl[i+2] || ' ' || wl[i+3]][1] END,
+         |  CASE WHEN i + 1 < len(wl)
+         |       THEN im[${w(0)} || ' ' || wl[i+2]][1] END,
+         |  im[$onezero][1], im[$twoonezero][1], im[$twoone][1],
+         |  im[$threetwoone][1], im[$threetwo][1], vn)
+         |+ COALESCE(bm[$threetwoone][1], 0.0)
+         |+ COALESCE(bm[$threetwo][1], 0.0)
+         |+ COALESCE(bm[$twoone][1], 0.0)""".stripMargin
+    }
     val least =
       if (d < 3) "vn"
       else
         s"""CASE WHEN m[${w(1)}][1] IS NULL AND ${w(1)} = 'least'
            |          AND ${w(2)} <> 'at' AND ${w(2)} <> 'very'
-           |       THEN vn * $VaderNegScalar
-           |     ELSE vn END""".stripMargin
-    // DuckDB lambdas have no let-bindings: thread vb/vn through 1-element
-    // list_transform hops (pure value plumbing, zero arithmetic)
+           |       THEN vi * $VaderNegScalar
+           |     ELSE vi END""".stripMargin
+    // DuckDB lambdas have no let-bindings: thread vb/vn/vi through
+    // 1-element list_transform hops (pure value plumbing, zero arithmetic)
+    val inner =
+      if (d < 3) s"list_transform([$never], vn -> $least)[1]"
+      else
+        s"""list_transform([$never], vn ->
+           |  list_transform([$idiom], vi -> $least)[1])[1]""".stripMargin
     s"""$out AS (SELECT doc_id, wl, iu, cd, ep, qm,
        |  list_transform(range(len(wl)), i ->
        |    CASE WHEN $guardFail THEN vs[i+1]
-       |         ELSE list_transform([$boosted], vb ->
-       |                list_transform([$never], vn -> $least)[1])[1]
+       |         ELSE list_transform([$boosted], vb -> $inner)[1]
        |    END) AS vs
        |  FROM $prev, lex)""".stripMargin
   }
@@ -266,7 +297,8 @@ object SentimentOps {
     val punct = Lexicon.duckPunctSql
     s"""$srcCte,
        |lex AS (SELECT ${Lexicon.duckMapSql} AS m,
-       |               ${Lexicon.duckBoosterMapSql} AS bm),
+       |               ${Lexicon.duckBoosterMapSql} AS bm,
+       |               ${Lexicon.duckIdiomMapSql} AS im),
        |tok AS (SELECT doc_id, text,
        |  list_filter(string_split(text, ' '), w -> length(w) >= 1) AS rt
        |  FROM docs),

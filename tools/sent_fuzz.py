@@ -21,7 +21,13 @@ NEGATORS = ["not", "never", "cannot", "dont", "isn't", "wasn't", "won't",
             "without", "rarely", "seldom", "couldn't", "NOT", "Never"]
 FILLER = ["the", "a", "it", "was", "this", "that", "at", "least", "but",
           "so", "this", "doubt", "stuff", "code", "x", "|pipe", "#tag",
-          "@user", "n't", "BUT", "AT", "LEAST"]
+          "@user", "n't", "BUT", "AT", "LEAST",
+          # idiom / phrase-booster fragments: random adjacency assembles
+          # full idioms ("the shit", "to die for", "kind of", ...) at
+          # arbitrary offsets relative to lexicon anchors
+          "kind", "sort", "of", "just", "enough", "to", "die", "for",
+          "yeah", "right", "heart", "beating", "bomb", "shit", "KIND",
+          "OF", "DIE"]
 PUNCT = ["!", "!!", "!!!", "!!!!", "!!!!!", "?", "??", "???", "????",
          "?!", "!?", "...", ",", ".", "good!", "bad!!", "GOOD?!",
          "(good)", "'bad'", "\"great\"", "bad...", "!leading"]
@@ -46,6 +52,14 @@ hard = [
     "good !! ?? !!", "????", "!!!!", "so so so good", "more or less fine",
     "not not good", "never never bad", "|pipe not good", "xن't good",
     "don't don't don't hate", "NOT GOOD", "very VERY good",
+    # idioms + two-token booster phrases (_special_idioms_check)
+    "pad to die for good", "pad sort of good", "pad kind of good",
+    "pad just enough good", "pad pad pad broken heart",
+    "pad pad pad beating heart", "was the shit good", "it the bomb great",
+    "pad yeah right good", "not to die for good", "never to die for good",
+    "pad KIND OF good", "pad sort of GOOD", "sort of good",
+    "pad kiss of death bad", "to die for", "broken heart",
+    "pad to die for good but bad", "hardly sort of good !!",
 ]
 docs += [(1000 + j, t, "en", "fuzz", 10) for j, t in enumerate(hard)]
 
