@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CodeTokenize, MinHashSig}
-import graft.plans.{AnnTvf, MatchStrategy, MatchTvf}
+import graft.plans.{AnnTvf, MatchFilter, MatchFilterRewrite, MatchStrategy, MatchTvf}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(AnnTvf.getClass.getName, null, "ann_topk",
         AnnTvf.usage, ""),
       (exprs: Seq[Expression]) => AnnTvf.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("match"),
+      new ExpressionInfo(classOf[MatchFilter].getName, null, "match",
+        "match(content, query) - boolean keyword filter (spaces AND, " +
+          "commas OR); index-rewritten over documents tables", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "match(content, query) takes 2 arguments")
+        MatchFilter(exprs(0), exprs(1))
+      }))
+    e.injectOptimizerRule(session => MatchFilterRewrite(session))
     e.injectFunction((
       FunctionIdentifier("code_tokenize"),
       new ExpressionInfo(classOf[CodeTokenize].getName, null, "code_tokenize",

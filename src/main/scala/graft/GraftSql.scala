@@ -15,6 +15,30 @@ object GraftSql {
         MatchStrategy +: spark.experimental.extraStrategies
   }
 
+  /** Runtime wiring for the `match()` WHERE-predicate in sessions built
+    * WITHOUT spark.sql.extensions=graft.GraftExtensions: registers the
+    * scalar function and adds the index semi-join rewrite to
+    * experimental.extraOptimizations. Idempotent. */
+  def ensureMatchSupport(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("match")))
+      reg.registerFunction(
+        FunctionIdentifier("match"),
+        new ExpressionInfo(classOf[graft.plans.MatchFilter].getName, null,
+          "match", "match(content, query) - boolean keyword filter", ""),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2, "match(content, query) takes 2 arguments")
+          graft.plans.MatchFilter(exprs(0), exprs(1))
+        })
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.MatchFilterRewrite]))
+      spark.experimental.extraOptimizations =
+        graft.plans.MatchFilterRewrite(spark) +:
+          spark.experimental.extraOptimizations
+  }
+
   def search(spark: SparkSession, indexRoot: String, query: String,
              k: Int = 10, boolMode: Boolean = false): DataFrame = {
     ensureStrategy(spark)

@@ -89,6 +89,7 @@ object SparkEntry {
     "q63_index_metrics" -> (SearchOps.qIndexMetrics _),
     "q65_index_stats" -> (SearchOps.qIndexStats _),
     "q66_match_operator" -> (SearchOps.qMatchOperator _),
+    "q74_match_where" -> (SearchOps.qMatchWhere _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "q63_index_metrics" -> SearchOps.indexMetricsOracleSql,
     "q65_index_stats" -> SearchOps.indexStatsOracleSql,
     "q66_match_operator" -> SearchOps.engineSearchOracleSql,
+    "q74_match_where" -> SearchOps.matchWhereOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

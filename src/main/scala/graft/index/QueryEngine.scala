@@ -169,6 +169,44 @@ final class QueryEngine(spark: SparkSession, val root: String,
     shardTop.sorted(ScoredDoc.betterOrdering).take(k)
   }
 
+  /** FILTER-context boolean retrieval: the FULL matching docId set (no
+    * scores, no k-cut) as a DataFrame — the hit set of a
+    * `WHERE match(...)` can be corpus-sized, so it is never collected:
+    * each document shard runs the same leapfrog AND-group intersection
+    * as booleanTopK and streams the union of group hits out. The same
+    * small-postings driver fast path applies (single job, no shuffle). */
+  def matchingDocIds(query: String): DataFrame = {
+    val groups = QueryParser.parse(query)
+    val empty = spark.createDataset(Seq.empty[Long]).toDF("docId")
+    if (groups.isEmpty) return empty
+    val dfs = termDfs(groups.flatten.distinct)
+    val valid = groups.filter(_.forall(dfs.contains))
+    if (valid.isEmpty) return empty
+    val validTerms = valid.flatten.distinct
+    val rows = postings.where(col("term").isin(validTerms: _*)).as[PostingRow]
+    val (bm, dfsB, validB) = (bm25, dfs, valid)
+    def shardIds(rs: Seq[PostingRow]): Iterator[Long] = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      validB.foreach { group =>
+        val cur = rs.filter(r => group.contains(r.term))
+          .groupBy(_.term).map { case (t, subs) =>
+            val sorted = subs.sortBy(_.skips.head.firstDoc)
+            t -> new PostingCursor(t, bm.idf(dfsB(t)),
+              sorted.map(r => (r.blocks, r.skips)), bm)
+          }
+        WandScorer.conjunctive(group, cur).foreach(sd => seen += sd.docId)
+      }
+      seen.iterator
+    }
+    val totalPostings = validTerms.map(dfs).sum
+    if (totalPostings <= driverPathMaxPostings)
+      rows.collect().groupBy(_.shard).toSeq
+        .flatMap(g => shardIds(g._2.toSeq)).toDF("docId")
+    else
+      rows.groupByKey(_.shard).flatMapGroups((_, it) => shardIds(it.toSeq))
+        .toDF("docId")
+  }
+
   /** Top-k as a DataFrame (docId, score) — for the driver contract. */
   def topKDF(query: String, k: Int): DataFrame =
     topK(query, k).toDF("docId", "score")

@@ -255,6 +255,46 @@ object SearchOps {
       .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
   }
 
+  /** All table doc_ids matching a boolean keyword query through the
+    * committed index — the relation the `WHERE match(...)` rewrite
+    * (graft.plans.MatchFilterRewrite) semi-joins against. Distributed
+    * end-to-end: the match set can be corpus-sized, so nothing is
+    * collected (QueryEngine.matchingDocIds streams per shard). */
+  def matchTableIds(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    eng.matchingDocIds(query)
+      .join(eng.docmeta.select(col("docId"), col("path")), Seq("docId"))
+      .select(substring_index(col("path"), "_", -1).cast("long").as("match_id"))
+  }
+
+  /** q74: the filter-context form — SELECT ... WHERE match(text, q) —
+    * through plain spark.sql. MatchFilterRewrite turns the predicate
+    * into a LEFT SEMI join against the index's match set: the documents
+    * text column is never re-analyzed, and the per-query work is the
+    * term-pruned postings walk (the plan assertion lives in
+    * MatchTopKSpec; this query pins the result against the DuckDB
+    * re-tokenization oracle). */
+  def qMatchWhere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureMatchSupport(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_match_docs")
+    spark.sql(
+      s"""SELECT doc_id, lang FROM graft_match_docs
+         |WHERE match(text, '$BoolQuery') AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def matchWhereOracleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks
+       |  FROM documents)
+       |WHERE (list_has_all(toks, ['spark', 'query'])
+       |       OR list_has_all(toks, ['merge', 'join']))
+       |  AND doc_id % 2 = 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-segment metrics from the committed manifest, SQL-checkable
     * subset: docs + postings are corpus-derivable (postings = sum of
     * per-doc distinct analyzed terms), so the oracle verifies the

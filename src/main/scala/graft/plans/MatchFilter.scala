@@ -1,0 +1,148 @@
+package graft.plans
+
+import graft.analyze.CodeAnalyzer
+import graft.index.QueryParser
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BinaryExpression, EqualTo, Expression, Predicate,
+  PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/**
+ * `match(content, 'a b, c')` — the FILTER-context form of the boolean
+ * keyword query (SURVEY.md §4.3; reference semantics "spaces are ANDs
+ * commas are ORs", /root/reference/sentiment.py:638-641): true iff the
+ * analyzed content contains every term of some AND-group.
+ *
+ * Row-level evaluation (this expression) is the universal fallback —
+ * correct over any string, but it re-analyzes every row. The scale path
+ * is MatchFilterRewrite, which replaces `Filter(match(text, q), scan)`
+ * over an indexed documents table with a LEFT SEMI join against the
+ * index's distributed match set (QueryEngine.matchingDocIds — a
+ * term-pruned postings walk), so the corpus text is never re-tokenized
+ * and the filter cost is the probed posting volume, not the corpus.
+ */
+case class MatchFilter(content: Expression, queryExpr: Expression)
+    extends BinaryExpression with Predicate with CodegenFallback {
+  override def left: Expression = content
+  override def right: Expression = queryExpr
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (content.dataType, queryExpr.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"match(content, query) needs two strings, got $other")
+    }
+
+  private def parseGroups(q: Any): Seq[Seq[String]] =
+    if (q == null) Nil else QueryParser.parse(q.toString)
+
+  // the query is almost always a literal: parse its AND-groups once
+  @transient private lazy val foldedGroups: Option[Seq[Seq[String]]] =
+    if (queryExpr.foldable) Some(parseGroups(queryExpr.eval(null))) else None
+
+  override def eval(input: InternalRow): Any = {
+    val c = content.eval(input)
+    if (c == null) false
+    else {
+      val groups = foldedGroups.getOrElse(parseGroups(queryExpr.eval(input)))
+      if (groups.isEmpty) false
+      else {
+        val toks = CodeAnalyzer.analyze(c.toString).toSet
+        groups.exists(g => g.forall(toks.contains))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatchFilter =
+    copy(content = newLeft, queryExpr = newRight)
+  override def prettyName: String = "match"
+}
+
+/**
+ * Rewrites `Filter(... AND match(text, 'q') AND ...)` over a documents
+ * parquet relation into a LEFT SEMI join with the committed index's
+ * match set. Fires only when ALL of:
+ *   - the match column is the relation's own `text` column (the column
+ *     the doc index covers), reachable by exprId from exactly one
+ *     parquet LogicalRelation whose path ends in documents.parquet;
+ *   - the query is a foldable string;
+ *   - the relation's `doc_id` is still visible at the filter (needed as
+ *     the join key).
+ * Anything else keeps the row-level MatchFilter evaluation (correct,
+ * just not index-accelerated). Non-match conjuncts stay in a residual
+ * Filter above the join. The hits side is inserted pre-optimized (this
+ * runs in extraOptimizations, after the main operator batches). The
+ * engine open is ensure-on-first-use, same policy as the match_topk TVF
+ * default path.
+ */
+case class MatchFilterRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case Filter(cond, child)
+          if cond.exists(_.isInstanceOf[MatchFilter]) =>
+        var current: LogicalPlan = child
+        val kept = Seq.newBuilder[Expression]
+        splitConjunctivePredicates(cond).foreach {
+          case m @ MatchFilter(attr: AttributeReference, q) if q.foldable =>
+            rewriteOne(attr, q, child) match {
+              case Some(wrap) => current = wrap(current)
+              case None => kept += m
+            }
+          case other => kept += other
+        }
+        val rest = kept.result()
+        if (rest.isEmpty) current else Filter(rest.reduce(And), current)
+    }
+    if (rewritten.fastEquals(plan)) plan
+    else {
+      // the main optimizer's pruning batch already ran (this rule lives
+      // in extraOptimizations): re-prune so the scan under the new
+      // semi-join stops reading the match column — at corpus scale the
+      // text column dominates the scan, and it is dead once the
+      // predicate is a docId join
+      import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning}
+      CollapseProject(ColumnPruning(rewritten))
+    }
+  }
+
+  private def rewriteOne(attr: AttributeReference, q: Expression,
+      child: LogicalPlan): Option[LogicalPlan => LogicalPlan] = {
+    if (attr.name != "text") return None
+    val query = Option(q.eval(null)).map(_.toString).getOrElse(return None)
+    val rel = child.collect {
+      case lr: LogicalRelation if lr.output.exists(_.exprId == attr.exprId) => lr
+    } match {
+      case Seq(one) => one
+      case _ => return None // ambiguous (self-join) or derived column
+    }
+    val fsPath = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.toList match {
+          case one :: Nil => one.toString
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (!fsPath.endsWith("/documents.parquet")) return None
+    val dir = fsPath.stripSuffix("/documents.parquet").stripPrefix("file:")
+    val docId = rel.output.find(_.name == "doc_id").getOrElse(return None)
+    if (!child.outputSet.contains(docId)) return None
+    val hitsPlan = graft.ops.SearchOps.matchTableIds(spark, dir, query)
+      .queryExecution.optimizedPlan
+    val hitAttr = hitsPlan.output.head
+    Some(cur => Join(cur, hitsPlan, LeftSemi,
+      Some(EqualTo(docId, hitAttr)), JoinHint.NONE))
+  }
+}

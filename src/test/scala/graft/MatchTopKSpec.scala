@@ -80,6 +80,17 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       intercept[Exception] {
         s2.sql(s"SELECT * FROM match_topk('$root', 7, 10)").collect()
       }
+      // the injected match() WHERE-predicate works on an extension-built
+      // session too (injectFunction + injectOptimizerRule wiring)
+      val sf = "/root/testdata/sf0.001"
+      graft.ops.Tables.t(s2, sf, "documents").createOrReplaceTempView("xdocs")
+      val hits = s2.sql(
+        "SELECT doc_id FROM xdocs WHERE match(text, 'spark query, merge join')")
+        .collect().map(_.getLong(0)).sorted
+      val expHits = graft.ops.SearchOps
+        .matchTableIds(s2, sf, "spark query, merge join")
+        .collect().map(_.getLong(0)).sorted
+      assert(hits.nonEmpty && hits.sameElements(expHits))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
       org.apache.spark.sql.SparkSession.setActiveSession(old)
@@ -143,6 +154,73 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
       org.apache.spark.sql.SparkSession.setActiveSession(old)
     }
+  }
+
+  test("WHERE match(text, q) rewrites to an index semi-join with the engine's hit set") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val sf = "/root/testdata/sf0.001"
+    val q = "spark query, merge join"
+    GraftSql.ensureMatchSupport(spark)
+    graft.ops.Tables.t(spark, sf, "documents").createOrReplaceTempView("mdocs")
+    val df = spark.sql(s"SELECT doc_id FROM mdocs WHERE match(text, '$q')")
+    val opt = df.queryExecution.optimizedPlan
+    // the predicate is gone: no row ever re-analyzes the corpus text
+    assert(!opt.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.plans.MatchFilter]))),
+      s"match() must be rewritten away:\n$opt")
+    assert(opt.exists {
+      case j: Join => j.joinType == LeftSemi
+      case _ => false
+    }, s"expected a LEFT SEMI join:\n$opt")
+    // the join's build side reads the committed INDEX (term-pruned
+    // postings walk), not a second documents scan
+    assert(opt.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("doc-index"))
+          case _ => false
+        }
+      case _ => false
+    }, s"expected the index postings relation in the plan:\n$opt")
+    // exactly the engine's hit set
+    val got = df.collect().map(_.getLong(0)).sorted
+    val exp = graft.ops.SearchOps.matchTableIds(spark, sf, q)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.length > 0 && got.sameElements(exp))
+    // composes with other predicates (residual filter stays)
+    val even = spark.sql(
+      s"SELECT doc_id FROM mdocs WHERE match(text, '$q') AND doc_id % 2 = 0")
+      .collect().map(_.getLong(0)).sorted
+    assert(even.sameElements(exp.filter(_ % 2 == 0)))
+  }
+
+  test("match() falls back to row-level eval when the index can't serve it") {
+    val sf = "/root/testdata/sf0.001"
+    val q = "spark query, merge join"
+    GraftSql.ensureMatchSupport(spark)
+    // the column is a DERIVED string (aliased + transformed): no relation
+    // text column, so the rewrite must not fire — and results must still
+    // be exactly the boolean-retrieval semantics
+    val df = graft.ops.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat(text, '') AS body")
+      .where(org.apache.spark.sql.functions.expr(s"match(body, '$q')"))
+      .select("doc_id")
+    assert(df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.MatchFilter]))),
+      "derived column: the row-level predicate must remain")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val exp = graft.ops.SearchOps.matchTableIds(spark, sf, q)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp), "fallback and index path must agree")
+    // empty/unknown query: empty result, no error, both paths
+    assert(graft.ops.Tables.t(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.expr("match(text, '')"))
+      .count() == 0L)
+    assert(graft.ops.Tables.t(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.expr("match(text, 'zzzznope')"))
+      .count() == 0L)
   }
 
   test("GraftExtensions applies cleanly; registered functions work via SQL") {
