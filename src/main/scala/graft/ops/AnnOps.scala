@@ -100,6 +100,28 @@ object AnnOps {
     rows.head.toArray
   }
 
+  /** Query vector for STORE-backed probes: the source table first (row-
+    * group pruned point lookup), else the store's own committed rows —
+    * vectors that arrived via append() micro-batches exist only in the
+    * store, and "query by the newest ingested item" is the common
+    * streaming ask. The store lookup is a pushed vec_id filter over the
+    * manifest-resolved LSH segments (no bucket is derivable from an id,
+    * so all partitions are listed — fallback-only cost, never paid when
+    * the id is in the source table). */
+  private def queryVecStore(spark: SparkSession, dir: String, qid: Long,
+                            paths: AnnIndex.AnnPaths): Array[Double] = {
+    import spark.implicits._
+    val src = t(spark, dir, "embeddings").where(col("vec_id") === qid)
+      .select(asDouble(col("embedding"))).as[Seq[Double]].take(1)
+    if (src.nonEmpty) return src.head.toArray
+    val stored = readSegs(spark, paths.lshDirs)
+      .where(col("vec_id") === qid)
+      .select(asDouble(col("embedding"))).as[Seq[Double]].take(1)
+    require(stored.nonEmpty,
+      s"query vector vec_id=$qid not found in $dir nor in its ANN store")
+    stored.head.toArray
+  }
+
   /** LSH bucket inventory — reads the MATERIALIZED table, which the
     * oracle recomputes from raw embeddings: the materialization itself
     * is hash-verified. */
@@ -125,7 +147,7 @@ object AnnOps {
               qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir, qid)
+    val qv = queryVecStore(spark, dir, qid, paths)
     val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & p.lshMask
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
@@ -171,7 +193,7 @@ object AnnOps {
                     qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir, qid)
+    val qv = queryVecStore(spark, dir, qid, paths)
     val probes = lshProbeCodes(qv, p.lshBits)
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
@@ -207,7 +229,7 @@ object AnnOps {
               qid: Long = 0L): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVec(spark, dir, qid)
+    val qv = queryVecStore(spark, dir, qid, paths)
     val cents = spark.read.parquet(paths.centroidsDir)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val probed: Seq[Long] = cents.map { case (c, ce) =>

@@ -99,8 +99,9 @@ object AnnTvf {
     " - approximate-nearest-neighbor top-k over the materialized ANN " +
     "store as a relation (vec_id, cos, method); method in " +
     "('lsh','multiprobe','ivf','brute'); qid picks the query vector by " +
-    "vec_id FROM THE DATASET'S embeddings table (default 0; appended " +
-    "store-only vectors are searchable but not addressable as queries); " +
+    "vec_id — from the dataset's embeddings table, else (for the store-" +
+    "backed methods) from the store's own rows, so appended micro-batch " +
+    "vectors are addressable as queries (default 0); " +
     "cells/lshBits OPEN a store previously built with those BuildParams " +
     "via AnnIndex.ensure (never built from SQL; Lloyd-refined stores " +
     "stay on the Scala API)"

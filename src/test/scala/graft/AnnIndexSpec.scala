@@ -168,6 +168,29 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sel <= 2, s"single-probe over 2 segments must read <= 2 dirs, got $sel")
     assert(scans.map(_.relation.location.inputFiles.length).sum > sel)
 
+    // QUERY BY AN APPENDED VECTOR: vec 150 exists only in the store
+    // (the grown dir's source table is [0,120)); the qid must resolve
+    // from the store's own rows and answer exactly like the full build,
+    // from the Scala API and from SQL (ann_topk TVF)
+    assert(Tables.t(spark, grown, "embeddings")
+      .where(col("vec_id") === 150).count() == 0L)
+    graft.GraftSql.ensureStrategy(spark)
+    Seq("lsh", "multiprobe", "ivf").foreach { m =>
+      def run(d: String) =
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          graft.plans.AnnTopK(d, m, 10, qid = 150L))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = run(grown)
+      assert(got.nonEmpty && got.head._1 == 150L,
+        s"$m: appended query vector must self-match first, got $got")
+      assert(got == run(full),
+        s"$m: grown-store answers for an appended qid must equal the full build")
+    }
+    // a qid in NEITHER the source nor the store still fails loudly
+    val eMissing = intercept[Exception](
+      AnnOps.lshTopK(spark, grown, AnnIndex.BuildParams(), 10, qid = 99999L))
+    assert(eMissing.getMessage.contains("not found"))
+
     // re-delivered micro-batch: a committed batchId is a NO-OP
     val root = AnnIndex.rootFor(grown)
     val mBefore = new graft.table.IcebergLite(root).currentManifest().get
@@ -306,6 +329,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
         assert(!AnnIndex.append(spark, dir,
           Tables.t(spark, sf, "embeddings").where(col("vec_id") < 0), b),
           s"$step: batch $b re-delivered")
+      }
+      // the newest APPENDED vector (absent from the source table, which
+      // holds only [0,64)) is addressable as a query: qid resolves from
+      // the store's own rows and the probe equals the model's exact
+      // cosine over the query's bucket (same fold order as the plan)
+      if (nextId > 64) {
+        val qid = nextId - 1
+        val embMap = emb.toMap
+        val qv = embMap(qid).map(_.toDouble)
+        def cosM(a: Seq[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) { dot += a(i).toDouble * qv(i); i += 1 }
+          i = 0; while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+          i = 0; while (i < qv.length) { nb += qv(i) * qv(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val qb = got(qid) & AnnIndex.Bucket6Mask
+        val expect = emb.toSeq
+          .filter { case (id, _) => (got(id) & AnnIndex.Bucket6Mask) == qb }
+          .map { case (id, e) => (id, math.floor(cosM(e) * 1e6 + 0.5) / 1e6) }
+          .sortBy { case (id, c) => (-c, id) }.take(10)
+        val top = AnnOps.lshTopK(spark, dir, AnnIndex.BuildParams(), 10, qid)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(top == expect, s"$step: appended-qid lsh topk ($qid)")
       }
     }
     check("base")
