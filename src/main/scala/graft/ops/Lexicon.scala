@@ -118,7 +118,38 @@ object Lexicon {
     "fast" -> 1.8, "small" -> 1.2, "slow" -> -1.8, "big" -> -1.2,
     "dup" -> -1.5)
 
-  val Entries: Seq[(String, Double)] = Published ++ DomainFixture
+  /** Vendored-lexicon seam (the full 7.5k-entry published file is
+    * unfetchable in this zero-egress sandbox): when
+    * -Dgraft.vader.lexicon=<path> (or env GRAFT_VADER_LEXICON) points at
+    * a vader_lexicon.txt-format TSV — `token<TAB>mean valence` with the
+    * published file's optional trailing stddev/ratings columns — it
+    * REPLACES `Published` wholesale at first class load. Set it before
+    * first use (spark-submit --driver-java-options / executor env); both
+    * engines (the native scorer and the generated DuckDB oracle maps)
+    * read only `Entries`, so the swap is complete. LexiconSeamSpec
+    * proves the flow end-to-end in a forked JVM. */
+  def parseVendoredTsv(lines: Iterator[String]): Seq[(String, Double)] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val parts = l.split("\t")
+        if (parts.length >= 2) parts(1).toDoubleOption.map(v => parts(0) -> v)
+        else None
+      }.toSeq
+
+  private def vendored: Option[Seq[(String, Double)]] =
+    sys.props.get("graft.vader.lexicon")
+      .orElse(sys.env.get("GRAFT_VADER_LEXICON"))
+      .map { p =>
+        val src = scala.io.Source.fromFile(p)("UTF-8")
+        try {
+          val es = parseVendoredTsv(src.getLines())
+          require(es.nonEmpty, s"vendored lexicon $p parsed to zero entries")
+          es
+        } finally src.close()
+      }
+
+  val Entries: Seq[(String, Double)] = vendored.getOrElse(Published) ++ DomainFixture
   val Words: Seq[String] = Entries.map(_._1)
   val Valences: Seq[Double] = Entries.map(_._2)
 
@@ -191,9 +222,13 @@ object Lexicon {
     * published _strip_punc_if_word behavior). */
   val PunctChars: String = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
+  /** SQL string literal with single quotes doubled (a vendored lexicon
+    * carries emoticon tokens like :'( — they must not break the map). */
+  private def q(w: String): String = "'" + w.replace("'", "''") + "'"
+
   /** DuckDB literal map of the lexicon (same order as Entries). */
   def duckMapSql: String =
-    s"map([${Words.map(w => s"'$w'").mkString(", ")}], " +
+    s"map([${Words.map(q).mkString(", ")}], " +
       s"[${Valences.mkString(", ")}]::DOUBLE[])"
 
   /** DuckDB literal map of the boosters. */
