@@ -175,13 +175,16 @@ object Bench {
     // multi-probe), then the r3-continuation additions (HLL cardinality,
     // real WAV/PPM-decode pipelines) — strictly additive so regressions
     // stay attributable
+    // then the r4 additions (driver-green PPM grid, match() WHERE
+    // rewrite) — strictly additive so regressions stay attributable
     val repr = Seq("q01_pricing_summary", "q03_terms_top25_tokens",
       "q05_datehist_metrics", "q42_minhash_bands", "q45_ngram_jaccard",
       "q50_ann_bruteforce", "q60_bm25_topk",
       "q24_sentiment_docs", "q47_ngram_cap_metrics", "q53_ann_lsh_topk",
       "q55_ann_ivf_topk", "q61_engine_search",
       "q28_vader_rules", "q49_band_cap_metrics", "q56_ann_lsh_multiprobe",
-      "q38_approx_distinct", "q71_wav_features", "q73_frame_sample")
+      "q38_approx_distinct", "q71_wav_features", "q73_frame_sample",
+      "q72_ppm_grid", "q74_match_where")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"
