@@ -50,6 +50,26 @@ object ScaleSanity {
     val blats = (1 to 2).flatMap(_ => ReferenceQueries.boolQueries.map { q =>
       val t0 = System.nanoTime(); eng1.booleanTopK(q, 10); (System.nanoTime()-t0)/1e9 })
     println(f"[scale] bool p50=${blats.sorted.apply(blats.size/2)}%.3f p95=${blats.sorted.apply((blats.size*95)/100 min (blats.size-1))}%.3f")
+    // WHERE match() at scale: the FULL hit set, distributed (the filter-
+    // context semi-join build side — counted, never collected), plus a
+    // one-query parity check against direct corpus re-analysis
+    Seq("def return", "posting reader, segment writer", "computeHashValue")
+      .foreach { q =>
+        val t0 = System.nanoTime()
+        val n = eng1.matchingDocIds(q).count()
+        println(f"[scale] match-set '$q' -> $n docs in ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    val mq = "def return"
+    val mGroups = QueryParser.parse(mq)
+    val direct = timed("match direct re-analysis") {
+      CorpusGen.dataset(spark, nDocs + 20000, 42L, 128)
+        .map(d => graft.analyze.CodeAnalyzer.analyze(d.content).toSet)
+        .filter(ts => mGroups.exists(g => g.forall(ts.contains))).count()
+    }
+    val viaIndex = eng1.matchingDocIds(mq).count()
+    println(s"[scale] match-set parity '$mq': index=$viaIndex direct=$direct " +
+      s"agree=${viaIndex == direct}")
+
     // physical GC after compaction: old segments deleted, reader correct
     // (snapshot results captured BEFORE gc — eng0's files are reclaimed)
     val preGc = ReferenceQueries.all.take(4).map(q => eng1.topK(q, 10))
