@@ -99,6 +99,31 @@ object VerifyProbe {
     } catch { case e: Exception =>
       println("PROBE sql ann_topk missing-dataset -> rejected: " + e.getMessage.take(60)) }
 
+    // match() WHERE-predicate: rewrite path, fallback path, edge queries
+    graft.GraftSql.ensureMatchSupport(sx)
+    graft.ops.Tables.t(sx, sf, "documents").createOrReplaceTempView("pdocs")
+    val nRewrite = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'spark query, merge join')")
+      .collect().head.getLong(0)
+    println(s"PROBE sql where-match -> $nRewrite rows")
+    val nFallback = sx.sql(
+      "SELECT count(*) AS n FROM (SELECT concat(text, '') AS body FROM pdocs) " +
+        "WHERE match(body, 'spark query, merge join')")
+      .collect().head.getLong(0)
+    println("PROBE where-match fallback-eval -> " + nFallback +
+      s" rows (agree=${nFallback == nRewrite})")
+    println("PROBE where-match empty query -> " + sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, '')")
+      .collect().head.getLong(0) + " rows")
+    println("PROBE where-match unknown terms -> " + sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'zzz qqq')")
+      .collect().head.getLong(0) + " rows")
+    try {
+      sx.sql("SELECT * FROM pdocs WHERE match(text, 7)").collect()
+      println("PROBE where-match bad-arg -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE where-match bad-arg -> rejected: " + e.getMessage.take(60)) }
+
     // rebase lifecycle: ingest near the batch budget, rebase, keep going
     val rbRoot = "/root/repo/target/graftwork/probe-rebase"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rbRoot))
