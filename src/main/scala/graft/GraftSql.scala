@@ -22,6 +22,7 @@ object GraftSql {
   def ensureMatchSupport(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    ensureStrategy(spark) // the rewrite emits a MatchIds leaf to plan
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("match")))
       reg.registerFunction(

@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
  * 5.7s driver-side). Selection is automatic from the dictionary's df
  * totals.
  */
+object QueryEngine {
+  /** The ONE place per-term cursors are built from posting rows (driver
+    * fast path, distributed topK, boolean groups, match sets): sub-lists
+    * of a term sorted by first docId, wrapped with the term's idf. Kept
+    * static so distributed closures capture only (bm, dfs). */
+  private[index] def termCursors(rs: Seq[PostingRow], bm: Bm25,
+      dfs: Map[String, Long]): Map[String, PostingCursor] =
+    rs.groupBy(_.term).map { case (t, subs) =>
+      val sorted = subs.sortBy(_.skips.head.firstDoc)
+      t -> new PostingCursor(t, bm.idf(dfs(t)),
+        sorted.map(r => (r.blocks, r.skips)), bm)
+    }
+}
+
 final class QueryEngine(spark: SparkSession, val root: String,
                         driverPathMaxPostings: Long = 500000L) extends Serializable {
   import spark.implicits._
@@ -76,12 +90,7 @@ final class QueryEngine(spark: SparkSession, val root: String,
     }
 
   private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
-      : Map[String, PostingCursor] =
-    rows.groupBy(_.term).map { case (t, subs) =>
-      val sorted = subs.sortBy(_.skips.head.firstDoc)
-      t -> new PostingCursor(t, bm25.idf(dfs(t)),
-        sorted.map(r => (r.blocks, r.skips)), bm25)
-    }
+      : Map[String, PostingCursor] = QueryEngine.termCursors(rows, bm25, dfs)
 
   /** Disjunctive BM25 top-k; returns (docId, score) best-first. */
   def topK(query: String, k: Int): Seq[ScoredDoc] = {
@@ -100,13 +109,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
       } else {
         val (bm, pr, dfsB) = (bm25, present, dfs)
         rows.groupByKey(_.shard).flatMapGroups { (_, it) =>
-          val rs = it.toSeq
-          val cur = rs.groupBy(_.term).map { case (t, subs) =>
-            val sorted = subs.sortBy(_.skips.head.firstDoc)
-            t -> new PostingCursor(t, bm.idf(dfsB(t)),
-              sorted.map(r => (r.blocks, r.skips)), bm)
-          }
-          WandScorer.topK(pr, cur, k).iterator
+          WandScorer.topK(pr, QueryEngine.termCursors(it.toSeq, bm, dfsB), k)
+            .iterator
         }.collect().toSeq
       }
     shardTop.sorted(ScoredDoc.betterOrdering).take(k)
@@ -138,12 +142,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
     // O(groups * k).
     def scoreShard(rs: Seq[PostingRow], k: Int): Seq[ScoredDoc] = {
       val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
-        val cur = rs.filter(r => group.contains(r.term))
-          .groupBy(_.term).map { case (t, subs) =>
-            val sorted = subs.sortBy(_.skips.head.firstDoc)
-            t -> new PostingCursor(t, bm.idf(dfsB(t)),
-              sorted.map(r => (r.blocks, r.skips)), bm)
-          }
+        val cur = QueryEngine.termCursors(
+          rs.filter(r => group.contains(r.term)), bm, dfsB)
         val groupTop = new ScoredDoc.TopK(k)
         WandScorer.conjunctive(group, cur).foreach(groupTop.offer)
         groupTop.result()
@@ -188,12 +188,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
     def shardIds(rs: Seq[PostingRow]): Iterator[Long] = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       validB.foreach { group =>
-        val cur = rs.filter(r => group.contains(r.term))
-          .groupBy(_.term).map { case (t, subs) =>
-            val sorted = subs.sortBy(_.skips.head.firstDoc)
-            t -> new PostingCursor(t, bm.idf(dfsB(t)),
-              sorted.map(r => (r.blocks, r.skips)), bm)
-          }
+        val cur = QueryEngine.termCursors(
+          rs.filter(r => group.contains(r.term)), bm, dfsB)
         WandScorer.conjunctive(group, cur).foreach(sd => seen += sd.docId)
       }
       seen.iterator

@@ -149,7 +149,18 @@ object Lexicon {
         } finally src.close()
       }
 
-  val Entries: Seq[(String, Double)] = vendored.getOrElse(Published) ++ DomainFixture
+  /** Merged with python-dict semantics — later entries win (a vendored
+    * file may repeat a token, and DomainFixture overrides collisions) —
+    * and keys UNIQUE: DuckDB's map() literal hard-fails on duplicate
+    * keys, and the native HashMap would otherwise silently last-win
+    * while the oracle errors. First-occurrence order is preserved so
+    * both engines enumerate the same literal. */
+  val Entries: Seq[(String, Double)] = {
+    val merged = vendored.getOrElse(Published) ++ DomainFixture
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    merged.foreach { case (w, v) => m(w) = v }
+    m.toSeq
+  }
   val Words: Seq[String] = Entries.map(_._1)
   val Valences: Seq[Double] = Entries.map(_._2)
 

@@ -6,12 +6,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, BinaryExpression, EqualTo, Expression, Predicate,
-  PredicateHelper}
+  And, Attribute, AttributeReference, BinaryExpression, EqualTo, Expression,
+  Predicate, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, Join, JoinHint, LeafNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.LeafExecNode
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
@@ -69,21 +71,60 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
 }
 
 /**
+ * The index match SET as a logical leaf (one `match_id: long` column):
+ * the build side of the `WHERE match(...)` semi-join. Execution is
+ * DEFERRED to runtime (MatchIdsExec runs SearchOps.matchTableIds then) —
+ * an explain() or plan compile must not launch Spark jobs or an index
+ * build, and a cached DataFrame re-executed after an index append must
+ * see the CURRENT snapshot, not one frozen at optimization time. Stats
+ * deliberately report unknown-large so the static planner never
+ * broadcasts a potentially corpus-sized hit set; AQE converts the join
+ * to broadcast at runtime when the set turns out small.
+ */
+case class MatchIds(dir: String, query: String,
+                    override val output: Seq[Attribute] = MatchIds.freshOutput())
+    extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
+}
+
+object MatchIds {
+  val schema: StructType =
+    StructType(Seq(StructField("match_id", LongType, nullable = true)))
+  def freshOutput(): Seq[Attribute] = schema
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+}
+
+case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
+  override val output: Seq[Attribute] = plan.output
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] =
+    graft.ops.SearchOps
+      .matchTableIds(SparkSession.active, plan.dir, plan.query)
+      .queryExecution.toRdd
+}
+
+/**
  * Rewrites `Filter(... AND match(text, 'q') AND ...)` over a documents
  * parquet relation into a LEFT SEMI join with the committed index's
- * match set. Fires only when ALL of:
- *   - the match column is the relation's own `text` column (the column
- *     the doc index covers), reachable by exprId from exactly one
- *     parquet LogicalRelation whose path ends in documents.parquet;
+ * match set (a lazy MatchIds leaf). Fires only when ALL of:
+ *   - the match column is the relation's own `text` string column (the
+ *     column the doc index covers), reachable by exprId from exactly
+ *     one parquet LogicalRelation whose path ends in documents.parquet
+ *     and whose schema carries the documents shape the index build
+ *     reads (doc_id: long, text/lang/source: string) — a foreign table
+ *     that merely shares the file name stays on row-level eval instead
+ *     of failing at execution;
  *   - the query is a foldable string;
- *   - the relation's `doc_id` is still visible at the filter (needed as
- *     the join key).
- * Anything else keeps the row-level MatchFilter evaluation (correct,
- * just not index-accelerated). Non-match conjuncts stay in a residual
- * Filter above the join. The hits side is inserted pre-optimized (this
- * runs in extraOptimizations, after the main operator batches). The
- * engine open is ensure-on-first-use, same policy as the match_topk TVF
- * default path.
+ *   - the relation's `doc_id` is still visible at the filter (the join
+ *     key) and no Union sits between (Union reuses its head child's
+ *     exprIds WITHOUT row correspondence — a semi-join keyed on one
+ *     branch's doc_id would filter other branches' rows by the wrong
+ *     table's text);
+ * Anything else — including any unexpected analysis failure, which is
+ * caught — keeps the row-level MatchFilter evaluation (correct, just
+ * not index-accelerated). Non-match conjuncts stay in a residual Filter
+ * above the join. The engine open/build is ensure-on-first-use AT
+ * EXECUTION, same policy and timing as the match_topk TVF default path.
  */
 case class MatchFilterRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -118,9 +159,13 @@ case class MatchFilterRewrite(spark: SparkSession)
   }
 
   private def rewriteOne(attr: AttributeReference, q: Expression,
-      child: LogicalPlan): Option[LogicalPlan => LogicalPlan] = {
-    if (attr.name != "text") return None
+      child: LogicalPlan): Option[LogicalPlan => LogicalPlan] = try {
+    if (attr.name != "text" || !attr.dataType.isInstanceOf[StringType])
+      return None
     val query = Option(q.eval(null)).map(_.toString).getOrElse(return None)
+    // Union has no per-row exprId correspondence (see scaladoc): bail
+    if (child.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Union])) return None
     val rel = child.collect {
       case lr: LogicalRelation if lr.output.exists(_.exprId == attr.exprId) => lr
     } match {
@@ -136,13 +181,25 @@ case class MatchFilterRewrite(spark: SparkSession)
       case _ => return None
     }
     if (!fsPath.endsWith("/documents.parquet")) return None
+    // the documents shape the deferred index build reads — a foreign
+    // table that merely shares the file name must stay on row-eval
+    def colType(n: String): Option[org.apache.spark.sql.types.DataType] =
+      rel.output.find(_.name == n).map(_.dataType)
+    if (!colType("lang").exists(_.isInstanceOf[StringType]) ||
+        !colType("source").exists(_.isInstanceOf[StringType])) return None
     val dir = fsPath.stripSuffix("/documents.parquet").stripPrefix("file:")
-    val docId = rel.output.find(_.name == "doc_id").getOrElse(return None)
+    val docId = rel.output.find(a =>
+      a.name == "doc_id" && a.dataType == LongType).getOrElse(return None)
     if (!child.outputSet.contains(docId)) return None
-    val hitsPlan = graft.ops.SearchOps.matchTableIds(spark, dir, query)
-      .queryExecution.optimizedPlan
-    val hitAttr = hitsPlan.output.head
+    val hitsPlan = MatchIds(dir, query)
     Some(cur => Join(cur, hitsPlan, LeftSemi,
-      Some(EqualTo(docId, hitAttr)), JoinHint.NONE))
+      Some(EqualTo(docId, hitsPlan.output.head)), JoinHint.NONE))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      // an optimizer rule must never kill a query the row-level
+      // predicate can answer; log and fall back
+      System.err.println(s"matchRewrite: falling back to row-level eval " +
+        s"for match(${attr.name}, ...): ${e.getMessage}")
+      None
   }
 }

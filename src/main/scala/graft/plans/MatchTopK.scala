@@ -105,6 +105,7 @@ object MatchStrategy extends SparkStrategy {
       : Seq[SparkPlan] = plan match {
     case m: MatchTopK => MatchTopKExec(m) :: Nil
     case a: AnnTopK => AnnTopKExec(a) :: Nil
+    case i: MatchIds => MatchIdsExec(i) :: Nil
     case _ => Nil
   }
 }

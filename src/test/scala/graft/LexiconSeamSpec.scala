@@ -29,9 +29,12 @@ class LexiconSeamSpec extends AnyFunSuite {
 
   test("a vendored file replaces the built-in lexicon in a fresh JVM (end-to-end)") {
     val tsv = java.nio.file.Files.createTempFile("vaderlex", ".txt")
-    // a token the built-in subset cannot know + a published-format row
+    // a token the built-in subset cannot know (repeated — dict
+    // semantics: LAST wins), a DomainFixture collision (fixture wins,
+    // applied after the vendored file), and a published-format row
     java.nio.file.Files.writeString(tsv,
-      "# vendored\nzorgtastic\t3.4\t0.5\t[3, 4]\nawful\t-2.0\n")
+      "# vendored\nzorgtastic\t1.0\nzorgtastic\t3.4\t0.5\t[3, 4]\n" +
+        "fast\t9.9\nawful\t-2.0\n")
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
     def probe(args: Seq[String], withLex: Boolean): Seq[String] = {
@@ -46,12 +49,16 @@ class LexiconSeamSpec extends AnyFunSuite {
       assert(p.waitFor() == 0, s"probe exit != 0:\n$out")
       out.toString.linesIterator.toSeq
     }
-    // with the vendored file: 2 entries + the domain fixture; the
-    // unknown-to-builtin token scores its vendored valence
+    // with the vendored file: 3 unique vendored tokens + the fixture
+    // minus the 'fast' collision (keys UNIQUE — a duplicate would break
+    // the DuckDB map literal); the unknown-to-builtin token scores its
+    // LAST vendored valence (dict semantics)
     val swapped = probe(Seq("zorgtastic"), withLex = true)
     assert(swapped.exists(_ ==
-      s"LEXICON_ENTRIES=${2 + Lexicon.DomainFixture.size}"), swapped)
+      s"LEXICON_ENTRIES=${3 + Lexicon.DomainFixture.size - 1}"), swapped)
     assert(swapped.contains("LEXICON_X=3.4"), swapped)
+    // the DomainFixture override (applied after the vendored file) wins
+    assert(probe(Seq("fast"), withLex = true).contains("LEXICON_X=1.8"))
     // without it: the built-in subset; the token is unknown (x = 0)
     val builtin = probe(Seq("zorgtastic"), withLex = false)
     assert(builtin.exists(_ ==

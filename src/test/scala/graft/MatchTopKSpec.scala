@@ -173,17 +173,11 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       case j: Join => j.joinType == LeftSemi
       case _ => false
     }, s"expected a LEFT SEMI join:\n$opt")
-    // the join's build side reads the committed INDEX (term-pruned
-    // postings walk), not a second documents scan
-    assert(opt.exists {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.contains("doc-index"))
-          case _ => false
-        }
-      case _ => false
-    }, s"expected the index postings relation in the plan:\n$opt")
+    // the join's build side is the LAZY MatchIds leaf (the index walk
+    // runs at execution — building the plan launches no jobs and embeds
+    // no snapshot), not a second documents scan
+    assert(opt.exists(_.isInstanceOf[graft.plans.MatchIds]),
+      s"expected the MatchIds leaf in the plan:\n$opt")
     // exactly the engine's hit set
     val got = df.collect().map(_.getLong(0)).sorted
     val exp = graft.ops.SearchOps.matchTableIds(spark, sf, q)
