@@ -74,4 +74,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plan(DashboardOps.qJoinSemi(spark, sf)).contains("LeftSemi"))
     assert(plan(DashboardOps.qJoinAnti(spark, sf)).contains("LeftAnti"))
   }
+
+  test("WHERE match(): semi-join against the lazy MatchIds leaf, pruned scan, AQE broadcast") {
+    val df = SearchOps.qMatchWhere(spark, sf)
+    df.collect() // finalize AQE so the runtime join choice is visible
+    val p = plan(df)
+    assert(p.contains("MatchIds"), p)
+    assert(p.contains("LeftSemi"), p)
+    // the hit set is small here: AQE must have converted to broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the rewritten scan reads only the projected columns — the text
+    // column is DEAD once the predicate is a docId semi-join
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    // building the plan (explain) must not run the index walk: its
+    // compile-time job count equals a PLAIN query over the same table
+    // (the one job either way is the parquet footer/listing read)
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobs()
+    Tables.t(spark, sf, "documents").where("doc_id > 0")
+      .queryExecution.executedPlan
+    val plainJobs = jobs() - j0
+    val j1 = jobs()
+    SearchOps.qMatchWhere(spark, sf).queryExecution.executedPlan
+    val matchJobs = jobs() - j1
+    assert(matchJobs <= plainJobs,
+      s"match plan compile ran $matchJobs job(s) vs $plainJobs for a plain " +
+        "query; the hit set must stay lazy")
+  }
 }
