@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 2, "match(content, query) takes 2 arguments")
         MatchFilter(exprs(0), exprs(1))
       }))
-    e.injectOptimizerRule(session => MatchFilterRewrite(session))
+    e.injectOptimizerRule(_ => MatchFilterRewrite)
     e.injectFunction((
       FunctionIdentifier("code_tokenize"),
       new ExpressionInfo(classOf[CodeTokenize].getName, null, "code_tokenize",

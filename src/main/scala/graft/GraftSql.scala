@@ -34,9 +34,9 @@ object GraftSql {
           graft.plans.MatchFilter(exprs(0), exprs(1))
         })
     if (!spark.experimental.extraOptimizations
-          .exists(_.isInstanceOf[graft.plans.MatchFilterRewrite]))
+          .contains(graft.plans.MatchFilterRewrite))
       spark.experimental.extraOptimizations =
-        graft.plans.MatchFilterRewrite(spark) +:
+        graft.plans.MatchFilterRewrite +:
           spark.experimental.extraOptimizations
   }
 

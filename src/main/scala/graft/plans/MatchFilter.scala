@@ -86,6 +86,10 @@ case class MatchIds(dir: String, query: String,
     extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
+  override def doCanonicalize(): LogicalPlan =
+    copy(output = MatchIds.schema.map(f => AttributeReference(
+      f.name, f.dataType, f.nullable)(exprId =
+        org.apache.spark.sql.catalyst.expressions.ExprId(0))))
 }
 
 object MatchIds {
@@ -97,10 +101,18 @@ object MatchIds {
 
 case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
   override val output: Seq[Attribute] = plan.output
+  // the plan's own session, NOT SparkSession.active: execution paths that
+  // bypass Dataset.withActive (nested toRdd, multi-session apps, foreign
+  // threads) must still resolve the engine under the owning session
   override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] =
     graft.ops.SearchOps
-      .matchTableIds(SparkSession.active, plan.dir, plan.query)
+      .matchTableIds(session, plan.dir, plan.query)
       .queryExecution.toRdd
+  // same (dir, query) => same result: lets exchange/stage reuse kick in
+  // when one query carries the predicate twice (plan.canonicalized
+  // normalizes the per-instance exprIds away)
+  override protected def doCanonicalize(): org.apache.spark.sql.execution.SparkPlan =
+    copy(plan = plan.canonicalized.asInstanceOf[MatchIds])
 }
 
 /**
@@ -126,7 +138,7 @@ case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
  * above the join. The engine open/build is ensure-on-first-use AT
  * EXECUTION, same policy and timing as the match_topk TVF default path.
  */
-case class MatchFilterRewrite(spark: SparkSession)
+object MatchFilterRewrite
     extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -147,7 +159,7 @@ case class MatchFilterRewrite(spark: SparkSession)
         if (rest.isEmpty) current else Filter(rest.reduce(And), current)
     }
     if (rewritten.fastEquals(plan)) plan
-    else {
+    else try {
       // the main optimizer's pruning batch already ran (this rule lives
       // in extraOptimizations): re-prune so the scan under the new
       // semi-join stops reading the match column — at corpus scale the
@@ -155,6 +167,14 @@ case class MatchFilterRewrite(spark: SparkSession)
       // predicate is a docId join
       import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning}
       CollapseProject(ColumnPruning(rewritten))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the re-prune is an optimization on an already-correct plan —
+        // never let it kill the query (same never-fail invariant as
+        // rewriteOne)
+        System.err.println(
+          s"matchRewrite: re-prune pass failed, keeping unpruned plan: ${e.getMessage}")
+        rewritten
     }
   }
 

@@ -190,6 +190,25 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     assert(even.sameElements(exp.filter(_ % 2 == 0)))
   }
 
+  test("duplicate match predicates canonicalize for reuse and answer correctly") {
+    val sf = "/root/testdata/sf0.001"
+    GraftSql.ensureMatchSupport(spark)
+    // same (dir, query) => sameResult, despite per-instance exprIds —
+    // the property AQE stage reuse keys on
+    val q = "spark query, merge join"
+    assert(graft.plans.MatchIds(sf, q).sameResult(graft.plans.MatchIds(sf, q)))
+    assert(!graft.plans.MatchIds(sf, q).sameResult(graft.plans.MatchIds(sf, "other")))
+    // a self-join carrying the predicate on BOTH sides: two rewrites,
+    // one hit set, correct count
+    graft.ops.Tables.t(spark, sf, "documents").createOrReplaceTempView("mdocs2")
+    val n = spark.sql(
+      s"""SELECT count(*) AS n
+         |FROM mdocs2 d1 JOIN mdocs2 d2 ON d1.doc_id = d2.doc_id
+         |WHERE match(d1.text, '$q') AND match(d2.text, '$q')""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == graft.ops.SearchOps.matchTableIds(spark, sf, q).count())
+  }
+
   test("match() falls back to row-level eval when the index can't serve it") {
     val sf = "/root/testdata/sf0.001"
     val q = "spark query, merge join"
