@@ -31,6 +31,11 @@ final case class Bm25(numDocs: Long, avgdl: Double, k1: Double = 1.2, b: Double 
   * (frozen tie-break, matches the oracle). */
 final case class ScoredDoc(docId: Long, score: Double)
 
+/** One term's contribution to a document's BM25 score (the ES
+  * `/_explain` shape: QueryEngine.explainScore). */
+final case class ScoreExplain(term: String, df: Long, idf: Double,
+                              tf: Int, dl: Int, contribution: Double)
+
 object ScoredDoc {
   /** Heap/merge ordering: "better" = higher score, then lower docId. */
   val betterOrdering: Ordering[ScoredDoc] = new Ordering[ScoredDoc] {

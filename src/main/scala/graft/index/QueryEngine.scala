@@ -169,6 +169,37 @@ final class QueryEngine(spark: SparkSession, val root: String,
     shardTop.sorted(ScoredDoc.betterOrdering).take(k)
   }
 
+  /** The ES `/_explain` analogue: the per-term BM25 breakdown of one
+    * document's score against a disjunctive query. Contributions are
+    * listed in QUERY TERM ORDER and sum (in that order) EXACTLY to the
+    * engine's score for the doc — the frozen float order the whole
+    * parity story rests on, now inspectable per term. Point lookup: the
+    * postings read is term-IN pruned (the same volume a driver
+    * fast-path query reads) and each cursor skip-advances straight to
+    * the docId — no scoring pass. */
+  def explainScore(query: String, docId: Long): Seq[ScoreExplain] = {
+    val terms = CodeAnalyzer.analyzeQuery(query)
+    val dfs = termDfs(terms)
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return Nil
+    val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
+      .collect()
+    present.flatMap { t =>
+      // cursors are per document shard (their block ranges are only
+      // guaranteed non-interleaved within one shard); the doc lives in
+      // exactly one, the others advance past it to exhaustion
+      rows.filter(_.term == t).groupBy(_.shard).values.flatMap { rs =>
+        val cur = QueryEngine.termCursors(rs.toSeq, bm25, dfs)(t)
+        cur.advanceTo(docId)
+        if (!cur.exhausted && cur.curDoc == docId) {
+          val idf = bm25.idf(dfs(t))
+          Some(ScoreExplain(t, dfs(t), idf, cur.curTf, cur.curDl,
+            bm25.score(idf, cur.curTf, cur.curDl)))
+        } else None
+      }
+    }
+  }
+
   /** FILTER-context boolean retrieval: the FULL matching docId set (no
     * scores, no k-cut) as a DataFrame — the hit set of a
     * `WHERE match(...)` can be corpus-sized, so it is never collected:

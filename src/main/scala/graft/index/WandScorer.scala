@@ -60,6 +60,8 @@ final class PostingCursor(val term: String, val idf: Double,
 
   def exhausted: Boolean = finished
   def curDoc: Long = docs(inBlock)
+  def curTf: Int = tfs(inBlock)
+  def curDl: Int = dls(inBlock)
   def curScore: Double = bm25.score(idf, tfs(inBlock), dls(inBlock))
   /** Upper bound of the current block (valid for docs <= blockLastDoc). */
   def blockMaxScore: Double =

@@ -94,6 +94,28 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("explainScore: per-term breakdown sums bit-exactly to the engine score") {
+    val q = graft.index.ReferenceQueries.all.head
+    val hits = engine.topK(q, 5)
+    assert(hits.nonEmpty)
+    hits.foreach { h =>
+      val ex = engine.explainScore(q, h.docId)
+      assert(ex.nonEmpty, s"doc ${h.docId} scored but has no breakdown")
+      // summed in query-term order — the engine's frozen float order —
+      // the total reproduces the score EXACTLY, not approximately
+      val sum = ex.foldLeft(0.0)((a, e) => a + e.contribution)
+      assert(sum == h.score, s"doc ${h.docId}: $sum != ${h.score}\n$ex")
+      ex.foreach { e =>
+        assert(e.contribution == engine.bm25.score(e.idf, e.tf, e.dl))
+        assert(e.idf == engine.bm25.idf(e.df))
+        assert(e.tf > 0 && e.dl > 0)
+      }
+    }
+    // a doc that matches none of the terms, and a term-less query: empty
+    assert(engine.explainScore(q, Long.MaxValue).isEmpty)
+    assert(engine.explainScore("zzznope qqqnope", hits.head.docId).isEmpty)
+  }
+
   test("distributed scorer path agrees with the driver fast path") {
     val eng2 = new QueryEngine(spark, indexRoot, driverPathMaxPostings = 0L)
     refQueries.take(6).foreach { q =>

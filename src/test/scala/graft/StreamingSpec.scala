@@ -128,6 +128,32 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(contents.toSeq === Seq("alpha", "beta", "gamma"))
   }
 
+  test("match() filters a structured stream (row-eval — a stream has no index yet)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    implicit val sqlCtx = spark.sqlContext
+    graft.GraftSql.ensureMatchSupport(spark)
+    val mem = MemoryStream[(Long, String)]
+    // the keyword gate of an ingest pipeline: keep docs matching the
+    // boolean query before they reach the index; streaming relations
+    // are not parquet scans, so the rewrite correctly stays off and the
+    // row-level predicate runs inside the micro-batch
+    val q = mem.toDF.toDF("id", "content")
+      .where(expr("match(content, 'spark query, merge join')"))
+      .writeStream.format("memory").queryName("mf")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "spark query planner"),        // group 1 matches
+      (2L, "spark only"),                 // neither group complete
+      (3L, "a merge join strategy"),      // group 2 matches
+      (4L, "mergeJoin camel stays whole"), // analyzer splits: matches g2
+      (5L, ""))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT id FROM mf").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("S6/S13 user-id text source/sink roundtrip") {
     import spark.implicits._
     val p = s"$work/userids"
