@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MatchTvf.usage, ""),
       (exprs: Seq[Expression]) => MatchTvf.build(exprs)))
     e.injectTableFunction((
+      FunctionIdentifier("explain_score"),
+      new ExpressionInfo(MatchTvf.getClass.getName, null, "explain_score",
+        MatchTvf.explainUsage, ""),
+      (exprs: Seq[Expression]) => MatchTvf.buildExplain(exprs)))
+    e.injectTableFunction((
       FunctionIdentifier("ann_topk"),
       new ExpressionInfo(AnnTvf.getClass.getName, null, "ann_topk",
         AnnTvf.usage, ""),

@@ -106,7 +106,45 @@ object MatchStrategy extends SparkStrategy {
     case m: MatchTopK => MatchTopKExec(m) :: Nil
     case a: AnnTopK => AnnTopKExec(a) :: Nil
     case i: MatchIds => MatchIdsExec(i) :: Nil
+    case x: ExplainScore => ExplainScoreExec(x) :: Nil
     case _ => Nil
+  }
+}
+
+/** The ES `/_explain` shape on the SQL surface:
+  *   SELECT * FROM explain_score('<indexRoot>', '<query>', docId)
+  * one row per contributing query term (term, df, idf, tf, dl,
+  * contribution) — QueryEngine.explainScore as a relation. */
+case class ExplainScore(indexRoot: String, query: String, docId: Long,
+                        override val output: Seq[Attribute] = ExplainScore.freshOutput())
+    extends LeafNode
+
+object ExplainScore {
+  val schema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("df", LongType, nullable = false),
+    StructField("idf", DoubleType, nullable = false),
+    StructField("tf", IntegerType, nullable = false),
+    StructField("dl", IntegerType, nullable = false),
+    StructField("contribution", DoubleType, nullable = false)))
+  def freshOutput(): Seq[Attribute] = schema
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+}
+
+case class ExplainScoreExec(plan: ExplainScore) extends LeafExecNode {
+  override val output: Seq[Attribute] = plan.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    val eng = MatchTopKExec.engineFor(session, plan.indexRoot)
+    val rows: Seq[InternalRow] =
+      eng.explainScore(plan.query, plan.docId).map { e =>
+        InternalRow(UTF8String.fromString(e.term), e.df, e.idf, e.tf, e.dl,
+          e.contribution)
+      }
+    sparkContext.parallelize(rows, 1).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(ExplainScore.schema)
+      it.map(r => proj(r).copy())
+    }
   }
 }
 
@@ -154,5 +192,24 @@ object MatchTvf {
       query = strArg(args(1), "query"),
       k = intArg(args(2), "k"),
       boolMode = args.lift(3).exists(boolArg))
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case _ => throw new IllegalArgumentException(
+      s"explain_score: $what must be an integer literal, got $e")
+  }
+
+  val explainUsage = "explain_score(indexRoot, query, docId) - per-term " +
+    "BM25 breakdown of one document's score as a relation " +
+    "(term, df, idf, tf, dl, contribution); contributions sum in row " +
+    "order exactly to the engine's score"
+
+  def buildExplain(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      "explain_score(indexRoot, query, docId) takes 3 arguments")
+    ExplainScore(strArg(args(0), "indexRoot"), strArg(args(1), "query"),
+      longArg(args(2), "docId"))
   }
 }

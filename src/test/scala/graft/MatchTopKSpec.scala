@@ -80,6 +80,17 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       intercept[Exception] {
         s2.sql(s"SELECT * FROM match_topk('$root', 7, 10)").collect()
       }
+      // explain_score TVF: the per-term breakdown relation reproduces
+      // the hit's score exactly when summed in row order
+      val top = new QueryEngine(s2, root).topK(q, 1).head
+      val exRows = s2.sql(
+        s"SELECT * FROM explain_score('$root', '$q', ${top.docId})").collect()
+      assert(exRows.nonEmpty)
+      assert(exRows.map(_.getAs[Double]("contribution"))
+        .foldLeft(0.0)(_ + _) == top.score)
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM explain_score('$root', 'zzznope', 0)")
+        .collect().head.getLong(0) == 0L)
       // the injected match() WHERE-predicate works on an extension-built
       // session too (injectFunction + injectOptimizerRule wiring)
       val sf = "/root/testdata/sf0.001"
