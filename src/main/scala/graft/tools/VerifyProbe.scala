@@ -99,6 +99,18 @@ object VerifyProbe {
     } catch { case e: Exception =>
       println("PROBE sql ann_topk missing-dataset -> rejected: " + e.getMessage.take(60)) }
 
+    // explain_score TVF: breakdown sums to the hit's score; empty edges
+    val eTop = sx.sql(
+      "SELECT docId, score FROM match_topk('" +
+        s"$root', 'computeHashValue', 1)").collect()
+    if (eTop.nonEmpty) {
+      val ex = sx.sql(s"SELECT * FROM explain_score('$root', " +
+        s"'computeHashValue', ${eTop.head.getLong(0)})").collect()
+      val sum = ex.map(_.getAs[Double]("contribution")).foldLeft(0.0)(_ + _)
+      println(s"PROBE sql explain_score -> ${ex.length} terms, " +
+        s"sum==score: ${sum == eTop.head.getDouble(1)}")
+    }
+
     // match() WHERE-predicate: rewrite path, fallback path, edge queries
     graft.GraftSql.ensureMatchSupport(sx)
     graft.ops.Tables.t(sx, sf, "documents").createOrReplaceTempView("pdocs")
