@@ -90,6 +90,7 @@ object SparkEntry {
     "q65_index_stats" -> (SearchOps.qIndexStats _),
     "q66_match_operator" -> (SearchOps.qMatchOperator _),
     "q74_match_where" -> (SearchOps.qMatchWhere _),
+    "q75_explain_score" -> (SearchOps.qExplainScore _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "q65_index_stats" -> SearchOps.indexStatsOracleSql,
     "q66_match_operator" -> SearchOps.engineSearchOracleSql,
     "q74_match_where" -> SearchOps.matchWhereOracleSql,
+    "q75_explain_score" -> SearchOps.explainScoreOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -295,6 +295,41 @@ object SearchOps {
        |  AND doc_id % 2 = 0
        |ORDER BY doc_id""".stripMargin
 
+  /** q75: the ES /_explain analogue DRIVER-ORACLED — the per-term BM25
+    * breakdown of one fixed document (table doc ExplainDocId) against
+    * the frozen demo query, through the committed index
+    * (QueryEngine.explainScore); the oracle recomputes df/tf/dl and the
+    * per-term contribution from the raw corpus with the same formula
+    * CTEs q60/q61 already hash-match on. */
+  val ExplainDocId = 7L
+
+  def qExplainScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = docEngine(spark, dir)
+    val ids = eng.docmeta.where(col("path") === s"doc_$ExplainDocId")
+      .select(col("docId")).as[Long].take(1)
+    require(ids.nonEmpty, s"doc_$ExplainDocId missing from the index")
+    eng.explainScore(QueryTerms.mkString(" "), ids.head)
+      .map(e => (e.term, e.df, e.tf.toLong, e.dl.toLong, e.contribution))
+      .toDF("term", "df", "tf", "dl", "contribution")
+      .select(col("term"), col("df"), col("tf"), col("dl"),
+        Tables.rd(col("contribution"), 4).as("contribution"))
+      .orderBy("term")
+  }
+
+  def explainScoreOracleSql: String = {
+    val perTerm = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"""SELECT '$t' AS term, CAST(df$i AS BIGINT) AS df,
+         |  CAST(tf$i AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+         |  ${termScoreSql(i)} AS contrib
+         |FROM tf, stats, dfs WHERE doc_id = $ExplainDocId AND tf$i > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bm25Ctes(QueryTerms)}
+       |SELECT term, df, tf, dl,
+       |  floor(contrib * 10000.0 + 0.5) / 10000.0 AS contribution
+       |FROM ($perTerm) ORDER BY term""".stripMargin
+  }
+
   /** Per-segment metrics from the committed manifest, SQL-checkable
     * subset: docs + postings are corpus-derivable (postings = sum of
     * per-doc distinct analyzed terms), so the oracle verifies the

@@ -105,7 +105,7 @@ NASTY = ["q03", "q20", "q21", "q22", "q23", "q24", "q25", "q27", "q28",
          "q70", "q71", "q72", "q73"]
 # q74 = WHERE match(): the semi-join rewrite (Spark) vs re-tokenization
 # (DuckDB) must agree on hit SETS over empties/huge docs/dup clusters
-PLAIN = ["q60", "q61", "q62", "q63", "q64", "q65", "q66", "q74"]
+PLAIN = ["q60", "q61", "q62", "q63", "q64", "q65", "q66", "q74", "q75"]
 
 write("target/docsfuzz", corpus(exotic=True))
 write("target/docsfuzz-plain", corpus(exotic=False))
