@@ -184,7 +184,7 @@ object Bench {
       "q55_ann_ivf_topk", "q61_engine_search",
       "q28_vader_rules", "q49_band_cap_metrics", "q56_ann_lsh_multiprobe",
       "q38_approx_distinct", "q71_wav_features", "q73_frame_sample",
-      "q72_ppm_grid", "q74_match_where")
+      "q72_ppm_grid", "q74_match_where", "q75_explain_score")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"
