@@ -183,19 +183,43 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
     val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
-      .collect()
+    // same driverPathMaxPostings gate as topK/booleanTopK/matchingDocIds:
+    // a stopword-dense query over a large corpus must not pull the full
+    // posting volume to the driver for a single point lookup — the
+    // distributed path does the skip-advance per (shard, term) on the
+    // executors and collects the at-most-|terms| hits
+    val totalPostings = present.map(dfs).sum
+    val hits: Map[String, (Int, Int)] = // term -> (tf, dl) at docId
+      if (totalPostings <= driverPathMaxPostings) {
+        val collected = rows.collect()
+        present.flatMap { t =>
+          // cursors are per document shard (their block ranges are only
+          // guaranteed non-interleaved within one shard); the doc lives
+          // in exactly one, the others advance past it to exhaustion
+          collected.filter(_.term == t).groupBy(_.shard).values.flatMap { rs =>
+            val cur = QueryEngine.termCursors(rs.toSeq, bm25, dfs)(t)
+            cur.advanceTo(docId)
+            if (!cur.exhausted && cur.curDoc == docId)
+              Some(t -> (cur.curTf, cur.curDl))
+            else None
+          }
+        }.toMap
+      } else {
+        val (bm, dfsB, target) = (bm25, dfs, docId)
+        rows.groupByKey(r => (r.shard, r.term))
+          .flatMapGroups { (key: (Int, String), it: Iterator[PostingRow]) =>
+            val t = key._2
+            val cur = QueryEngine.termCursors(it.toSeq, bm, dfsB)(t)
+            cur.advanceTo(target)
+            if (!cur.exhausted && cur.curDoc == target)
+              Iterator.single((t, cur.curTf, cur.curDl))
+            else Iterator.empty
+          }.collect().map { case (t, tf, dl) => t -> (tf, dl) }.toMap
+      }
     present.flatMap { t =>
-      // cursors are per document shard (their block ranges are only
-      // guaranteed non-interleaved within one shard); the doc lives in
-      // exactly one, the others advance past it to exhaustion
-      rows.filter(_.term == t).groupBy(_.shard).values.flatMap { rs =>
-        val cur = QueryEngine.termCursors(rs.toSeq, bm25, dfs)(t)
-        cur.advanceTo(docId)
-        if (!cur.exhausted && cur.curDoc == docId) {
-          val idf = bm25.idf(dfs(t))
-          Some(ScoreExplain(t, dfs(t), idf, cur.curTf, cur.curDl,
-            bm25.score(idf, cur.curTf, cur.curDl)))
-        } else None
+      hits.get(t).map { case (tf, dl) =>
+        val idf = bm25.idf(dfs(t))
+        ScoreExplain(t, dfs(t), idf, tf, dl, bm25.score(idf, tf, dl))
       }
     }
   }

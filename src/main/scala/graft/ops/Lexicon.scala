@@ -130,8 +130,12 @@ object Lexicon {
     * proves the flow end-to-end in a forked JVM. */
   def parseVendoredTsv(lines: Iterator[String]): Seq[(String, Double)] =
     lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(_.nonEmpty)
       .flatMap { l =>
+        // any line parsing as `token<TAB>double` is an entry — including
+        // hashtag tokens like `#happy` (extended VADER lexicons carry
+        // them; the published loader has no comment syntax). Lines that
+        // don't parse (headers, comments) are skipped.
         val parts = l.split("\t")
         if (parts.length >= 2) parts(1).toDoubleOption.map(v => parts(0) -> v)
         else None

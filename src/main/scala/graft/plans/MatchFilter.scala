@@ -135,7 +135,15 @@ case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
  * Anything else — including any unexpected analysis failure, which is
  * caught — keeps the row-level MatchFilter evaluation (correct, just
  * not index-accelerated). Non-match conjuncts stay in a residual Filter
- * above the join. The engine open/build is ensure-on-first-use AT
+ * above the join.
+ *
+ * PRECONDITION: the table's join-key column must be UNIQUE per row (the
+ * index build derives one index document per key). With duplicate keys
+ * the semi-join is row-level-divergent: a row whose text does not match
+ * would pass because a sibling row with the same key matches. The
+ * documents convention guarantees this (doc_id is the table's primary
+ * key); explicitly registered tables declare their key and own the
+ * uniqueness contract. The engine open/build is ensure-on-first-use AT
  * EXECUTION, same policy and timing as the match_topk TVF default path.
  */
 object MatchFilterRewrite

@@ -121,6 +121,13 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     refQueries.take(6).foreach { q =>
       assert(eng2.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
     }
+    // explainScore is gated the same way: the distributed per-(shard,
+    // term) point lookup must reproduce the driver-path breakdown exactly
+    val q = refQueries.head
+    engine.topK(q, 3).foreach { h =>
+      assert(eng2.explainScore(q, h.docId) === engine.explainScore(q, h.docId),
+        s"explain breakdown diverged for doc ${h.docId}")
+    }
   }
 
   test("search() attaches correct metadata to hits") {

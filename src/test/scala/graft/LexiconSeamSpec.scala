@@ -20,9 +20,13 @@ class LexiconSeamSpec extends AnyFunSuite {
       "good\t1.9\t0.82462\t[2, 1, 3, 1, 2, 2, 2, 1, 2, 3]",
       ":'(\t-2.2\t0.4\t[-2, -2, -3]",
       "terrible\t-2.1",
+      "#happy\t1.5\t0.6\t[1, 2]",
       "notanumber\tNaNopE\tx").iterator
     val es = Lexicon.parseVendoredTsv(lines)
-    assert(es == Seq("good" -> 1.9, ":'(" -> -2.2, "terrible" -> -2.1))
+    // hashtag TOKENS are entries (extended VADER lexicons carry them);
+    // only non-parsing lines (the "# comment" header) are skipped
+    assert(es == Seq("good" -> 1.9, ":'(" -> -2.2, "terrible" -> -2.1,
+      "#happy" -> 1.5))
     // the quote-escaped SQL literal helper round-trips such tokens
     assert(Lexicon.duckMapSql.nonEmpty) // built without throwing
   }
