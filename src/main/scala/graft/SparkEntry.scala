@@ -81,6 +81,7 @@ object SparkEntry {
     "q56_ann_lsh_multiprobe" -> (AnnOps.qAnnLshMultiProbe _),
     "q54_ann_ivf_assign" -> (AnnOps.qAnnIvfAssign _),
     "q55_ann_ivf_topk" -> (AnnOps.qAnnIvfTopK _),
+    "q77_ann_vec_literal" -> (AnnOps.qAnnVecLiteral _),
     // search / index engine
     "q60_bm25_topk" -> (SearchOps.qBm25TopK _),
     "q64_code_tokenize" -> (SearchOps.qCodeTokenize _),

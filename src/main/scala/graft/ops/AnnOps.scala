@@ -60,12 +60,26 @@ object AnnOps {
   def qAnnBruteForce(spark: SparkSession, dir: String): DataFrame =
     bruteTopK(spark, dir, k = 10, qid = 0L)
 
+  /** Parse a string-encoded query vector ('0.1,-0.2,…') — the serving-
+    * time path where the caller BRINGS a vector instead of naming a
+    * stored vec_id. Dimension-checked loudly: zip_with would silently
+    * truncate a short vector into wrong cosines. */
+  def parseVecLiteral(s: String): Array[Double] = {
+    val parts = s.split(",").map(_.trim).filter(_.nonEmpty)
+    val vs = parts.map(x => x.toDoubleOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"query vector component '$x' is not a number")))
+    require(vs.length == Dim,
+      s"query vector has ${vs.length} components, expected $Dim")
+    vs
+  }
+
   def bruteTopK(spark: SparkSession, dir: String, k: Int,
-                qid: Long): DataFrame = {
+                qid: Long, qvec: Option[Array[Double]] = None): DataFrame = {
     // same loud missing-qid contract as the store-backed methods (the
     // empty broadcast side would otherwise read as "no similar vectors");
     // applies to EVERY qid — vec_id 0 may be absent in filtered datasets
-    val qvArr = queryVec(spark, dir, qid)
+    val qvArr = qvec.getOrElse(queryVec(spark, dir, qid))
     val emb = t(spark, dir, "embeddings")
     val e = asDouble(col("embedding"))
     // the fetched vector doubles as the comparison side (literal array:
@@ -144,10 +158,10 @@ object AnnOps {
 
   def lshTopK(spark: SparkSession, dir: String,
               p: AnnIndex.BuildParams, k: Int = 10,
-              qid: Long = 0L): DataFrame = {
+              qid: Long = 0L, qvec: Option[Array[Double]] = None): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVecStore(spark, dir, qid, paths)
+    val qv = qvec.getOrElse(queryVecStore(spark, dir, qid, paths))
     val qb6 = AnnIndex.lshBucket16(qv.map(_.toFloat)) & p.lshMask
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6") === qb6) // partition filter, prunes 63/64 dirs
@@ -190,10 +204,10 @@ object AnnOps {
 
   def lshMultiProbe(spark: SparkSession, dir: String,
                     p: AnnIndex.BuildParams, k: Int = 10,
-                    qid: Long = 0L): DataFrame = {
+                    qid: Long = 0L, qvec: Option[Array[Double]] = None): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVecStore(spark, dir, qid, paths)
+    val qv = qvec.getOrElse(queryVecStore(spark, dir, qid, paths))
     val probes = lshProbeCodes(qv, p.lshBits)
     val cand = readSegs(spark, paths.lshDirs)
       .where(col("bucket6").isin(probes: _*)) // partition filter, 4/64 dirs
@@ -226,10 +240,10 @@ object AnnOps {
 
   def ivfTopK(spark: SparkSession, dir: String, p: AnnIndex.BuildParams,
               probes: Int = IvfProbes, k: Int = 10,
-              qid: Long = 0L): DataFrame = {
+              qid: Long = 0L, qvec: Option[Array[Double]] = None): DataFrame = {
     import spark.implicits._
     val paths = AnnIndex.ensure(spark, dir, p)
-    val qv = queryVecStore(spark, dir, qid, paths)
+    val qv = qvec.getOrElse(queryVecStore(spark, dir, qid, paths))
     val cents = spark.read.parquet(paths.centroidsDir)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val probed: Seq[Long] = cents.map { case (c, ce) =>
@@ -247,6 +261,23 @@ object AnnOps {
         r6(cosine(asDouble(col("embedding")), col("qv"))).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** q77: query-by-LITERAL-vector through the ann_topk operator plan —
+    * the serving-time shape (a caller brings an embedding; nothing is
+    * looked up by id). The vector is a fixed exact-binary 64-dim
+    * pattern both engines rebuild from the same integer formula, so the
+    * cosines are bit-identical. Runs through the AnnTopK Catalyst
+    * operator (the SQL TVF's plan), so the SQL surface itself is what
+    * the oracle checks. */
+  val QueryVecLiteral: String =
+    Array.tabulate(Dim)(i => ((i * 37) % 64 - 32) / 64.0).mkString(",")
+
+  def qAnnVecLiteral(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureStrategy(spark)
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.AnnTopK(dir, "brute", 10, qvecStr = Some(QueryVecLiteral)))
+      .select(col("vec_id"), col("cos"))
   }
 
   // ---- DuckDB oracles (planes/centroids are SQL-reproducible) ---------
@@ -281,6 +312,12 @@ object AnnOps {
        |  FROM d) WHERE rn = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q77_ann_vec_literal" ->
+      s"""WITH $eCte,
+         |q AS (SELECT list_transform(range($Dim),
+         |        i -> CAST(((i * 37) % 64) - 32 AS DOUBLE) / 64.0) AS qe)
+         |SELECT vec_id, ${r6Sql(cosineSql("e.e", "q.qe"))} AS cos
+         |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q52_ann_lsh_buckets" ->
       s"""WITH $eCte
          |SELECT vec_id, ${bucketExpr(NumPlanes)} AS bucket

@@ -24,6 +24,7 @@ case class AnnTopK(datasetDir: String, method: String, k: Int,
                    qid: Long = 0L,
                    cells: Int = AnnIndex.IvfCentroids,
                    lshBits: Int = AnnIndex.Bucket6Bits,
+                   qvecStr: Option[String] = None,
                    override val output: Seq[Attribute] = AnnTopK.freshOutput())
     extends LeafNode
 
@@ -63,16 +64,18 @@ case class AnnTopKExec(plan: AnnTopK) extends LeafExecNode {
     // probes follow the documented scaling rule (probes = cells/32,
     // floor 4) so a scaled store keeps its measured recall from SQL
     val ivfProbes = math.max(AnnIndex.IvfProbes, plan.cells / 32)
+    // a literal query vector (serving-time path) bypasses the qid lookup
+    val qvec = plan.qvecStr.map(AnnOps.parseVecLiteral)
     val df = plan.method match {
       case "lsh" =>
-        AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k, plan.qid)
+        AnnOps.lshTopK(spark, plan.datasetDir, p, plan.k, plan.qid, qvec)
       case "multiprobe" =>
-        AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k, plan.qid)
+        AnnOps.lshMultiProbe(spark, plan.datasetDir, p, plan.k, plan.qid, qvec)
       case "ivf" =>
         AnnOps.ivfTopK(spark, plan.datasetDir, p, probes = ivfProbes,
-          k = plan.k, qid = plan.qid)
+          k = plan.k, qid = plan.qid, qvec = qvec)
       case "brute" =>
-        AnnOps.bruteTopK(spark, plan.datasetDir, plan.k, plan.qid)
+        AnnOps.bruteTopK(spark, plan.datasetDir, plan.k, plan.qid, qvec)
       case m => throw new IllegalArgumentException(
         s"ann_topk: unknown method '$m' (one of ${AnnTopK.Methods.mkString(", ")})")
     }
@@ -95,13 +98,16 @@ object AnnTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-  val usage = "ann_topk(datasetDir, method, k[, qid[, cells[, lshBits]]])" +
+  val usage = "ann_topk(datasetDir, method, k[, qidOrVec[, cells[, lshBits]]])" +
     " - approximate-nearest-neighbor top-k over the materialized ANN " +
     "store as a relation (vec_id, cos, method); method in " +
-    "('lsh','multiprobe','ivf','brute'); qid picks the query vector by " +
-    "vec_id — from the dataset's embeddings table, else (for the store-" +
-    "backed methods) from the store's own rows, so appended micro-batch " +
-    "vectors are addressable as queries (default 0); " +
+    "('lsh','multiprobe','ivf','brute'); qidOrVec picks the query " +
+    "vector: an integer is a vec_id — from the dataset's embeddings " +
+    "table, else (for the store-backed methods) from the store's own " +
+    "rows, so appended micro-batch vectors are addressable as queries " +
+    "(default 0) — while a string literal '0.1,-0.2,…' IS the query " +
+    "vector (the serving-time path: the caller brings an embedding; " +
+    "dimension-checked); " +
     "cells/lshBits OPEN a store previously built with those BuildParams " +
     "via AnnIndex.ensure (never built from SQL; Lloyd-refined stores " +
     "stay on the Scala API)"
@@ -132,8 +138,16 @@ object AnnTvf {
     val method = strArg(args(1), "method")
     require(AnnTopK.Methods.contains(method),
       s"ann_topk: method must be one of ${AnnTopK.Methods.mkString(", ")}, got '$method'")
+    // arg 3 is overloaded: an integer literal is a qid; a string
+    // literal is the query vector itself ('0.1,-0.2,…')
+    val (qid, qvecStr) = args.lift(3) match {
+      case Some(Literal(v: UTF8String, StringType)) if v != null =>
+        (0L, Some(v.toString))
+      case Some(e) => (longArg(e, "qidOrVec"), None)
+      case None => (0L, None)
+    }
     AnnTopK(strArg(args(0), "datasetDir"), method, intArg(args(2), "k"),
-      qid = args.lift(3).map(longArg(_, "qid")).getOrElse(0L),
+      qid = qid, qvecStr = qvecStr,
       cells = args.lift(4).map(intArg(_, "cells"))
         .getOrElse(AnnIndex.IvfCentroids),
       lshBits = args.lift(5).map(intArg(_, "lshBits"))

@@ -88,6 +88,22 @@ object VerifyProbe {
     println("PROBE sql ann_topk k=0 -> " + sx.sql(
       s"SELECT count(*) AS n FROM ann_topk('$sf', 'lsh', 0)")
       .collect().head.getLong(0) + " rows")
+    // literal-vector query (serving-time path): the caller brings the
+    // embedding as a string literal instead of naming a stored vec_id
+    val vlit = graft.ops.AnnOps.QueryVecLiteral
+    println("PROBE sql ann_topk literal-vec -> " + sx.sql(
+      s"SELECT count(*) AS n FROM ann_topk('$sf', 'brute', 5, '$vlit')")
+      .collect().head.getLong(0) + " rows")
+    try {
+      sx.sql(s"SELECT * FROM ann_topk('$sf', 'brute', 5, '0.1,0.2')").collect()
+      println("PROBE sql ann_topk short-vec -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql ann_topk short-vec -> rejected: " + e.getMessage.take(60)) }
+    try {
+      sx.sql(s"SELECT * FROM ann_topk('$sf', 'brute', 5, 'a,b,c')").collect()
+      println("PROBE sql ann_topk garbage-vec -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE sql ann_topk garbage-vec -> rejected: " + e.getMessage.take(60)) }
     try {
       sx.sql(s"SELECT * FROM ann_topk('$sf', 'hnsw', 5)").collect()
       println("PROBE sql ann_topk bad-method -> NO ERROR (BAD)")

@@ -143,6 +143,26 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       val q42 = s2.sql(s"SELECT vec_id FROM ann_topk('$sf', 'brute', 10, 42)")
         .collect().map(_.getLong(0)).toSeq
       assert(brute0.head == 0L && q42.head == 42L && q42 != brute0)
+      // a STRING 4th arg is the query vector itself (serving-time path):
+      // vec 42's literal embedding must reproduce the qid=42 run exactly,
+      // on the brute AND a store-backed method
+      val v42 = s2.read.parquet(s"$sf/embeddings.parquet")
+        .where(org.apache.spark.sql.functions.col("vec_id") === 42L)
+        .collect().head.getSeq[Float](1).map(_.toDouble).mkString(",")
+      Seq("brute", "lsh").foreach { m =>
+        val byId = s2.sql(s"SELECT vec_id, cos FROM ann_topk('$sf', '$m', 10, 42)")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val byVec = s2.sql(s"SELECT vec_id, cos FROM ann_topk('$sf', '$m', 10, '$v42')")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(byVec === byId, s"$m: literal-vector run diverged from qid run")
+      }
+      // wrong dimension and non-numeric components reject loudly
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'brute', 10, '0.1,0.2')").collect()
+      }
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM ann_topk('$sf', 'brute', 10, 'a,b')").collect()
+      }
       // malformed method rejects at analysis; missing qid at runtime
       // for BOTH the store-backed and the brute paths
       intercept[Exception] {
