@@ -10,16 +10,22 @@ import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
 
 /** Per-document index metadata (the ES-internal "stored fields + norms"
-  * analogue; carries the sha256 row invariant vs the source table). */
+  * analogue; carries the sha256 row invariant vs the source table).
+  * `tableId` is the SOURCE table's join key when the build declared one
+  * (tableIdOf) — the `WHERE match()` semi-join reads it instead of
+  * re-deriving an id from path conventions; -1 when the build has no
+  * numeric key (composite-key tables join on repo/path/commit). */
 final case class DocMeta(docId: Long, repo: String, path: String, commit: String,
-                         lang: String, sha256: String, docLen: Int, shard: Int)
+                         lang: String, sha256: String, docLen: Int, shard: Int,
+                         tableId: Long)
 
 /** Analyzer output for one document (intermediate, persisted across the
   * docmeta write and the postings shuffle so content is analyzed once). */
 final case class TermFreq(term: String, tf: Int)
 final case class AnalyzedDoc(docId: Long, repo: String, path: String,
                              commit: String, lang: String, sha256: String,
-                             docLen: Int, terms: Array[TermFreq])
+                             docLen: Int, terms: Array[TermFreq],
+                             tableId: Long)
 
 /** One (shard, term, doc) token posting — the SPIMI shuffle record. */
 final case class TokenPosting(shard: Int, term: String, docId: Long, tf: Int, dl: Int)
@@ -67,8 +73,9 @@ object IndexBuilder {
 
   /** Index FORMAT version: bump when analyzer/codec/layout semantics
     * change, so durable indexes built by an older engine are rebuilt
-    * instead of reopened (cache roots embed it). */
-  val FormatVersion = "2"
+    * instead of reopened (cache roots embed it). v3: docmeta carries the
+    * explicit source-table id column (tableId). */
+  val FormatVersion = "3"
 
   /** Spark SQL expression equal to the shard id a row lands on. */
   def shardExpr(numShards: Int) =
@@ -148,7 +155,8 @@ object IndexBuilder {
    */
   def build(spark: SparkSession, corpus: Dataset[CorpusDoc], root: String,
             numShards: Int, batch: Int = 0, resume: Boolean = true,
-            maxShardsThisPass: Int = Int.MaxValue): BuildReport = {
+            maxShardsThisPass: Int = Int.MaxValue,
+            tableIdOf: Option[CorpusDoc => Long] = None): BuildReport = {
     import spark.implicits._
     val tbl = new IcebergLite(root)
     tbl.init()
@@ -214,6 +222,7 @@ object IndexBuilder {
       .as[CorpusDoc]
 
     // 2. single analysis pass: docIds, sha256, term freqs
+    val idOf = tableIdOf
     val analyzed: Dataset[AnalyzedDoc] = routed.mapPartitions { it =>
       val shard = TaskContext.getPartitionId()
       var idx = 0L
@@ -221,9 +230,13 @@ object IndexBuilder {
         val id = docIdFor(effBatch, shard, idx)
         idx += 1
         val (tfm, dl) = CodeAnalyzer.termFreqs(d.content)
+        // the declared table-id extraction runs HERE, once per doc at
+        // build time — a malformed key fails the build loudly instead
+        // of becoming a silent null join key at query time
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           sha256Hex(d.content), dl,
-          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) })
+          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) },
+          idOf.map(f => f(d)).getOrElse(-1L))
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -250,7 +263,7 @@ object IndexBuilder {
     val docmetaJob = Future {
       analyzed
         .map(a => DocMeta(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256,
-          a.docLen, shardOf(a.docId)))
+          a.docLen, shardOf(a.docId), a.tableId))
         .observe(docObs, count(lit(1)).as("docs"), sum("docLen").as("tokens"))
         .write.mode("overwrite").parquet(s"$segRoot/docmeta")
     }
@@ -295,7 +308,10 @@ object IndexBuilder {
         "batches" -> effBatch.toString,
         "origBatches" -> batch.toString, // raw stream id, survives rebase
         "inputShards" -> todo.mkString(","),
-        "source" -> "corpus(repo,path,commit,lang,content)") ++
+        "source" -> "corpus(repo,path,commit,lang,content)",
+        // whether docmeta.tableId is real in this segment — the match()
+        // semi-join checks every segment carries it before keying on it
+        "tableIds" -> tableIdOf.isDefined.toString) ++
         (if (batch == 0) Map("batch0Shards" -> todo.mkString(",")) else Map.empty))
 
     // 6. NOTE: no global dictionary on the ingest path — per-term global

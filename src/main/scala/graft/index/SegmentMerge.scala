@@ -177,6 +177,7 @@ object SegmentMerge {
       Map("rebasedFrom" -> seg.name,
         "batches" -> "0",
         "origBatches" -> IcebergLite.encodeRanges(origRaw),
+        "tableIds" -> seg.lineage.getOrElse("tableIds", "false"),
         "batch0Shards" -> (0 until prev.numShards).mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(newSeg),
       prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase)
@@ -273,6 +274,10 @@ object SegmentMerge {
       Map("mergedFrom" -> toMerge.map(_.name).mkString(","),
         "batches" -> batches.mkString(","),
         "origBatches" -> IcebergLite.encodeRanges(origBatches),
+        // real only if EVERY input carried real table ids — a mixed
+        // merge must not let match() key on half-populated tableIds
+        "tableIds" -> toMerge.forall(
+          _.lineage.get("tableIds").contains("true")).toString,
         "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
       prev.numDocs, prev.totalTokens, dict = dict,

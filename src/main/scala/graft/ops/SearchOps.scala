@@ -191,7 +191,12 @@ object SearchOps {
             col("lang"), col("text").as("content"))
           .as[CorpusDoc]
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-        IndexBuilder.build(spark, corpus, root, numShards = 8)
+        // tableIdOf: docmeta carries the table's doc_id explicitly (the
+        // match() semi-join key) — extracted ONCE at build time from the
+        // path this very mapping wrote, loud on any mismatch, instead of
+        // a silent cast-null string parse at query time
+        IndexBuilder.build(spark, corpus, root, numShards = 8,
+          tableIdOf = Some(d => d.path.stripPrefix("doc_").toLong))
       }
       new QueryEngine(spark, root)
     })
@@ -207,15 +212,15 @@ object SearchOps {
     * ambiguous). */
   val TieMargin = 20
 
-  /** (docId, score_raw, path, table_id) rows for a hit list. */
+  /** (docId, score_raw, path, table_id) rows for a hit list; table_id
+    * is docmeta's explicit tableId column (build-time extracted). */
   private def withTableId(spark: SparkSession, eng: QueryEngine,
                           hits: Seq[graft.index.ScoredDoc]): DataFrame = {
     import spark.implicits._
     eng.docmeta.where(col("docId").isin(hits.map(_.docId): _*))
-      .select(col("docId"), col("path"))
+      .select(col("docId"), col("path"), col("tableId").as("table_id"))
       .join(broadcast(hits.map(h => (h.docId, h.score)).toDF("docId", "score_raw")),
         Seq("docId"))
-      .withColumn("table_id", substring_index(col("path"), "_", -1).cast("long"))
   }
 
   /** Real segmented-index BM25 search (disjunctive). */
@@ -255,17 +260,51 @@ object SearchOps {
       .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
   }
 
-  /** All table doc_ids matching a boolean keyword query through the
-    * committed index — the relation the `WHERE match(...)` rewrite
-    * (graft.plans.MatchFilterRewrite) semi-joins against. Distributed
-    * end-to-end: the match set can be corpus-sized, so nothing is
-    * collected (QueryEngine.matchingDocIds streams per shard). */
-  def matchTableIds(spark: SparkSession, dir: String, query: String): DataFrame = {
-    val eng = docEngine(spark, dir)
+  /** Resolve the engine behind a MatchRegistry index reference: the
+    * documents convention ensure-builds/reopens; an explicit index root
+    * is OPEN-only (the caller built it — a query must not kick off a
+    * surprise build against an empty root, it fails loudly instead). */
+  def engineFor(spark: SparkSession,
+                index: graft.plans.MatchRegistry.IndexRef): QueryEngine =
+    index match {
+      case graft.plans.MatchRegistry.DocsTable(dir) => docEngine(spark, dir)
+      case graft.plans.MatchRegistry.IndexRoot(root) => synchronized {
+        evictDeadSessions(engineCache, spark)
+        engineCache.getOrElseUpdate(sessionCacheKey(spark, s"root:$root"),
+          new QueryEngine(spark, root))
+      }
+    }
+
+  /** The docmeta join-key columns of every document matching a boolean
+    * keyword query through the committed index — the relation the
+    * `WHERE match(...)` rewrite (graft.plans.MatchFilterRewrite)
+    * semi-joins against. Distributed end-to-end: the match set can be
+    * corpus-sized, so nothing is collected (QueryEngine.matchingDocIds
+    * streams per shard). Keying on tableId requires EVERY committed
+    * segment to have been built with a tableIdOf extractor — a
+    * half-populated id column would silently drop rows, so it fails
+    * loudly here instead. */
+  def matchMeta(spark: SparkSession,
+                index: graft.plans.MatchRegistry.IndexRef, query: String,
+                metaCols: Seq[String]): DataFrame = {
+    val eng = engineFor(spark, index)
+    if (metaCols.contains("tableId"))
+      require(eng.manifest.segments.forall(
+          _.lineage.get("tableIds").contains("true")),
+        s"index at ${eng.root} was built without source-table ids " +
+          "(IndexBuilder tableIdOf) — register this table with a " +
+          "repo/path/commit keyMap or rebuild the index with ids")
     eng.matchingDocIds(query)
-      .join(eng.docmeta.select(col("docId"), col("path")), Seq("docId"))
-      .select(substring_index(col("path"), "_", -1).cast("long").as("match_id"))
+      .join(eng.docmeta.select(col("docId") +: metaCols.map(col): _*),
+        Seq("docId"))
+      .select(metaCols.map(col): _*)
   }
+
+  /** Documents-table match set as (match_id = table doc_id) — the
+    * single-key convenience over matchMeta. */
+  def matchTableIds(spark: SparkSession, dir: String, query: String): DataFrame =
+    matchMeta(spark, graft.plans.MatchRegistry.DocsTable(dir), query,
+      Seq("tableId")).withColumnRenamed("tableId", "match_id")
 
   /** q74: the filter-context form — SELECT ... WHERE match(text, q) —
     * through plain spark.sql. MatchFilterRewrite turns the predicate

@@ -71,9 +71,9 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
 }
 
 /**
- * The index match SET as a logical leaf (one `match_id: long` column):
- * the build side of the `WHERE match(...)` semi-join. Execution is
- * DEFERRED to runtime (MatchIdsExec runs SearchOps.matchTableIds then) —
+ * The index match SET as a logical leaf (one column per declared join
+ * key): the build side of the `WHERE match(...)` semi-join. Execution
+ * is DEFERRED to runtime (MatchIdsExec runs SearchOps.matchMeta then) —
  * an explain() or plan compile must not launch Spark jobs or an index
  * build, and a cached DataFrame re-executed after an index append must
  * see the CURRENT snapshot, not one frozen at optimization time. Stats
@@ -81,22 +81,25 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
  * broadcasts a potentially corpus-sized hit set; AQE converts the join
  * to broadcast at runtime when the set turns out small.
  */
-case class MatchIds(dir: String, query: String,
-                    override val output: Seq[Attribute] = MatchIds.freshOutput())
+case class MatchIds(index: MatchRegistry.IndexRef, query: String,
+                    metaCols: Seq[String],
+                    override val output: Seq[Attribute])
     extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
   override def doCanonicalize(): LogicalPlan =
-    copy(output = MatchIds.schema.map(f => AttributeReference(
-      f.name, f.dataType, f.nullable)(exprId =
-        org.apache.spark.sql.catalyst.expressions.ExprId(0))))
+    copy(output = MatchIds.outputFor(metaCols).map(a =>
+      a.withExprId(org.apache.spark.sql.catalyst.expressions.ExprId(0))))
 }
 
 object MatchIds {
-  val schema: StructType =
-    StructType(Seq(StructField("match_id", LongType, nullable = true)))
-  def freshOutput(): Seq[Attribute] = schema
-    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+  def apply(index: MatchRegistry.IndexRef, query: String,
+            metaCols: Seq[String]): MatchIds =
+    MatchIds(index, query, metaCols, outputFor(metaCols))
+  /** One attribute per docmeta join column, in keyMap order. */
+  def outputFor(metaCols: Seq[String]): Seq[Attribute] = metaCols.map(m =>
+    AttributeReference(s"match_$m", MatchRegistry.MetaColTypes(m),
+      nullable = true)())
 }
 
 case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
@@ -106,32 +109,35 @@ case class MatchIdsExec(plan: MatchIds) extends LeafExecNode {
   // threads) must still resolve the engine under the owning session
   override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] =
     graft.ops.SearchOps
-      .matchTableIds(session, plan.dir, plan.query)
+      .matchMeta(session, plan.index, plan.query, plan.metaCols)
       .queryExecution.toRdd
-  // same (dir, query) => same result: lets exchange/stage reuse kick in
-  // when one query carries the predicate twice (plan.canonicalized
-  // normalizes the per-instance exprIds away)
+  // same (index, query, keys) => same result: lets exchange/stage reuse
+  // kick in when one query carries the predicate twice
+  // (plan.canonicalized normalizes the per-instance exprIds away)
   override protected def doCanonicalize(): org.apache.spark.sql.execution.SparkPlan =
     copy(plan = plan.canonicalized.asInstanceOf[MatchIds])
 }
 
 /**
- * Rewrites `Filter(... AND match(text, 'q') AND ...)` over a documents
- * parquet relation into a LEFT SEMI join with the committed index's
- * match set (a lazy MatchIds leaf). Fires only when ALL of:
- *   - the match column is the relation's own `text` string column (the
- *     column the doc index covers), reachable by exprId from exactly
- *     one parquet LogicalRelation whose path ends in documents.parquet
- *     and whose schema carries the documents shape the index build
- *     reads (doc_id: long, text/lang/source: string) — a foreign table
- *     that merely shares the file name stays on row-level eval instead
- *     of failing at execution;
+ * Rewrites `Filter(... AND match(content, 'q') AND ...)` over an
+ * index-registered parquet relation into a LEFT SEMI join with the
+ * committed index's match set (a lazy MatchIds leaf). Fires only when
+ * ALL of:
+ *   - the match column traces by exprId to exactly one parquet
+ *     LogicalRelation whose single root path resolves in MatchRegistry
+ *     (an explicit registration, or the driver-testdata
+ *     documents.parquet convention) and names that entry's content
+ *     column;
  *   - the query is a foldable string;
- *   - the relation's `doc_id` is still visible at the filter (the join
- *     key) and no Union sits between (Union reuses its head child's
- *     exprIds WITHOUT row correspondence — a semi-join keyed on one
- *     branch's doc_id would filter other branches' rows by the wrong
- *     table's text);
+ *   - every declared join-key column is present on the relation with
+ *     the declared type AND still visible at the filter, and no Union
+ *     sits between (Union reuses its head child's exprIds WITHOUT row
+ *     correspondence — a semi-join keyed on one branch's keys would
+ *     filter other branches' rows by the wrong table's text);
+ *   - for the documents convention only: the relation also carries the
+ *     documents shape (lang/source strings) — a foreign table that
+ *     merely shares the file name stays on row-level eval instead of
+ *     failing at execution.
  * Anything else — including any unexpected analysis failure, which is
  * caught — keeps the row-level MatchFilter evaluation (correct, just
  * not index-accelerated). Non-match conjuncts stay in a residual Filter
@@ -188,8 +194,7 @@ object MatchFilterRewrite
 
   private def rewriteOne(attr: AttributeReference, q: Expression,
       child: LogicalPlan): Option[LogicalPlan => LogicalPlan] = try {
-    if (attr.name != "text" || !attr.dataType.isInstanceOf[StringType])
-      return None
+    if (!attr.dataType.isInstanceOf[StringType]) return None
     val query = Option(q.eval(null)).map(_.toString).getOrElse(return None)
     // Union has no per-row exprId correspondence (see scaladoc): bail
     if (child.exists(_.isInstanceOf[
@@ -208,20 +213,31 @@ object MatchFilterRewrite
         }
       case _ => return None
     }
-    if (!fsPath.endsWith("/documents.parquet")) return None
-    // the documents shape the deferred index build reads — a foreign
-    // table that merely shares the file name must stay on row-eval
+    val entry = MatchRegistry.lookup(fsPath).getOrElse(return None)
+    if (attr.name != entry.contentCol) return None
     def colType(n: String): Option[org.apache.spark.sql.types.DataType] =
       rel.output.find(_.name == n).map(_.dataType)
-    if (!colType("lang").exists(_.isInstanceOf[StringType]) ||
-        !colType("source").exists(_.isInstanceOf[StringType])) return None
-    val dir = fsPath.stripSuffix("/documents.parquet").stripPrefix("file:")
-    val docId = rel.output.find(a =>
-      a.name == "doc_id" && a.dataType == LongType).getOrElse(return None)
-    if (!child.outputSet.contains(docId)) return None
-    val hitsPlan = MatchIds(dir, query)
-    Some(cur => Join(cur, hitsPlan, LeftSemi,
-      Some(EqualTo(docId, hitsPlan.output.head)), JoinHint.NONE))
+    entry.index match {
+      case MatchRegistry.DocsTable(_) =>
+        // the documents shape the deferred index build reads — a foreign
+        // table that merely shares the file name must stay on row-eval
+        if (!colType("lang").exists(_.isInstanceOf[StringType]) ||
+            !colType("source").exists(_.isInstanceOf[StringType])) return None
+      case _ => () // explicit registration: the caller owns the contract
+    }
+    // every declared join key must be on the relation with the declared
+    // type and visible at the filter
+    val keyAttrs: Seq[Attribute] = entry.keyMap.map { case (tcol, mcol) =>
+      val a = rel.output.find(a =>
+        a.name == tcol &&
+          a.dataType == MatchRegistry.MetaColTypes(mcol)).getOrElse(return None)
+      if (!child.outputSet.contains(a)) return None
+      a
+    }
+    val hitsPlan = MatchIds(entry.index, query, entry.keyMap.map(_._2))
+    val cond = keyAttrs.zip(hitsPlan.output)
+      .map { case (a, b) => EqualTo(a, b): Expression }.reduce(And)
+    Some(cur => Join(cur, hitsPlan, LeftSemi, Some(cond), JoinHint.NONE))
   } catch {
     case scala.util.control.NonFatal(e) =>
       // an optimizer rule must never kill a query the row-level

@@ -45,13 +45,13 @@ object BuildProfile {
         val (tfm, dl) = CodeAnalyzer.termFreqs(d.content)
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           IndexBuilder.sha256Hex(d.content), dl,
-          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) })
+          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) }, -1L)
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     timed("analyze+persist (count)") { analyzed.count() }
     timed("docmeta write") {
       analyzed.map(a => DocMeta(a.docId, a.repo, a.path, a.commit, a.lang,
-        a.sha256, a.docLen, IndexBuilder.shardOf(a.docId)))
+        a.sha256, a.docLen, IndexBuilder.shardOf(a.docId), -1L))
         .write.mode("overwrite").parquet(s"$root/docmeta")
     }
     timed("postings shuffle+encode+write") {

@@ -135,7 +135,7 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     val rows = df.collect()
     assert(rows.length === 5)
     assert(df.columns.toSet === Set("docId", "repo", "path", "commit",
-      "lang", "sha256", "docLen", "shard", "score"))
+      "lang", "sha256", "docLen", "shard", "tableId", "score"))
     // best-first ordering
     val scores = rows.map(_.getAs[Double]("score"))
     assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
@@ -275,7 +275,7 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     val df = engine.search("zzzznotaterm qqqqnotaterm", 5)
     assert(df.count() === 0L)
     assert(df.columns.toSet === Set("docId", "repo", "path", "commit",
-      "lang", "sha256", "docLen", "shard", "score"))
+      "lang", "sha256", "docLen", "shard", "tableId", "score"))
     // downstream projections must not throw on the empty result
     assert(df.select("path", "score").collect().isEmpty)
   }

@@ -227,8 +227,11 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     // same (dir, query) => sameResult, despite per-instance exprIds —
     // the property AQE stage reuse keys on
     val q = "spark query, merge join"
-    assert(graft.plans.MatchIds(sf, q).sameResult(graft.plans.MatchIds(sf, q)))
-    assert(!graft.plans.MatchIds(sf, q).sameResult(graft.plans.MatchIds(sf, "other")))
+    import graft.plans.{MatchIds, MatchRegistry}
+    val ref = MatchRegistry.DocsTable(sf)
+    val keys = Seq("tableId")
+    assert(MatchIds(ref, q, keys).sameResult(MatchIds(ref, q, keys)))
+    assert(!MatchIds(ref, q, keys).sameResult(MatchIds(ref, "other", keys)))
     // a self-join carrying the predicate on BOTH sides: two rewrites,
     // one hit set, correct count
     graft.ops.Tables.t(spark, sf, "documents").createOrReplaceTempView("mdocs2")
@@ -238,6 +241,86 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
          |WHERE match(d1.text, '$q') AND match(d2.text, '$q')""".stripMargin)
       .collect().head.getLong(0)
     assert(n == graft.ops.SearchOps.matchTableIds(spark, sf, q).count())
+  }
+
+  test("registered corpus table: WHERE match(content, q) takes the semi-join plan") {
+    import graft.plans.{MatchFilter, MatchIds, MatchRegistry}
+    import org.apache.spark.sql.functions.expr
+    val work = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "matchreg").toString
+    val tablePath = s"$work/corpus.parquet"
+    CorpusGen.dataset(spark, 400, 7L, 4).write.parquet(tablePath)
+    val idxRoot = s"$work/index"
+    import spark.implicits._
+    IndexBuilder.build(spark,
+      spark.read.parquet(tablePath).as[graft.corpus.CorpusDoc], idxRoot, 4)
+    // a corpus-shaped table has no numeric id: it registers its natural
+    // identity columns as the semi-join key
+    MatchRegistry.register(tablePath, "content",
+      Seq("repo" -> "repo", "path" -> "path", "commit" -> "commit"),
+      MatchRegistry.IndexRoot(idxRoot))
+    try {
+      GraftSql.ensureMatchSupport(spark)
+      spark.read.parquet(tablePath).createOrReplaceTempView("regcorpus")
+      val q = "buildPostingList mergeSortedRuns, shardRouterTable"
+      val df = spark.sql(
+        s"SELECT repo, path FROM regcorpus WHERE match(content, '$q')")
+      val opt = df.queryExecution.optimizedPlan
+      assert(!opt.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[MatchFilter]))),
+        s"match() must be rewritten away on a registered table:\n$opt")
+      assert(opt.exists(_.isInstanceOf[MatchIds]),
+        s"expected the MatchIds leaf:\n$opt")
+      // exactly the row-level semantics (forced via a derived column)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      val exp = spark.read.parquet(tablePath)
+        .selectExpr("repo", "path", "concat(content, '') AS body")
+        .where(expr(s"match(body, '$q')"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.nonEmpty && got.sameElements(exp))
+      // unregistering drops the acceleration: row-level eval remains
+      MatchRegistry.unregister(tablePath)
+      val df2 = spark.sql(
+        s"SELECT repo FROM regcorpus WHERE match(content, '$q')")
+      assert(df2.queryExecution.optimizedPlan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[MatchFilter]))),
+        "unregistered table must fall back to the row-level predicate")
+      assert(df2.count() == got.length)
+    } finally MatchRegistry.unregister(tablePath)
+  }
+
+  test("keying on tableId against an id-less index fails loudly at execution") {
+    import graft.plans.MatchRegistry
+    val work = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "matchnoid").toString
+    val tablePath = s"$work/t.parquet"
+    import spark.implicits._
+    CorpusGen.dataset(spark, 100, 9L, 2)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .write.parquet(tablePath)
+    val idxRoot = s"$work/index"
+    // built WITHOUT tableIdOf: docmeta.tableId is -1 everywhere
+    IndexBuilder.build(spark,
+      spark.read.parquet(tablePath).drop("doc_id")
+        .as[graft.corpus.CorpusDoc], idxRoot, 2)
+    MatchRegistry.register(tablePath, "content",
+      Seq("doc_id" -> "tableId"), MatchRegistry.IndexRoot(idxRoot))
+    try {
+      GraftSql.ensureMatchSupport(spark)
+      spark.read.parquet(tablePath).createOrReplaceTempView("noidcorpus")
+      val df = spark.sql(
+        "SELECT doc_id FROM noidcorpus WHERE match(content, 'def return')")
+      // the rewrite fires (registration looks valid) ...
+      assert(df.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[graft.plans.MatchIds]))
+      // ... but execution refuses to key on a half-real id column
+      val e = intercept[Exception] { df.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("without source-table ids")),
+        s"expected the loud id-less message, got: ${msgs(e).mkString(" | ")}")
+    } finally MatchRegistry.unregister(tablePath)
   }
 
   test("match() falls back to row-level eval when the index can't serve it") {
