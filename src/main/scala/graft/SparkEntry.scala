@@ -91,6 +91,7 @@ object SparkEntry {
     "q65_index_stats" -> (SearchOps.qIndexStats _),
     "q66_match_operator" -> (SearchOps.qMatchOperator _),
     "q74_match_where" -> (SearchOps.qMatchWhere _),
+    "q76_phrase_search" -> (SearchOps.qPhraseSearch _),
     "q75_explain_score" -> (SearchOps.qExplainScore _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
@@ -312,6 +313,7 @@ object SparkEntry {
     "q65_index_stats" -> SearchOps.indexStatsOracleSql,
     "q66_match_operator" -> SearchOps.engineSearchOracleSql,
     "q74_match_where" -> SearchOps.matchWhereOracleSql,
+    "q76_phrase_search" -> SearchOps.phraseSearchOracleSql,
     "q75_explain_score" -> SearchOps.explainScoreOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,

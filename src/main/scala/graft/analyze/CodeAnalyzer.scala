@@ -120,6 +120,23 @@ object CodeAnalyzer extends Serializable {
     (m.toMap, toks.length)
   }
 
+  /** (term -> ascending token positions) plus docLen, single pass.
+    * Positions index the POST-FILTER emission sequence of [[analyze]]
+    * (stopword removal closes gaps — "merge the join" puts merge/join
+    * at consecutive positions; frozen phrase-match semantics, and what
+    * the DuckDB oracle's filtered-token window checks reproduce).
+    * tf == positions.length by construction. */
+  def termPositions(content: String): (Map[String, Array[Int]], Int) = {
+    val toks = analyze(content)
+    val m = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofInt]
+    var i = 0
+    while (i < toks.length) {
+      m.getOrElseUpdate(toks(i), new mutable.ArrayBuilder.ofInt) += i
+      i += 1
+    }
+    (m.view.mapValues(_.result()).toMap, toks.length)
+  }
+
   /** Query analysis: distinct terms, first-occurrence order (frozen —
     * BM25 sums contributions in this order; oracle matches). */
   def analyzeQuery(q: String): Seq[String] = analyze(q).distinct

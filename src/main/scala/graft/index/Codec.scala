@@ -250,6 +250,73 @@ object Codec {
     }
   }
 
+  /** Encode one block's per-posting position lists (the Lucene .pos
+    * analogue, stored as a SEPARATE parquet column so scoring-only
+    * queries never read it): positions delta-encoded within each
+    * posting (first absolute), varint stream; per-posting counts are
+    * NOT stored — tf IS the position count, so the decoder reads them
+    * from the already-decoded tf array. */
+  def encodePositions(positions: Array[Array[Int]]): Array[Byte] = {
+    val buf = mutable.ArrayBuilder.make[Byte]
+    var i = 0
+    while (i < positions.length) {
+      val ps = positions(i)
+      var j = 0
+      var prev = 0
+      while (j < ps.length) {
+        require(j == 0 || ps(j) > prev,
+          s"positions not strictly ascending: $prev -> ${ps(j)}")
+        writeVarLong(buf, (ps(j) - (if (j == 0) 0 else prev)).toLong)
+        prev = ps(j)
+        j += 1
+      }
+      i += 1
+    }
+    buf.result()
+  }
+
+  /** Decode one block's positions; `tfs` = the block's decoded tf array
+    * (position count per posting). */
+  def decodePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val r = new Reader(bytes)
+    val out = new Array[Array[Int]](tfs.length)
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var j = 0
+      var prev = 0
+      while (j < ps.length) {
+        prev = prev + r.readVarLong().toInt
+        ps(j) = prev
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    require(!r.hasMore, "position stream longer than the block's tf total")
+    out
+  }
+
+  /** decodeAll plus the per-posting position lists (merge/rebase path —
+    * the query path decodes positions lazily per block instead). */
+  def decodeAllWithPositions(p: EncodedPostings, posBlocks: Seq[Array[Byte]])
+      : (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) = {
+    require(posBlocks.length == p.blocks.length,
+      s"position stream count ${posBlocks.length} != block count ${p.blocks.length}")
+    val docs = mutable.ArrayBuilder.make[Long]
+    val tfs = mutable.ArrayBuilder.make[Int]
+    val dls = mutable.ArrayBuilder.make[Int]
+    val poss = mutable.ArrayBuffer.empty[Array[Int]]
+    var b = 0
+    while (b < p.blocks.length) {
+      val (d, t, l) = decodeBlock(p.blocks(b), p.skips(b).firstDoc)
+      docs ++= d; tfs ++= t; dls ++= l
+      poss ++= decodePositions(posBlocks(b), t)
+      b += 1
+    }
+    (docs.result(), tfs.result(), dls.result(), poss.toArray)
+  }
+
   def decodeAll(p: EncodedPostings): (Array[Long], Array[Int], Array[Int]) = {
     val docs = mutable.ArrayBuilder.make[Long]
     val tfs = mutable.ArrayBuilder.make[Int]

@@ -20,15 +20,18 @@ final case class DocMeta(docId: Long, repo: String, path: String, commit: String
                          tableId: Long)
 
 /** Analyzer output for one document (intermediate, persisted across the
-  * docmeta write and the postings shuffle so content is analyzed once). */
-final case class TermFreq(term: String, tf: Int)
+  * docmeta write and the postings shuffle so content is analyzed once).
+  * `pos` = the term's ascending token positions (empty when the build
+  * disabled positions); tf == pos.length when present. */
+final case class TermFreq(term: String, tf: Int, pos: Array[Int])
 final case class AnalyzedDoc(docId: Long, repo: String, path: String,
                              commit: String, lang: String, sha256: String,
                              docLen: Int, terms: Array[TermFreq],
                              tableId: Long)
 
 /** One (shard, term, doc) token posting — the SPIMI shuffle record. */
-final case class TokenPosting(shard: Int, term: String, docId: Long, tf: Int, dl: Int)
+final case class TokenPosting(shard: Int, term: String, docId: Long, tf: Int,
+                              dl: Int, pos: Array[Int])
 
 /** Skip entry as stored in parquet (mirror of Codec.Skip). */
 final case class SkipRow(firstDoc: Long, lastDoc: Long, maxTf: Int, minDl: Int)
@@ -37,9 +40,27 @@ final case class SkipRow(firstDoc: Long, lastDoc: Long, maxTf: Int, minDl: Int)
   * document shard, as compressed blocks + skip entries. Document-sharded
   * posting lists bound every shuffle group by the shard size — the hot-term
   * skew defuser: "def"'s postings are numShards bounded groups, never one
-  * giant reducer (the built-in salting required by the north rule). */
+  * giant reducer (the built-in salting required by the north rule).
+  *
+  * This is the SCORING projection: reading it prunes the positions
+  * column out of the parquet scan entirely (the Lucene .doc/.pos file
+  * split, expressed as parquet column pruning) — BM25/boolean scoring
+  * never pays the position bytes. */
 final case class PostingRow(shard: Int, term: String, df: Long, bytes: Long,
                             blocks: Seq[Array[Byte]], skips: Seq[SkipRow])
+
+/** The FULL stored row: the scoring columns plus `posBlocks`, one
+  * position stream per 128-posting block (Codec.encodePositions; empty
+  * when the build disabled positions). Phrase queries read this shape. */
+final case class PostingRowPos(shard: Int, term: String, df: Long, bytes: Long,
+                               blocks: Seq[Array[Byte]], skips: Seq[SkipRow],
+                               posBlocks: Seq[Array[Byte]])
+
+object PostingRow {
+  /** The scoring-projection column list (everything but posBlocks). */
+  val LiteCols: Seq[String] =
+    Seq("shard", "term", "df", "bytes", "blocks", "skips")
+}
 
 final case class BuildReport(manifest: Manifest, segment: Option[SegmentInfo],
                              builtShards: Seq[Int], docs: Long)
@@ -74,8 +95,9 @@ object IndexBuilder {
   /** Index FORMAT version: bump when analyzer/codec/layout semantics
     * change, so durable indexes built by an older engine are rebuilt
     * instead of reopened (cache roots embed it). v3: docmeta carries the
-    * explicit source-table id column (tableId). */
-  val FormatVersion = "3"
+    * explicit source-table id column (tableId). v4: postings carry an
+    * optional per-block position stream (posBlocks). */
+  val FormatVersion = "4"
 
   /** Spark SQL expression equal to the shard id a row lands on. */
   def shardExpr(numShards: Int) =
@@ -117,25 +139,34 @@ object IndexBuilder {
     * both fields; docId ascending within a run) and emits one PostingRow
     * per run, holding only a single run's postings (bounded by shard size)
     * in memory. */
-  def buildRuns(it: Iterator[TokenPosting]): Iterator[PostingRow] = {
+  def buildRuns(it: Iterator[TokenPosting]): Iterator[PostingRowPos] = {
     val in = it.buffered
-    new Iterator[PostingRow] {
+    new Iterator[PostingRowPos] {
       def hasNext: Boolean = in.hasNext
-      def next(): PostingRow = {
+      def next(): PostingRowPos = {
         val head = in.head
         val docs = mutable.ArrayBuilder.make[Long]
         val tfs = mutable.ArrayBuilder.make[Int]
         val dls = mutable.ArrayBuilder.make[Int]
+        val poss = mutable.ArrayBuffer.empty[Array[Int]]
         var n = 0L
+        var hasPos = true
         while (in.hasNext && in.head.shard == head.shard &&
                in.head.term == head.term) {
           val p = in.next()
-          docs += p.docId; tfs += p.tf; dls += p.dl; n += 1
+          docs += p.docId; tfs += p.tf; dls += p.dl; poss += p.pos; n += 1
+          if (p.pos.isEmpty) hasPos = false
         }
         val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-        PostingRow(head.shard, head.term, n,
+        // one position stream per 128-posting block, parallel to blocks
+        val posBlocks: Seq[Array[Byte]] =
+          if (!hasPos) Nil
+          else poss.grouped(Codec.BlockSize)
+            .map(g => Codec.encodePositions(g.toArray)).toSeq
+        PostingRowPos(head.shard, head.term, n,
           enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
-          enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
+          enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
+          posBlocks)
       }
     }
   }
@@ -156,7 +187,8 @@ object IndexBuilder {
   def build(spark: SparkSession, corpus: Dataset[CorpusDoc], root: String,
             numShards: Int, batch: Int = 0, resume: Boolean = true,
             maxShardsThisPass: Int = Int.MaxValue,
-            tableIdOf: Option[CorpusDoc => Long] = None): BuildReport = {
+            tableIdOf: Option[CorpusDoc => Long] = None,
+            positions: Boolean = true): BuildReport = {
     import spark.implicits._
     val tbl = new IcebergLite(root)
     tbl.init()
@@ -221,21 +253,23 @@ object IndexBuilder {
       .sortWithinPartitions("repo", "path", "commit")
       .as[CorpusDoc]
 
-    // 2. single analysis pass: docIds, sha256, term freqs
+    // 2. single analysis pass: docIds, sha256, term freqs + positions
     val idOf = tableIdOf
+    val withPos = positions
     val analyzed: Dataset[AnalyzedDoc] = routed.mapPartitions { it =>
       val shard = TaskContext.getPartitionId()
       var idx = 0L
       it.map { d =>
         val id = docIdFor(effBatch, shard, idx)
         idx += 1
-        val (tfm, dl) = CodeAnalyzer.termFreqs(d.content)
+        val (tpm, dl) = CodeAnalyzer.termPositions(d.content)
         // the declared table-id extraction runs HERE, once per doc at
         // build time — a malformed key fails the build loudly instead
         // of becoming a silent null join key at query time
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           sha256Hex(d.content), dl,
-          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) },
+          tpm.toArray.sortBy(_._1).map { case (t, ps) =>
+            TermFreq(t, ps.length, if (withPos) ps else Array.emptyIntArray) },
           idOf.map(f => f(d)).getOrElse(-1L))
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -276,7 +310,8 @@ object IndexBuilder {
     val postingsJob = Future {
       analyzed
         .flatMap(a => a.terms.iterator.map(tf =>
-          TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen)))
+          TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen,
+            tf.pos)))
         .repartition(shufflePartitions, col("shard"), col("term"))
         // TERM-major sort: parquet min/max stats on `term` then actually
         // prune row groups for the query path's term-IN filter (shard-major
@@ -311,7 +346,10 @@ object IndexBuilder {
         "source" -> "corpus(repo,path,commit,lang,content)",
         // whether docmeta.tableId is real in this segment — the match()
         // semi-join checks every segment carries it before keying on it
-        "tableIds" -> tableIdOf.isDefined.toString) ++
+        "tableIds" -> tableIdOf.isDefined.toString,
+        // whether posBlocks is real in this segment — phrase queries
+        // check every segment carries positions before using them
+        "positions" -> positions.toString) ++
         (if (batch == 0) Map("batch0Shards" -> todo.mkString(",")) else Map.empty))
 
     // 6. NOTE: no global dictionary on the ingest path — per-term global

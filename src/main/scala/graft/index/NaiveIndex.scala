@@ -24,6 +24,15 @@ import scala.collection.mutable
  */
 final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
 
+  /** For phrase checks: exhaustive re-analysis of the raw content (the
+    * obviously-correct reference the positional engine must match). */
+  private val contentById: Map[Long, String] = docs.toMap
+
+  def phraseInDoc(id: Long, phrase: Seq[String]): Boolean = {
+    val toks = CodeAnalyzer.analyze(contentById(id))
+    phrase.nonEmpty && toks.sliding(phrase.length).exists(_ == phrase)
+  }
+
   val postings: Map[String, Array[(Long, Int)]] = {
     val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
     docs.sortBy(_._1).foreach { case (id, content) =>
@@ -73,15 +82,14 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     top.result()
   }
 
-  /** OR-of-AND-groups boolean query ("spaces are ANDs commas are ORs"). */
+  /** OR-of-AND-groups boolean query ("spaces are ANDs commas are ORs";
+    * quoted spans add exhaustive positional phrase constraints). */
   def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
-    val groups: Seq[Seq[String]] = QueryParser.parse(query)
-      .map(_.filter(postings.contains))
-    val valid = QueryParser.parse(query).zip(groups)
-      .collect { case (orig, present) if orig.nonEmpty && orig.length == present.length => present }
+    val parsed = QueryParser.parseGroups(query)
+    val valid = parsed.filter(_.terms.forall(postings.contains))
     val best = mutable.HashMap.empty[Long, Double]
     valid.foreach { group =>
-      val perTerm = group.map { t =>
+      val perTerm = group.terms.map { t =>
         val pl = postings(t)
         (bm25.idf(pl.length.toLong), pl.toMap)
       }
@@ -89,6 +97,7 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
         // docs containing every term of the group
         val docsSets = perTerm.map(_._2.keySet)
         val common = docsSets.reduce(_ intersect _)
+          .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)))
         common.toSeq.sorted.foreach { id =>
           var s = 0.0
           val dl = docLen(id)
@@ -104,14 +113,39 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
   }
 }
 
+/** One OR-group: every term required (AND), every phrase required to
+  * occur at consecutive post-filter token positions. Phrase tokens are
+  * ALSO terms (the phrase both ANDs its words and constrains order), so
+  * scoring — the fixed-order sum over `terms` — is identical whether a
+  * word arrived bare or quoted; the phrase only filters. */
+final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]])
+
 /** "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641):
   * OR groups split on ',', AND terms split on whitespace, every word run
   * through the analyzer (a camelCase query word can contribute several
-  * required tokens). Empty groups dropped. */
+  * required tokens). Empty groups dropped.
+  *
+  * `"exact phrase"` spans (the ES match_phrase analogue) additionally
+  * constrain their analyzed tokens to CONSECUTIVE post-filter positions.
+  * A phrase that analyzes to fewer than two tokens degrades to its bare
+  * terms (no positional constraint to enforce); an unbalanced quote is
+  * treated as whitespace. Commas split BEFORE quotes are read, so a
+  * phrase cannot span OR groups. */
 object QueryParser {
-  def parse(query: String): Seq[Seq[String]] =
-    query.split(',').toSeq
-      .map(g => g.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-        .flatMap(w => CodeAnalyzer.analyze(w)).distinct)
-      .filter(_.nonEmpty)
+  private val PhraseRe = "\"([^\"]*)\"".r
+
+  def parseGroups(query: String): Seq[MatchGroup] =
+    query.split(',').toSeq.map { g =>
+      val phrases = PhraseRe.findAllMatchIn(g)
+        .map(m => CodeAnalyzer.analyze(m.group(1)))
+        .filter(_.length >= 2).toSeq
+      // quotes stripped: phrase words are ordinary AND terms as well
+      val terms = g.replace('"', ' ').trim.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(w => CodeAnalyzer.analyze(w)).distinct
+      MatchGroup(terms, phrases)
+    }.filter(_.terms.nonEmpty)
+
+  /** Terms-only view (scoring order; used by paths with no positional
+    * machinery — the full structure is parseGroups). */
+  def parse(query: String): Seq[Seq[String]] = parseGroups(query).map(_.terms)
 }

@@ -38,7 +38,17 @@ object QueryEngine {
     rs.groupBy(_.term).map { case (t, subs) =>
       val sorted = subs.sortBy(_.skips.head.firstDoc)
       t -> new PostingCursor(t, bm.idf(dfs(t)),
-        sorted.map(r => (r.blocks, r.skips)), bm)
+        sorted.map(r => (r.blocks, r.skips, Seq.empty[Array[Byte]])), bm)
+    }
+
+  /** Cursors over the FULL stored rows: positions ride along (empty
+    * posBlocks stay empty — curPositions then rejects loudly). */
+  private[index] def termCursorsPos(rs: Seq[PostingRowPos], bm: Bm25,
+      dfs: Map[String, Long]): Map[String, PostingCursor] =
+    rs.groupBy(_.term).map { case (t, subs) =>
+      val sorted = subs.sortBy(_.skips.head.firstDoc)
+      t -> new PostingCursor(t, bm.idf(dfs(t)),
+        sorted.map(r => (r.blocks, r.skips, r.posBlocks)), bm)
     }
 }
 
@@ -56,8 +66,19 @@ final class QueryEngine(spark: SparkSession, val root: String,
 
   // lazy vals: file listings + parquet footers are resolved once per
   // engine, not once per query (ES analogue: segments held open).
-  lazy val postings: DataFrame = spark.read.parquet(postingPaths: _*)
+  /** Full stored rows, positions included — ONLY phrase paths read this. */
+  lazy val postingsFull: DataFrame = spark.read.parquet(postingPaths: _*)
+  /** The scoring projection: posBlocks pruned out of the parquet scan —
+    * BM25/boolean scoring never pays the position bytes (the Lucene
+    * .doc/.pos split as column pruning). */
+  lazy val postings: DataFrame = postingsFull.select(
+    PostingRow.LiteCols.map(col): _*)
   lazy val docmeta: DataFrame = spark.read.parquet(docmetaPaths: _*)
+
+  /** Every committed segment was built with positions — the phrase-query
+    * precondition. */
+  lazy val hasPositions: Boolean = manifest.segments.nonEmpty &&
+    manifest.segments.forall(_.lineage.get("positions").contains("true"))
   /** Global (term -> df). Compacted snapshots ship a materialized,
     * per-version dict file (SegmentMerge) — the right call at 10^12 docs,
     * where deriving dfs from postings at engine-open is a real job;
@@ -116,19 +137,40 @@ final class QueryEngine(spark: SparkSession, val root: String,
     shardTop.sorted(ScoredDoc.betterOrdering).take(k)
   }
 
+  /** Read the query's posting rows as FULL rows; when no phrase needs
+    * positions, the scan takes the scoring projection (posBlocks never
+    * read) and the rows get empty position streams. */
+  private def postingRowsFor(terms: Seq[String], needPos: Boolean)
+      : Dataset[PostingRowPos] =
+    if (needPos)
+      postingsFull.where(col("term").isin(terms: _*)).as[PostingRowPos]
+    else
+      postings.where(col("term").isin(terms: _*)).as[PostingRow]
+        .map(r => PostingRowPos(r.shard, r.term, r.df, r.bytes, r.blocks,
+          r.skips, Nil))
+
+  private def requirePositions(): Unit =
+    require(hasPositions,
+      s"phrase query needs positional postings, but the index at $root " +
+        "has segments built without them (positions=false) — rebuild or " +
+        "compact with positions on")
+
   /** Boolean keyword query: "spaces are ANDs commas are ORs"
-    * (/root/reference/sentiment.py:638-641). Doc score = max over
-    * matching AND-groups of the group's summed BM25. */
+    * (/root/reference/sentiment.py:638-641); quoted spans add positional
+    * phrase constraints. Doc score = max over matching AND-groups of the
+    * group's summed BM25 (phrases filter, never boost). */
   def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
-    val groups = QueryParser.parse(query)
+    val groups = QueryParser.parseGroups(query)
     if (groups.isEmpty) return Nil
-    val allTerms = groups.flatten.distinct
+    val allTerms = groups.flatMap(_.terms).distinct
     val dfs = termDfs(allTerms)
     // a group with any absent term can never match
-    val valid = groups.filter(_.forall(dfs.contains))
+    val valid = groups.filter(_.terms.forall(dfs.contains))
     if (valid.isEmpty) return Nil
-    val validTerms = valid.flatten.distinct
-    val rows = postings.where(col("term").isin(validTerms: _*)).as[PostingRow]
+    val needPos = valid.exists(_.phrases.nonEmpty)
+    if (needPos) requirePositions()
+    val validTerms = valid.flatMap(_.terms).distinct
+    val rows = postingRowsFor(validTerms, needPos)
     val (bm, dfsB, validB) = (bm25, dfs, valid)
 
     // Memory-bounded EXACT scoring: each AND-group keeps only its own
@@ -140,12 +182,13 @@ final class QueryEngine(spark: SparkSession, val root: String,
     // has a final score at least that high), so the doc survives that
     // group's TopK(k) and the merge sees its true max. Merge state is
     // O(groups * k).
-    def scoreShard(rs: Seq[PostingRow], k: Int): Seq[ScoredDoc] = {
+    def scoreShard(rs: Seq[PostingRowPos], k: Int): Seq[ScoredDoc] = {
       val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
-        val cur = QueryEngine.termCursors(
-          rs.filter(r => group.contains(r.term)), bm, dfsB)
+        val cur = QueryEngine.termCursorsPos(
+          rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
         val groupTop = new ScoredDoc.TopK(k)
-        WandScorer.conjunctive(group, cur).foreach(groupTop.offer)
+        WandScorer.conjunctive(group.terms, cur, group.phrases)
+          .foreach(groupTop.offer)
         groupTop.result()
       }
       val best = scala.collection.mutable.HashMap.empty[Long, Double]
@@ -231,21 +274,24 @@ final class QueryEngine(spark: SparkSession, val root: String,
     * as booleanTopK and streams the union of group hits out. The same
     * small-postings driver fast path applies (single job, no shuffle). */
   def matchingDocIds(query: String): DataFrame = {
-    val groups = QueryParser.parse(query)
+    val groups = QueryParser.parseGroups(query)
     val empty = spark.createDataset(Seq.empty[Long]).toDF("docId")
     if (groups.isEmpty) return empty
-    val dfs = termDfs(groups.flatten.distinct)
-    val valid = groups.filter(_.forall(dfs.contains))
+    val dfs = termDfs(groups.flatMap(_.terms).distinct)
+    val valid = groups.filter(_.terms.forall(dfs.contains))
     if (valid.isEmpty) return empty
-    val validTerms = valid.flatten.distinct
-    val rows = postings.where(col("term").isin(validTerms: _*)).as[PostingRow]
+    val needPos = valid.exists(_.phrases.nonEmpty)
+    if (needPos) requirePositions()
+    val validTerms = valid.flatMap(_.terms).distinct
+    val rows = postingRowsFor(validTerms, needPos)
     val (bm, dfsB, validB) = (bm25, dfs, valid)
-    def shardIds(rs: Seq[PostingRow]): Iterator[Long] = {
+    def shardIds(rs: Seq[PostingRowPos]): Iterator[Long] = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       validB.foreach { group =>
-        val cur = QueryEngine.termCursors(
-          rs.filter(r => group.contains(r.term)), bm, dfsB)
-        WandScorer.conjunctive(group, cur).foreach(sd => seen += sd.docId)
+        val cur = QueryEngine.termCursorsPos(
+          rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
+        WandScorer.conjunctive(group.terms, cur, group.phrases)
+          .foreach(sd => seen += sd.docId)
       }
       seen.iterator
     }

@@ -7,18 +7,22 @@ package graft.index
   * ("spaces are ANDs commas are ORs", /root/reference/sentiment.py:638-641)
   * shapes. */
 object ReferenceQueries {
-  /** (qid, query, k, isBool) parsed from the frozen TSV. */
-  lazy val entries: Seq[(Int, String, Int, Boolean)] = {
+  /** (qid, query, k, kind: ""|"bool"|"phrase") from the frozen TSV. */
+  lazy val entries: Seq[(Int, String, Int, String)] = {
     val in = getClass.getResourceAsStream("/graft/queries.tsv")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { line =>
       val f = line.split('\t')
-      (f(0).toInt, f(1), f(2).toInt, f.length > 3 && f(3) == "bool")
+      (f(0).toInt, f(1), f(2).toInt,
+        if (f.length > 3) f(3) else "")
     }.toList
     finally src.close()
   }
 
-  val all: Seq[String] = entries.filterNot(_._4).map(_._2)
-  val boolQueries: Seq[String] = entries.filter(_._4).map(_._2)
+  val all: Seq[String] = entries.filter(_._4 == "").map(_._2)
+  val boolQueries: Seq[String] = entries.filter(_._4 == "bool").map(_._2)
+  /** Quoted-span queries (ES match_phrase analogue) — run through the
+    * boolean path; positional constraints filter the AND groups. */
+  val phraseQueries: Seq[String] = entries.filter(_._4 == "phrase").map(_._2)
   val topK = 10
 }

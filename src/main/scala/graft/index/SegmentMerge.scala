@@ -127,7 +127,7 @@ object SegmentMerge {
 
     // postings: cogroup by shard, remap each decoded docId through the
     // shard's map (monotone: rank order == old docId order), re-encode
-    val pst = spark.read.parquet(s"$root/${seg.name}/postings").as[PostingRow]
+    val pst = spark.read.parquet(s"$root/${seg.name}/postings").as[PostingRowPos]
     pst.groupByKey(_.shard).cogroup(mapping.groupByKey(_._1)) {
       (_, rows, maps) =>
         val mp = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -135,7 +135,13 @@ object SegmentMerge {
         rows.map { r =>
           val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
             .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
-          val (d, t, l) = Codec.decodeAll(enc)
+          // positions survive a rebase untouched: the remap is
+          // order-preserving per shard, so posting order — and with it
+          // the block layout — is unchanged
+          val hasPos = r.posBlocks.nonEmpty
+          val (d, t, l, ps) =
+            if (hasPos) Codec.decodeAllWithPositions(enc, r.posBlocks)
+            else { val (a, b, c) = Codec.decodeAll(enc); (a, b, c, null) }
           var i = 0
           while (i < d.length) {
             val nw = mp.get(d(i))
@@ -144,9 +150,14 @@ object SegmentMerge {
             i += 1
           }
           val e2 = Codec.encode(d, t, l)
-          PostingRow(r.shard, r.term, r.df,
+          val posOut: Seq[Array[Byte]] =
+            if (!hasPos) Nil
+            else ps.grouped(Codec.BlockSize)
+              .map(g => Codec.encodePositions(g)).toSeq
+          PostingRowPos(r.shard, r.term, r.df,
             e2.blocks.iterator.map(_.length.toLong).sum, e2.blocks.toSeq,
-            e2.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
+            e2.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
+            posOut)
         }
     }
       .toDF()
@@ -178,6 +189,7 @@ object SegmentMerge {
         "batches" -> "0",
         "origBatches" -> IcebergLite.encodeRanges(origRaw),
         "tableIds" -> seg.lineage.getOrElse("tableIds", "false"),
+        "positions" -> seg.lineage.getOrElse("positions", "false"),
         "batch0Shards" -> (0 until prev.numShards).mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(newSeg),
       prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase)
@@ -202,37 +214,52 @@ object SegmentMerge {
     val segName = s"seg-merged-${prev.version}"
     val segRoot = s"$root/$segName"
 
-    spark.read.parquet(postingPaths: _*).as[PostingRow]
+    spark.read.parquet(postingPaths: _*).as[PostingRowPos]
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("shard"), col("term"))
       .map(r => (r.shard, r.term, r.skips.head.firstDoc, r))
       .toDF("shard", "term", "firstDoc", "row")
       .sortWithinPartitions("term", "shard", "firstDoc")
-      .as[(Int, String, Long, PostingRow)]
+      .as[(Int, String, Long, PostingRowPos)]
       .mapPartitions { it =>
         val in = it.map(_._4).buffered
-        new Iterator[PostingRow] {
+        new Iterator[PostingRowPos] {
           def hasNext: Boolean = in.hasNext
-          def next(): PostingRow = {
+          def next(): PostingRowPos = {
             val head = in.head
-            val subs = mutable.ArrayBuffer.empty[PostingRow]
+            val subs = mutable.ArrayBuffer.empty[PostingRowPos]
             while (in.hasNext && in.head.shard == head.shard &&
                    in.head.term == head.term) subs += in.next()
-            // decode in firstDoc order, concatenate, re-block
+            // decode in firstDoc order, concatenate, re-block (positions
+            // concatenate in the same posting order and re-block with
+            // the fresh 128-entry boundaries)
             val docs = mutable.ArrayBuilder.make[Long]
             val tfs = mutable.ArrayBuilder.make[Int]
             val dls = mutable.ArrayBuilder.make[Int]
+            val poss = mutable.ArrayBuffer.empty[Array[Int]]
+            val hasPos = subs.forall(_.posBlocks.nonEmpty)
             var df = 0L
             subs.foreach { r =>
               val enc = EncodedPostings(r.blocks.toArray, r.skips.toArray
                 .map(s => Skip(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)), r.df)
-              val (d, t, l) = Codec.decodeAll(enc)
-              docs ++= d; tfs ++= t; dls ++= l; df += r.df
+              if (hasPos) {
+                val (d, t, l, ps) = Codec.decodeAllWithPositions(enc, r.posBlocks)
+                docs ++= d; tfs ++= t; dls ++= l; poss ++= ps
+              } else {
+                val (d, t, l) = Codec.decodeAll(enc)
+                docs ++= d; tfs ++= t; dls ++= l
+              }
+              df += r.df
             }
             val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-            PostingRow(head.shard, head.term, df,
+            val posOut: Seq[Array[Byte]] =
+              if (!hasPos) Nil
+              else poss.grouped(Codec.BlockSize)
+                .map(g => Codec.encodePositions(g.toArray)).toSeq
+            PostingRowPos(head.shard, head.term, df,
               enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
-              enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)))
+              enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
+              posOut)
           }
         }
       }
@@ -278,6 +305,8 @@ object SegmentMerge {
         // merge must not let match() key on half-populated tableIds
         "tableIds" -> toMerge.forall(
           _.lineage.get("tableIds").contains("true")).toString,
+        "positions" -> toMerge.forall(
+          _.lineage.get("positions").contains("true")).toString,
         "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
       prev.numDocs, prev.totalTokens, dict = dict,

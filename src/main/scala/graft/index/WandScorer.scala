@@ -12,11 +12,16 @@ import scala.collection.mutable
  * metadata per Ding & Suel, WSDM 2011).
  */
 final class PostingCursor(val term: String, val idf: Double,
-                          subLists: Seq[(Seq[Array[Byte]], Seq[SkipRow])],
+                          subLists: Seq[(Seq[Array[Byte]], Seq[SkipRow], Seq[Array[Byte]])],
                           bm25: Bm25) {
   // flatten: global block arrays, ordered by firstDoc
   private val blocks: Array[Array[Byte]] = subLists.iterator.flatMap(_._1).toArray
   private val skips: Array[SkipRow] = subLists.iterator.flatMap(_._2).toArray
+  // position streams, parallel to blocks; empty when the read path took
+  // the scoring projection (or the index was built positions=false)
+  private val posBlocks: Array[Array[Byte]] = subLists.iterator.flatMap(_._3).toArray
+  /** Whether curPositions may be called on this cursor. */
+  val hasPositions: Boolean = posBlocks.length == blocks.length && blocks.length > 0
   require(blocks.length == skips.length)
   // the cursor's skip search requires globally ascending, non-interleaved
   // blocks; segment ranges that overlap (a merge-policy bug) must fail
@@ -62,6 +67,19 @@ final class PostingCursor(val term: String, val idf: Double,
   def curDoc: Long = docs(inBlock)
   def curTf: Int = tfs(inBlock)
   def curDl: Int = dls(inBlock)
+  // positions of the CURRENT posting, decoded lazily once per block
+  private var posDecodedFor = -1
+  private var posDecoded: Array[Array[Int]] = _
+  def curPositions: Array[Int] = {
+    require(hasPositions,
+      s"posting list for '$term' carries no positions (scoring " +
+        "projection, or an index built with positions=false)")
+    if (posDecodedFor != blockIdx) {
+      posDecoded = Codec.decodePositions(posBlocks(blockIdx), tfs)
+      posDecodedFor = blockIdx
+    }
+    posDecoded(inBlock)
+  }
   def curScore: Double = bm25.score(idf, tfs(inBlock), dls(inBlock))
   /** Upper bound of the current block (valid for docs <= blockLastDoc). */
   def blockMaxScore: Double =
@@ -179,10 +197,33 @@ object WandScorer {
     top.result()
   }
 
+  /** Does `phrase` occur at consecutive positions in the doc every
+    * cursor is currently aligned on? Position arrays are ascending; the
+    * first term's occurrences anchor, the rest binary-search. */
+  def phraseMatch(cursorsByTerm: Map[String, PostingCursor],
+                  phrase: Seq[String]): Boolean = {
+    val arrs = phrase.map(t => cursorsByTerm(t).curPositions)
+    arrs.head.exists { x =>
+      var i = 1
+      var ok = true
+      while (ok && i < arrs.length) {
+        if (java.util.Arrays.binarySearch(arrs(i), x + i) < 0) ok = false
+        i += 1
+      }
+      ok
+    }
+  }
+
   /** Conjunctive (AND-group) scoring: leapfrog intersection, rarest list
     * leads. Emits every matching doc with the group's summed score
-    * (groupOrder fixes the float order). */
-  def conjunctive(groupOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor])
+    * (groupOrder fixes the float order). `phrases` adds positional
+    * constraints (every phrase must occur consecutively in the doc);
+    * phrase tokens are required to be part of groupOrder, so their
+    * cursors are aligned on the candidate when the check runs. Scores
+    * stay the plain AND-group sum — a phrase FILTERS, it does not boost
+    * (frozen semantics, what the SQL oracle reproduces). */
+  def conjunctive(groupOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
+                  phrases: Seq[Seq[String]] = Nil)
       : Iterator[ScoredDoc] = {
     val cursors = groupOrder.flatMap(cursorsByTerm.get).toArray
     if (cursors.length < groupOrder.length || cursors.exists(_.exhausted))
@@ -203,12 +244,16 @@ object WandScorer {
             i += 1
           }
           if (aligned) {
-            var s = 0.0
-            var q = 0
-            while (q < cursors.length) { s += cursors(q).curScore; q += 1 }
-            nextHit = ScoredDoc(target, s)
+            if (phrases.forall(ph => phraseMatch(cursorsByTerm, ph))) {
+              var s = 0.0
+              var q = 0
+              while (q < cursors.length) { s += cursors(q).curScore; q += 1 }
+              nextHit = ScoredDoc(target, s)
+              cursors(0).nextDoc()
+              return
+            }
+            // terms align but a phrase doesn't: skip this doc
             cursors(0).nextDoc()
-            return
           } else {
             var j = 0
             while (j < cursors.length) { cursors(j).advanceTo(target); j += 1 }

@@ -66,13 +66,14 @@ object SearchOps {
     * filter, same formula, same fixed summation order as the engine) —
     * generated so term list/stoplist stay in lockstep with the Spark
     * plan AND the real index engine. */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  private def bm25Ctes(terms: Seq[String], carryToks: Boolean = false): String = {
     val stops = stopListSql
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, w -> w = '$t')) AS tf$i"
     }.mkString(", ")
     val dfDefs = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+    val toksCol = if (carryToks) "toks, " else ""
     s"""docs AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
        |    w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
@@ -80,7 +81,7 @@ object SearchOps {
        |  FROM documents),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM docs),
-       |tf AS (SELECT doc_id, len(toks) AS dl, $tfDefs FROM docs),
+       |tf AS (SELECT doc_id, ${toksCol}len(toks) AS dl, $tfDefs FROM docs),
        |dfs AS (SELECT $dfDefs FROM tf)""".stripMargin
   }
 
@@ -130,6 +131,61 @@ object SearchOps {
     // engine's display order (rounded score, path string) — keeps both
     // the top-10 set and the row order aligned even on ties
     s"""WITH ${bm25Ctes(allTerms)},
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE $anyMatch
+       |         ORDER BY $best DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
+  /** q76: PHRASE search (the ES match_phrase analogue) through the real
+    * engine — quoted spans constrain their tokens to consecutive
+    * post-filter positions via the index's positional postings; scores
+    * stay the AND-group fixed-order sums (phrases filter, never boost).
+    * The oracle re-derives the phrase constraint with a sliding-window
+    * check over the SAME filtered token stream the BM25 CTEs score. */
+  val PhraseQuery = "\"merge join\" spark, \"table scan\""
+  /** (terms in engine scoring order, phrases) per OR-group — must stay
+    * in lockstep with what QueryParser.parseGroups(PhraseQuery) yields
+    * (pinned by OracleFormSpec-style spec in IndexEndToEndSpec). */
+  val PhraseGroups: Seq[(Seq[String], Seq[Seq[String]])] = Seq(
+    (Seq("merge", "join", "spark"), Seq(Seq("merge", "join"))),
+    (Seq("table", "scan"), Seq(Seq("table", "scan"))))
+
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.booleanTopK(PhraseQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  /** DuckDB window check: phrase tokens at consecutive positions of the
+    * filtered token list (1-based list indexing, 0-based range). */
+  private def phraseCondSql(ph: Seq[String]): String = {
+    val checks = ph.zipWithIndex
+      .map { case (t, j) => s"toks[i+${j + 1}] = '$t'" }.mkString(" AND ")
+    s"(len(list_filter(range(greatest(len(toks) - ${ph.length - 1}, 0)), " +
+      s"i -> $checks)) > 0)"
+  }
+
+  def phraseSearchOracleSql: String = {
+    val allTerms = PhraseGroups.flatMap(_._1)
+    var idx = -1
+    val groupExprs = PhraseGroups.map { case (g, phrases) =>
+      val parts = g.map { _ => idx += 1; idx }
+      val cond = parts.map(i => s"tf$i > 0").mkString(" AND ")
+      val phCond = phrases.map(phraseCondSql).mkString(" AND ")
+      val sum = parts.map(termScoreSql).mkString(" + ")
+      s"CASE WHEN $cond AND $phCond THEN $sum ELSE NULL END"
+    }
+    val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
+    val names = PhraseGroups.indices.map(i => s"g$i")
+    val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
+    val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    s"""WITH ${bm25Ctes(allTerms, carryToks = true)},
        |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
        |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
        |         FROM scored WHERE $anyMatch

@@ -44,11 +44,11 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
         s"match(content, query) needs two strings, got $other")
     }
 
-  private def parseGroups(q: Any): Seq[Seq[String]] =
-    if (q == null) Nil else QueryParser.parse(q.toString)
+  private def parseGroups(q: Any): Seq[graft.index.MatchGroup] =
+    if (q == null) Nil else QueryParser.parseGroups(q.toString)
 
   // the query is almost always a literal: parse its AND-groups once
-  @transient private lazy val foldedGroups: Option[Seq[Seq[String]]] =
+  @transient private lazy val foldedGroups: Option[Seq[graft.index.MatchGroup]] =
     if (queryExpr.foldable) Some(parseGroups(queryExpr.eval(null))) else None
 
   override def eval(input: InternalRow): Any = {
@@ -58,8 +58,10 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
       val groups = foldedGroups.getOrElse(parseGroups(queryExpr.eval(input)))
       if (groups.isEmpty) false
       else {
-        val toks = CodeAnalyzer.analyze(c.toString).toSet
-        groups.exists(g => g.forall(toks.contains))
+        val toks = CodeAnalyzer.analyze(c.toString)
+        val tokSet = toks.toSet
+        groups.exists(g => g.terms.forall(tokSet.contains) &&
+          g.phrases.forall(ph => toks.sliding(ph.length).exists(_ == ph)))
       }
     }
   }

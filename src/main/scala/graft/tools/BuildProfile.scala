@@ -45,7 +45,8 @@ object BuildProfile {
         val (tfm, dl) = CodeAnalyzer.termFreqs(d.content)
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           IndexBuilder.sha256Hex(d.content), dl,
-          tfm.toArray.sortBy(_._1).map { case (t, f) => TermFreq(t, f) }, -1L)
+          tfm.toArray.sortBy(_._1).map { case (t, f) =>
+            TermFreq(t, f, Array.emptyIntArray) }, -1L)
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     timed("analyze+persist (count)") { analyzed.count() }
@@ -56,10 +57,11 @@ object BuildProfile {
     }
     timed("postings shuffle+encode+write") {
       analyzed.flatMap(a => a.terms.iterator.map(tf =>
-        TokenPosting(IndexBuilder.shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen)))
+        TokenPosting(IndexBuilder.shardOf(a.docId), tf.term, a.docId, tf.tf,
+          a.docLen, tf.pos)))
         .repartition(col("shard"), col("term"))
         .sortWithinPartitions("shard", "term", "docId")
-        .mapPartitions(IndexBuilder.buildRuns)
+        .mapPartitions(IndexBuilder.buildRuns _)
         .write.mode("overwrite").parquet(s"$root/postings")
     }
     timed("metrics aggs") {

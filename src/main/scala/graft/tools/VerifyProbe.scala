@@ -146,6 +146,24 @@ object VerifyProbe {
     println("PROBE where-match unknown terms -> " + sx.sql(
       "SELECT count(*) AS n FROM pdocs WHERE match(text, 'zzz qqq')")
       .collect().head.getLong(0) + " rows")
+    // phrase edges: quoted spans, unbalanced quote, stopword-only phrase
+    val nPhrase = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, '\"merge join\" spark')")
+      .collect().head.getLong(0)
+    val nLoose = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'merge join spark')")
+      .collect().head.getLong(0)
+    println(s"PROBE where-match phrase -> $nPhrase rows " +
+      s"(tighter-than-loose=${nPhrase < nLoose})")
+    println("PROBE where-match unbalanced quote -> " + sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, '\"merge join spark')")
+      .collect().head.getLong(0) + s" rows (== loose ${nLoose})")
+    println("PROBE where-match stopword phrase -> " + sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, '\"the a\" spark')")
+      .collect().head.getLong(0) + " rows")
+    println("PROBE where-match unknown phrase -> " + sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, '\"zzz qqq\"')")
+      .collect().head.getLong(0) + " rows")
     try {
       sx.sql("SELECT * FROM pdocs WHERE match(text, 7)").collect()
       println("PROBE where-match bad-arg -> NO ERROR (BAD)")

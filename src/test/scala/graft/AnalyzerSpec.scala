@@ -56,6 +56,23 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(dl === 6) // docLen = total emitted tokens post-filter
   }
 
+  test("termPositions: positions index the post-filter emission sequence") {
+    val (tp, dl) = graft.analyze.CodeAnalyzer
+      .termPositions("merge the join mergeSort merge")
+    // emission: merge(0) join(1) [the dropped] merge(2) sort(3)
+    //           mergesort(4) merge(5)
+    assert(dl === 6)
+    assert(tp("merge").toSeq === Seq(0, 2, 5))
+    assert(tp("join").toSeq === Seq(1))
+    assert(tp("sort").toSeq === Seq(3))
+    assert(tp("mergesort").toSeq === Seq(4))
+    // tf == positions.length, consistent with termFreqs
+    val (tf, dl2) = graft.analyze.CodeAnalyzer
+      .termFreqs("merge the join mergeSort merge")
+    assert(dl2 === dl)
+    tp.foreach { case (t, ps) => assert(tf(t) === ps.length, t) }
+  }
+
   test("query analysis dedups, keeps first-occurrence order") {
     assert(analyzeQuery("merge sort merge buildPostingList") ===
       Seq("merge", "sort", "build", "posting", "list", "buildpostinglist"))

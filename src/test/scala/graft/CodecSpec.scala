@@ -32,6 +32,34 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("positions roundtrip: random per-posting ascending lists, incl. empties") {
+    val rnd = new scala.util.Random(31)
+    (1 to 100).foreach { round =>
+      val n = rnd.nextInt(40)
+      val positions: Array[Array[Int]] = Array.fill(n) {
+        val m = rnd.nextInt(12) // 0 = a tf-0 shape never produced, but safe
+        var cur = rnd.nextInt(5)
+        Array.fill(math.max(1, m)) { val v = cur; cur += 1 + rnd.nextInt(7); v }
+      }
+      val tfs = positions.map(_.length)
+      val enc = Codec.encodePositions(positions)
+      val dec = Codec.decodePositions(enc, tfs)
+      assert(dec.length === positions.length, s"round $round")
+      dec.zip(positions).foreach { case (a, b) =>
+        assert(a.toSeq === b.toSeq, s"round $round")
+      }
+    }
+    // truncation/corruption is loud: surplus bytes rejected
+    val enc = Codec.encodePositions(Array(Array(1, 3), Array(2)))
+    intercept[IllegalArgumentException] {
+      Codec.decodePositions(enc, Array(2)) // one posting's tf missing
+    }
+    // non-ascending positions rejected at encode
+    intercept[IllegalArgumentException] {
+      Codec.encodePositions(Array(Array(5, 5)))
+    }
+  }
+
   test("PFOR with skewed values (exception patching) roundtrips and is smaller") {
     val rnd = new Random(99)
     // mostly-small deltas with rare huge outliers — PFOR's target shape

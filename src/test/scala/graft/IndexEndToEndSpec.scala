@@ -94,6 +94,48 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("PHRASE PARITY: quoted-span queries match the exhaustive oracle") {
+    // the frozen phrase set + phrases sampled from real documents (so
+    // hits exist), + a guaranteed miss
+    val sampled = corpusDocs.take(12).flatMap { d =>
+      val toks = CodeAnalyzer.analyze(d.content)
+      if (toks.length >= 6) Some("\"" + toks.slice(3, 5).mkString(" ") + "\"")
+      else None
+    }.distinct.take(4)
+    val queries = ReferenceQueries.phraseQueries ++ sampled ++
+      Seq("\"zzznope qqqnope\" def", "\"posting reader\" zzznope")
+    queries.foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score doc ${g.docId}")
+      }
+    }
+    // a phrase is strictly tighter than its bare AND terms
+    val loose = engine.booleanTopK("posting reader", 1000).map(_.docId).toSet
+    val tight = engine.booleanTopK("\"posting reader\"", 1000).map(_.docId).toSet
+    assert(tight.subsetOf(loose) && tight.nonEmpty)
+    // matchingDocIds honors phrases too (full-set path)
+    import spark.implicits._
+    val setTight = engine.matchingDocIds("\"posting reader\"")
+      .as[Long].collect().toSet
+    assert(setTight === tight)
+  }
+
+  test("PHRASE: queries on a positions-less index fail loudly; plain queries fine") {
+    val rootNp = s"$work/index-nopos"
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, 120, 42L, 4), rootNp,
+      4, positions = false)
+    val eng = new QueryEngine(spark, rootNp)
+    assert(!eng.hasPositions)
+    assert(eng.booleanTopK("posting reader", 5).nonEmpty) // scoring unaffected
+    val e = intercept[IllegalArgumentException] {
+      eng.booleanTopK("\"posting reader\"", 5)
+    }
+    assert(e.getMessage.contains("positional postings"))
+  }
+
   test("explainScore: per-term breakdown sums bit-exactly to the engine score") {
     val q = graft.index.ReferenceQueries.all.head
     val hits = engine.topK(q, 5)
@@ -208,6 +250,11 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     }
     ReferenceQueries.boolQueries.foreach { q =>
       assert(after.booleanTopK(q, 10) === engine.booleanTopK(q, 10), s"bool '$q'")
+    }
+    // positions survive the merge re-blocking: phrase results unchanged
+    assert(after.hasPositions)
+    ReferenceQueries.phraseQueries.foreach { q =>
+      assert(after.booleanTopK(q, 10) === engine.booleanTopK(q, 10), s"phrase '$q'")
     }
   }
 
@@ -413,6 +460,8 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
       e.search(q, 10).select("path", "score", "sha256").collect().toSeq
         .sortBy(_.getString(0))
     val before = refQueries.take(5).map(q => topSet(eng0, q))
+    val phraseBefore = ReferenceQueries.phraseQueries.map { q =>
+      eng0.booleanTopK(q, 10).map(_.score) }
 
     val m = SegmentMerge.rebase(spark, root8)
     // DENSE renumber: every doc lands in batch 0 (a contiguous stream's
@@ -431,6 +480,12 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     val eng1 = new QueryEngine(spark, root8)
     refQueries.take(5).zip(before).foreach { case (q, b) =>
       assert(topSet(eng1, q) === b, s"query '$q' changed across rebase")
+    }
+    // positions survive the docId remap: phrase scores unchanged
+    assert(eng1.hasPositions)
+    ReferenceQueries.phraseQueries.zip(phraseBefore).foreach { case (q, b) =>
+      assert(eng1.booleanTopK(q, 10).map(_.score) === b,
+        s"phrase '$q' changed across rebase")
     }
     // docmeta ids were renumbered consistently: still unique, ALL in
     // batch 0, dense 0..n-1 within each shard

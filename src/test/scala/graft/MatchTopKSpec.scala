@@ -243,6 +243,30 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     assert(n == graft.ops.SearchOps.matchTableIds(spark, sf, q).count())
   }
 
+  test("WHERE match() with a quoted phrase: semi-join plan == row-level semantics") {
+    val sf = "/root/testdata/sf0.001"
+    GraftSql.ensureMatchSupport(spark)
+    graft.ops.Tables.t(spark, sf, "documents").createOrReplaceTempView("phdocs")
+    val q = "\\\"merge join\\\" spark, \\\"table scan\\\""
+    val df = spark.sql(
+      s"SELECT doc_id FROM phdocs WHERE match(text, '$q')")
+    // the rewrite fires for phrase queries too
+    assert(df.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[graft.plans.MatchIds]))
+    val got = df.collect().map(_.getLong(0)).sorted
+    // row-level fallback (derived column) is the semantic reference
+    val exp = graft.ops.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat(text, '') AS body")
+      .where(org.apache.spark.sql.functions.expr(s"match(body, '$q')"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.sameElements(exp))
+    // the phrase is strictly tighter than its bare terms
+    val loose = spark.sql(
+      "SELECT doc_id FROM phdocs WHERE match(text, 'merge join spark, table scan')")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.toSet.subsetOf(loose) && got.length < loose.size)
+  }
+
   test("registered corpus table: WHERE match(content, q) takes the semi-join plan") {
     import graft.plans.{MatchFilter, MatchIds, MatchRegistry}
     import org.apache.spark.sql.functions.expr

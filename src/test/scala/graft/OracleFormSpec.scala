@@ -40,4 +40,11 @@ class OracleFormSpec extends AnyFunSuite {
       assert(!sql.contains("round("), s"$name uses engine-divergent round()")
     }
   }
+
+  test("PhraseGroups stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseGroups(graft.ops.SearchOps.PhraseQuery)
+    assert(parsed.map(g => (g.terms, g.phrases)) ===
+      graft.ops.SearchOps.PhraseGroups)
+  }
 }

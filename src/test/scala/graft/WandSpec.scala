@@ -23,9 +23,16 @@ class WandSpec extends AnyFunSuite {
       (docId, words.mkString(" "))
     }
 
-  /** Build cursors straight from the codec (single sub-list per term). */
-  private def cursorsFor(oracle: NaiveIndex, terms: Seq[String])
-      : Map[String, PostingCursor] =
+  /** Build cursors straight from the codec (single sub-list per term).
+    * When `corpus` is given, real position streams ride along (tiny
+    * 8-posting blocks exercise the per-block position decode too). */
+  private def cursorsFor(oracle: NaiveIndex, terms: Seq[String],
+                         corpus: Seq[(Long, String)] = Nil)
+      : Map[String, PostingCursor] = {
+    val posByDoc: Map[Long, Map[String, Array[Int]]] =
+      corpus.map { case (id, c) =>
+        id -> graft.analyze.CodeAnalyzer.termPositions(c)._1
+      }.toMap
     terms.flatMap { t =>
       oracle.postings.get(t).map { pl =>
         val docs = pl.map(_._1)
@@ -33,10 +40,16 @@ class WandSpec extends AnyFunSuite {
         val dls = pl.map(p => oracle.docLen(p._1))
         val enc = Codec.encode(docs, tfs, dls, blockSize = 8) // tiny blocks: exercise skips
         val skips = enc.skips.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)).toSeq
+        val posBlocks: Seq[Array[Byte]] =
+          if (corpus.isEmpty) Nil
+          else docs.grouped(8)
+            .map(g => Codec.encodePositions(g.map(id => posByDoc(id)(t))))
+            .toSeq
         t -> new PostingCursor(t, oracle.bm25.idf(pl.length.toLong),
-          Seq((enc.blocks.toSeq, skips)), oracle.bm25)
+          Seq((enc.blocks.toSeq, skips, posBlocks)), oracle.bm25)
       }
     }.toMap
+  }
 
   test("WAND == exhaustive on 50 random corpora x queries") {
     val rnd = new Random(7)
@@ -78,6 +91,63 @@ class WandSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("PHRASE: positional conjunctive == exhaustive sliding-window check") {
+    val rnd = new Random(29)
+    var phraseRounds = 0
+    (1 to 60).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      // sample a REAL bigram/trigram from some doc so phrases actually hit,
+      // or an arbitrary pair (miss case) on alternating rounds
+      val phrase: Seq[String] =
+        if (round % 3 == 0)
+          Seq.fill(2)(vocab(rnd.nextInt(vocab.length)))
+        else {
+          val toks = graft.analyze.CodeAnalyzer
+            .analyze(corpus(rnd.nextInt(corpus.length))._2)
+          if (toks.length < 3) Seq("alpha", "beta")
+          else {
+            val at = rnd.nextInt(toks.length - 2)
+            toks.slice(at, at + 2 + rnd.nextInt(2))
+          }
+        }
+      val terms = phrase.distinct
+      if (terms.forall(oracle.postings.contains)) {
+        phraseRounds += 1
+        val got = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus), Seq(phrase))
+          .map(_.docId).toSeq
+        val exp = corpus.collect {
+          case (id, c) if graft.analyze.CodeAnalyzer.analyze(c)
+            .sliding(phrase.length).exists(_ == phrase) => id
+        }.sorted
+        assert(got === exp, s"round $round phrase $phrase")
+        // degenerate duplicate-term phrase ("x x"): consecutive repeats only
+        val dup = Seq(phrase.head, phrase.head)
+        val gotDup = WandScorer.conjunctive(Seq(phrase.head),
+          cursorsFor(oracle, Seq(phrase.head), corpus), Seq(dup))
+          .map(_.docId).toSeq
+        val expDup = corpus.collect {
+          case (id, c) if graft.analyze.CodeAnalyzer.analyze(c)
+            .sliding(2).exists(_ == dup) => id
+        }.sorted
+        assert(gotDup === expDup, s"round $round dup-phrase")
+      }
+    }
+    assert(phraseRounds > 30, s"too few effective phrase rounds: $phraseRounds")
+  }
+
+  test("phrase on a cursor without positions fails loudly") {
+    val corpus = randomCorpus(new Random(5), 50)
+    val oracle = new NaiveIndex(corpus)
+    val terms = Seq("alpha", "beta").filter(oracle.postings.contains)
+    val e = intercept[IllegalArgumentException] {
+      WandScorer.conjunctive(terms, cursorsFor(oracle, terms),
+        Seq(Seq("alpha", "beta"))).toSeq
+    }
+    assert(e.getMessage.contains("no positions"))
   }
 
   test("tie-break: equal scores ordered by docId asc") {
