@@ -132,8 +132,22 @@ final class PostingCursor(val term: String, val idf: Double,
 object WandScorer {
 
   /** Disjunctive BM25 top-k via WAND (Broder et al., CIKM 2003) with
-    * block-level skipping. `queryOrder` fixes the float summation order.
-    * Cursors map must be keyed by term. */
+    * block-level skipping AND MAXSCORE-style term omission (Turtle &
+    * Flood '95; the hybrid per Mallia et al.): once the heap is full,
+    * terms whose combined upper bound stays strictly below the
+    * threshold are NON-ESSENTIAL — their posting lists are never walked
+    * to generate candidates, only skip-advanced to candidates the
+    * essential terms produce. For a query mixing selective identifiers
+    * with stopword-dense code tokens this turns "decode every posting
+    * of `def`" into "binary-skip `def` to the few candidate docs".
+    * A query of ONLY dense terms keeps all terms essential (exact top-k
+    * cannot omit them) — that path stays linear by nature and is
+    * documented in BENCH/BASELINE.md.
+    *
+    * `queryOrder` fixes the float summation order. Cursors map must be
+    * keyed by term. Exactness (incl. the tie-at-threshold rule: only
+    * STRICTLY-below bounds are omitted) is property-tested against
+    * exhaustive scoring in WandSpec. */
   def topK(queryOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
            k: Int): Seq[ScoredDoc] = {
     val top = new ScoredDoc.TopK(k)
@@ -145,10 +159,27 @@ object WandScorer {
       queryOrder.flatMap(cursorsByTerm.get).toArray // frozen sum order
 
     while (live.nonEmpty) {
-      val sorted = live.sortBy(_.curDoc)
-      // pivot: first index where cumulative UB could reach the threshold
       val theta = top.threshold
-      var acc = 0.0
+      // MAXSCORE split: cheapest-bound-first, the longest prefix whose
+      // cumulative upper bound stays STRICTLY below theta cannot lift
+      // any doc into the heap on its own — non-essential.
+      val byMax = live.sortBy(_.maxScore)
+      var nonEssUb = 0.0
+      var split = 0
+      if (top.isFull) {
+        while (split < byMax.length &&
+               nonEssUb + byMax(split).maxScore < theta) {
+          nonEssUb += byMax(split).maxScore
+          split += 1
+        }
+      }
+      val nonEss = byMax.take(split)
+      val ess = byMax.drop(split)
+      if (ess.isEmpty) return top.result() // nothing can make the heap
+      // WAND pivot among ESSENTIAL cursors only; every doc's potential
+      // non-essential contribution is bounded by nonEssUb.
+      val sorted = ess.sortBy(_.curDoc)
+      var acc = nonEssUb
       var p = -1
       var i = 0
       while (i < sorted.length && p < 0) {
@@ -159,10 +190,11 @@ object WandScorer {
       if (p < 0) return top.result() // no doc can make the heap
       val pivotDoc = sorted(p).curDoc
       if (sorted.head.curDoc == pivotDoc) {
-        // block-max refinement: bound using current blocks of cursors at
-        // or before the pivot; strictly below a full heap's theta => the
-        // pivot doc itself cannot enter — advance past it cheaply.
-        var blockUb = 0.0
+        // block-max refinement: bound using current blocks of essential
+        // cursors at or before the pivot (plus the non-essential global
+        // bound); strictly below a full heap's theta => the pivot doc
+        // itself cannot enter — advance past it cheaply.
+        var blockUb = nonEssUb
         var j = 0
         while (j <= p) { blockUb += sorted(j).blockMaxScore; j += 1 }
         var j2 = p + 1
@@ -173,7 +205,10 @@ object WandScorer {
           var j3 = 0
           while (j3 <= p) { sorted(j3).advanceTo(pivotDoc + 1); j3 += 1 }
         } else {
-          // full evaluation, summing in query-term order
+          // full evaluation: skip-advance the omitted lists to the
+          // candidate, then sum in query-term order over ALL cursors
+          var ne = 0
+          while (ne < nonEss.length) { nonEss(ne).advanceTo(pivotDoc); ne += 1 }
           var s = 0.0
           var q = 0
           while (q < ordered.length) {
@@ -182,13 +217,22 @@ object WandScorer {
             q += 1
           }
           top.offer(ScoredDoc(pivotDoc, s))
+          // move EVERY cursor off the evaluated doc (a non-essential
+          // cursor left sitting on it could become essential later and
+          // re-emit the doc)
           var j3 = 0
           while (j3 < sorted.length && sorted(j3).curDoc == pivotDoc) {
             sorted(j3).nextDoc(); j3 += 1
           }
+          ne = 0
+          while (ne < nonEss.length) {
+            if (!nonEss(ne).exhausted && nonEss(ne).curDoc == pivotDoc)
+              nonEss(ne).nextDoc()
+            ne += 1
+          }
         }
       } else {
-        // advance cursors before the pivot up to the pivot doc
+        // advance essential cursors before the pivot up to the pivot doc
         var j = 0
         while (j < p) { sorted(j).advanceTo(pivotDoc); j += 1 }
       }

@@ -93,6 +93,44 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("MAXSCORE omission: dense + rare mixes stay exact (small k, full heaps)") {
+    val rnd = new Random(41)
+    (1 to 80).foreach { round =>
+      val n = 100 + rnd.nextInt(400)
+      // corpus where 'alpha'/'beta' are stopword-dense (in ~90% of docs)
+      // and the rest are selective — the shape where MAXSCORE omits the
+      // dense lists while rare terms drive candidates
+      val corpus = (0 until n).map { i =>
+        val len = 3 + rnd.nextInt(30)
+        val words = Seq.fill(len) {
+          val r = rnd.nextInt(10)
+          if (r < 5) "alpha" else if (r < 9) "beta"
+          else vocab(2 + rnd.nextInt(vocab.length - 2))
+        }
+        val docId = ((i % 4).toLong << 40) | (i / 4).toLong
+        (docId, words.mkString(" "))
+      }
+      val oracle = new NaiveIndex(corpus)
+      // query mixes both dense terms with 1-2 selective ones; k small so
+      // theta rises fast and the dense lists drop to non-essential
+      val rare = Seq.fill(1 + rnd.nextInt(2))(
+        vocab(2 + rnd.nextInt(vocab.length - 2))).distinct
+      val qterms = (Seq("alpha", "beta") ++ rare).distinct
+      val k = 1 + rnd.nextInt(4)
+      val expected = oracle.topK(qterms.mkString(" "), k)
+      val got = WandScorer.topK(qterms, cursorsFor(oracle, qterms), k)
+      assert(got.map(_.docId) === expected.map(_.docId), s"round $round docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"round $round score doc ${g.docId}")
+      }
+      // all-dense query (nothing omittable) stays exact too
+      val gotDense = WandScorer.topK(Seq("alpha", "beta"),
+        cursorsFor(oracle, Seq("alpha", "beta")), k)
+      val expDense = oracle.topK("alpha beta", k)
+      assert(gotDense === expDense, s"round $round all-dense")
+    }
+  }
+
   test("PHRASE: positional conjunctive == exhaustive sliding-window check") {
     val rnd = new Random(29)
     var phraseRounds = 0
