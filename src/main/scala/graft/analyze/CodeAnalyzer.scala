@@ -129,12 +129,15 @@ object CodeAnalyzer extends Serializable {
   def termPositions(content: String): (Map[String, Array[Int]], Int) = {
     val toks = analyze(content)
     val m = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofInt]
+    // single linear traversal — analyze() returns a List-backed Seq, so
+    // positional indexing here would be quadratic per document (found
+    // the hard way: it serialized the bench's build phase)
     var i = 0
-    while (i < toks.length) {
-      m.getOrElseUpdate(toks(i), new mutable.ArrayBuilder.ofInt) += i
+    toks.foreach { t =>
+      m.getOrElseUpdate(t, new mutable.ArrayBuilder.ofInt) += i
       i += 1
     }
-    (m.view.mapValues(_.result()).toMap, toks.length)
+    (m.view.mapValues(_.result()).toMap, i)
   }
 
   /** Query analysis: distinct terms, first-occurrence order (frozen —

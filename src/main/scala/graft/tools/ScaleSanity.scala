@@ -47,9 +47,27 @@ object ScaleSanity {
     val lats = (1 to 2).flatMap(_ => ReferenceQueries.all.map { q =>
       val t0 = System.nanoTime(); eng1.topK(q, 10); (System.nanoTime()-t0)/1e9 })
     println(f"[scale] p50=${lats.sorted.apply(lats.size/2)}%.3f p95=${lats.sorted.apply((lats.size*95)/100 min (lats.size-1))}%.3f")
+    // per-query disjunctive breakdown: the stopword-dense vs selective
+    // split is the MAXSCORE story — selective-bearing queries should
+    // stay flat as the corpus grows, all-dense ones are honest-linear
+    ReferenceQueries.all.foreach { q =>
+      val t0 = System.nanoTime(); eng1.topK(q, 10)
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime(); eng1.topK(q, 10)
+      println(f"[scale] disj '${q.take(40)}%-40s' ${t1}%.3f / ${(System.nanoTime()-t2)/1e9}%.3f s")
+    }
     val blats = (1 to 2).flatMap(_ => ReferenceQueries.boolQueries.map { q =>
       val t0 = System.nanoTime(); eng1.booleanTopK(q, 10); (System.nanoTime()-t0)/1e9 })
     println(f"[scale] bool p50=${blats.sorted.apply(blats.size/2)}%.3f p95=${blats.sorted.apply((blats.size*95)/100 min (blats.size-1))}%.3f")
+    // phrase queries at scale: positional decode rides the same pruned
+    // postings read (positions column read ONLY here)
+    val plats = (1 to 2).flatMap(_ => ReferenceQueries.phraseQueries.map { q =>
+      val t0 = System.nanoTime()
+      val n = eng1.booleanTopK(q, 10).size
+      ((System.nanoTime()-t0)/1e9, n) })
+    println(f"[scale] phrase p50=${plats.map(_._1).sorted.apply(plats.size/2)}%.3f " +
+      f"p95=${plats.map(_._1).sorted.apply((plats.size*95)/100 min (plats.size-1))}%.3f " +
+      s"hits=${plats.map(_._2).sum}")
     // WHERE match() at scale: the FULL hit set, distributed (the filter-
     // context semi-join build side — counted, never collected), plus a
     // one-query parity check against direct corpus re-analysis

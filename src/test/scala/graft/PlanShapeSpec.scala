@@ -61,6 +61,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
       org.apache.spark.sql.functions.col("term").isin("spark", "query"))
     val p = plan(filtered)
     assert(p.contains("PushedFilters") && p.contains("In(term"), p)
+    // the SCORING projection never reads the position column: the
+    // parquet ReadSchema must exclude posBlocks (the Lucene .doc/.pos
+    // split expressed as column pruning)
+    assert(!p.contains("posBlocks"),
+      s"scoring scan must prune the position column:\n$p")
+    // ... while the phrase path's full read does include it
+    val full = plan(eng.postingsFull.where(
+      org.apache.spark.sql.functions.col("term").isin("spark")))
+    assert(full.contains("posBlocks"), full)
   }
 
   test("docmeta point-lookup pushes the docId IN-filter") {
