@@ -21,17 +21,22 @@ final case class DocMeta(docId: Long, repo: String, path: String, commit: String
 
 /** Analyzer output for one document (intermediate, persisted across the
   * docmeta write and the postings shuffle so content is analyzed once).
-  * `pos` = the term's ascending token positions (empty when the build
-  * disabled positions); tf == pos.length when present. */
-final case class TermFreq(term: String, tf: Int, pos: Array[Int])
+  * `pos` = the term's positions ALREADY delta-varint encoded
+  * (Codec.encodePositions of one posting — ~1 byte/position instead of
+  * a 4-byte int each across the shuffle; at 1M docs the raw-int
+  * position payload tripled the build time). Per-posting streams are
+  * self-delimiting given tf, so block streams are pure concatenation.
+  * Empty when the build disabled positions; tf = position count. */
+final case class TermFreq(term: String, tf: Int, pos: Array[Byte])
 final case class AnalyzedDoc(docId: Long, repo: String, path: String,
                              commit: String, lang: String, sha256: String,
                              docLen: Int, terms: Array[TermFreq],
                              tableId: Long)
 
-/** One (shard, term, doc) token posting — the SPIMI shuffle record. */
+/** One (shard, term, doc) token posting — the SPIMI shuffle record.
+  * `pos` = the doc's pre-encoded position stream for this term. */
 final case class TokenPosting(shard: Int, term: String, docId: Long, tf: Int,
-                              dl: Int, pos: Array[Int])
+                              dl: Int, pos: Array[Byte])
 
 /** Skip entry as stored in parquet (mirror of Codec.Skip). */
 final case class SkipRow(firstDoc: Long, lastDoc: Long, maxTf: Int, minDl: Int)
@@ -148,7 +153,7 @@ object IndexBuilder {
         val docs = mutable.ArrayBuilder.make[Long]
         val tfs = mutable.ArrayBuilder.make[Int]
         val dls = mutable.ArrayBuilder.make[Int]
-        val poss = mutable.ArrayBuffer.empty[Array[Int]]
+        val poss = mutable.ArrayBuffer.empty[Array[Byte]]
         var n = 0L
         var hasPos = true
         while (in.hasNext && in.head.shard == head.shard &&
@@ -158,11 +163,20 @@ object IndexBuilder {
           if (p.pos.isEmpty) hasPos = false
         }
         val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-        // one position stream per 128-posting block, parallel to blocks
+        // one position stream per 128-posting block, parallel to blocks:
+        // per-posting streams are self-delimiting (tf counts them), so a
+        // block stream is the plain concatenation of its postings'
+        // pre-encoded streams — no re-encode on the build path
         val posBlocks: Seq[Array[Byte]] =
           if (!hasPos) Nil
-          else poss.grouped(Codec.BlockSize)
-            .map(g => Codec.encodePositions(g.toArray)).toSeq
+          else poss.grouped(Codec.BlockSize).map { g =>
+            val out = new Array[Byte](g.iterator.map(_.length).sum)
+            var off = 0
+            g.foreach { b =>
+              System.arraycopy(b, 0, out, off, b.length); off += b.length
+            }
+            out
+          }.toSeq
         PostingRowPos(head.shard, head.term, n,
           enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
           enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
@@ -269,7 +283,9 @@ object IndexBuilder {
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           sha256Hex(d.content), dl,
           tpm.toArray.sortBy(_._1).map { case (t, ps) =>
-            TermFreq(t, ps.length, if (withPos) ps else Array.emptyIntArray) },
+            TermFreq(t, ps.length,
+              if (withPos) Codec.encodePositions(Array(ps))
+              else Array.emptyByteArray) },
           idOf.map(f => f(d)).getOrElse(-1L))
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)

@@ -46,7 +46,7 @@ object BuildProfile {
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
           IndexBuilder.sha256Hex(d.content), dl,
           tfm.toArray.sortBy(_._1).map { case (t, f) =>
-            TermFreq(t, f, Array.emptyIntArray) }, -1L)
+            TermFreq(t, f, Array.emptyByteArray) }, -1L)
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     timed("analyze+persist (count)") { analyzed.count() }

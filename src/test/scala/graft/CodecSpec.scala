@@ -60,6 +60,22 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("position streams concatenate: per-posting encodes == group encode") {
+    // the build path ships each posting's stream pre-encoded and block
+    // streams are plain concatenation — must be byte-identical to
+    // encoding the whole group at once
+    val rnd = new scala.util.Random(53)
+    (1 to 30).foreach { _ =>
+      val group: Array[Array[Int]] = Array.fill(1 + rnd.nextInt(20)) {
+        var cur = rnd.nextInt(4)
+        Array.fill(1 + rnd.nextInt(9)) { val v = cur; cur += 1 + rnd.nextInt(5); v }
+      }
+      val whole = Codec.encodePositions(group)
+      val concat = group.flatMap(ps => Codec.encodePositions(Array(ps)))
+      assert(whole.toSeq === concat.toSeq)
+    }
+  }
+
   test("PFOR with skewed values (exception patching) roundtrips and is smaller") {
     val rnd = new Random(99)
     // mostly-small deltas with rare huge outliers — PFOR's target shape
