@@ -140,6 +140,9 @@ object WandScorer {
     * essential terms produce. For a query mixing selective identifiers
     * with stopword-dense code tokens this turns "decode every posting
     * of `def`" into "binary-skip `def` to the few candidate docs".
+    * Omission is GATED (see below): it engages only when the omitted
+    * budget is small next to the threshold, because the omitted lists'
+    * global bounds are looser than the per-block bounds they replace.
     * A query of ONLY dense terms keeps all terms essential (exact top-k
     * cannot omit them) — that path stays linear by nature and is
     * documented in BENCH/BASELINE.md.
@@ -172,6 +175,16 @@ object WandScorer {
           nonEssUb += byMax(split).maxScore
           split += 1
         }
+        // GATE: omission replaces the omitted lists' per-block bounds
+        // with their loose global max inside every pivot/block-max test.
+        // When the omitted budget is a large fraction of theta (the
+        // all-dense shape: every term's bound is comparable), that
+        // looseness kills block skipping and costs far more than the
+        // omission saves — measured 5x (p50 0.44 -> 2.3 s) on the
+        // tf-dense 2M-doc corpus. Omit only when the omitted budget is
+        // under 10% of theta (the selective-term-plus-stopword shape
+        // the technique exists for) — measured free at 2M when inactive.
+        if (nonEssUb >= 0.1 * theta) { split = 0; nonEssUb = 0.0 }
       }
       val nonEss = byMax.take(split)
       val ess = byMax.drop(split)

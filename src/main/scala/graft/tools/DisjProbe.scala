@@ -1,0 +1,25 @@
+package graft.tools
+import graft.index._
+import org.apache.spark.sql.SparkSession
+/** Scratch probe: warm disjunctive latency against whatever index
+  * ScaleSanity last left at target/graftwork/scale-index — used to A/B
+  * scorer changes at the 1M/2M scale without rebuilding. */
+object DisjProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val eng = new QueryEngine(spark, "/root/repo/target/graftwork/scale-index")
+    println(s"[probe] docs=${eng.manifest.numDocs}")
+    ReferenceQueries.all.take(6).foreach(q => eng.topK(q, 10)) // warm
+    val lats = (1 to 2).flatMap(_ => ReferenceQueries.all.map { q =>
+      val t0 = System.nanoTime(); eng.topK(q, 10); (System.nanoTime()-t0)/1e9 })
+    println(f"[probe] disj p50=${lats.sorted.apply(lats.size/2)}%.3f p95=${lats.sorted.apply(lats.size*95/100 min (lats.size-1))}%.3f")
+    ReferenceQueries.all.take(6).foreach { q =>
+      val t0 = System.nanoTime(); eng.topK(q, 10)
+      println(f"[probe] '${q.take(38)}%-38s' ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -15,15 +15,24 @@ object ScaleSanity {
       val t0 = System.nanoTime(); val r = f
       println(f"[scale] $n%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s"); r
     }
+    // positions toggle: the 4M point builds positions=false in this
+    // sandbox — the positional shuffle+spill exceeds the ~67 GB scratch
+    // disk at that scale; disjunctive/boolean/match-set measurements
+    // never read positions, so they stay r4-comparable, and phrase
+    // scaling is measured at 1M/2M (positions on)
+    val positions = sys.env.getOrElse("GRAFT_SCALE_POSITIONS", "true").toBoolean
+    println(s"[scale] positions=$positions")
     // two batches then a merge: the full lifecycle at scale
     val r1 = timed(s"build batch0 ${nDocs}") {
-      IndexBuilder.build(spark, CorpusGen.dataset(spark, nDocs, 42L, 128), root, 64)
+      IndexBuilder.build(spark, CorpusGen.dataset(spark, nDocs, 42L, 128), root,
+        64, positions = positions)
     }
     println(s"[scale] batch0 docs/sec note: segments=${r1.manifest.segments.size} docs=${r1.manifest.numDocs}")
     import spark.implicits._
     timed("build batch1 +20k") {
       IndexBuilder.build(spark,
-        spark.range(nDocs, nDocs + 20000).map(i => CorpusGen.doc(42L, i)), root, 64, batch = 1)
+        spark.range(nDocs, nDocs + 20000).map(i => CorpusGen.doc(42L, i)), root,
+        64, batch = 1, positions = positions)
     }
     val eng0 = new QueryEngine(spark, root)
     val m = eng0.manifest
@@ -61,6 +70,7 @@ object ScaleSanity {
     println(f"[scale] bool p50=${blats.sorted.apply(blats.size/2)}%.3f p95=${blats.sorted.apply((blats.size*95)/100 min (blats.size-1))}%.3f")
     // phrase queries at scale: positional decode rides the same pruned
     // postings read (positions column read ONLY here)
+    if (eng1.hasPositions) {
     val plats = (1 to 2).flatMap(_ => ReferenceQueries.phraseQueries.map { q =>
       val t0 = System.nanoTime()
       val n = eng1.booleanTopK(q, 10).size
@@ -68,6 +78,7 @@ object ScaleSanity {
     println(f"[scale] phrase p50=${plats.map(_._1).sorted.apply(plats.size/2)}%.3f " +
       f"p95=${plats.map(_._1).sorted.apply((plats.size*95)/100 min (plats.size-1))}%.3f " +
       s"hits=${plats.map(_._2).sum}")
+    } else println("[scale] phrase: skipped (positions=false build)")
     // WHERE match() at scale: the FULL hit set, distributed (the filter-
     // context semi-join build side — counted, never collected), plus a
     // one-query parity check against direct corpus re-analysis
