@@ -255,17 +255,28 @@ object WandScorer {
   }
 
   /** Does `phrase` occur at consecutive positions in the doc every
-    * cursor is currently aligned on? Position arrays are ascending; the
-    * first term's occurrences anchor, the rest binary-search. */
+    * cursor is currently aligned on? Position arrays are ascending.
+    * Anchors on the SPARSEST occurrence list (in a tf-dense doc the
+    * rarest phrase word may occur 2x while the head occurs 30x — 15x
+    * fewer anchor probes), then binary-searches the rest at their
+    * relative offsets. */
   def phraseMatch(cursorsByTerm: Map[String, PostingCursor],
                   phrase: Seq[String]): Boolean = {
     val arrs = phrase.map(t => cursorsByTerm(t).curPositions)
-    arrs.head.exists { x =>
-      var i = 1
-      var ok = true
-      while (ok && i < arrs.length) {
-        if (java.util.Arrays.binarySearch(arrs(i), x + i) < 0) ok = false
-        i += 1
+    var mi = 0
+    var i = 1
+    while (i < arrs.length) {
+      if (arrs(i).length < arrs(mi).length) mi = i
+      i += 1
+    }
+    arrs(mi).exists { x0 =>
+      val base = x0 - mi // position the phrase head would occupy
+      var j = 0
+      var ok = base >= 0
+      while (ok && j < arrs.length) {
+        if (j != mi &&
+            java.util.Arrays.binarySearch(arrs(j), base + j) < 0) ok = false
+        j += 1
       }
       ok
     }
