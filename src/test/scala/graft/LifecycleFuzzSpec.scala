@@ -40,6 +40,10 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
     val queries = Seq("def return", "computeHashValue",
       "posting reader segment", "val match case")
     val boolQueries = Seq("def return, val match", "reader, segment writer")
+    // quoted spans: positions must survive every random lifecycle
+    // interleaving (merge re-blocking, rebase renumbering, appends)
+    val phraseQueries = Seq("\"posting reader\" def",
+      "\"merge sorted runs\", \"block max score\"")
 
     def checkParity(step: String): Unit = {
       val eng = new QueryEngine(spark, root)
@@ -62,6 +66,13 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         val got = eng.booleanTopK(q, 10)
         val exp = oracle.booleanTopK(q, 10)
         assert(got.map(_.docId) == exp.map(_.docId), s"$step: bool '$q'")
+      }
+      phraseQueries.foreach { q =>
+        val got = eng.booleanTopK(q, 10)
+        val exp = oracle.booleanTopK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: phrase '$q'")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: phrase '$q' scores") }
       }
     }
     checkParity("after bulk")
