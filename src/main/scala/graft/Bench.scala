@@ -103,6 +103,18 @@ object Bench {
     a8 / a2 / 4.0
   }
 
+  /** 8->32-thread ceilings, measured once per bench: the context for
+    * the transparency-reported 8->32 Spark scaling (this range is
+    * hardware-limited well below 1.0 — raw CPU ~0.85, and the shared
+    * memory controller lower still for bandwidth-bound phases). */
+  private def ceilings832(): (Double, Double) = {
+    spinAggregate(8, 500)
+    val c = spinAggregate(32, 3000) / spinAggregate(8, 3000) / 4.0
+    memAggregate(8, 500)
+    val m = memAggregate(32, 3000) / memAggregate(8, 3000) / 4.0
+    (c, m)
+  }
+
   /** Window health: both probes within the measured healthy bands. */
   private def windowOk(cpu: Double, mem: Double): Boolean =
     cpu >= 0.85 && mem >= 0.7
@@ -239,6 +251,7 @@ object Bench {
     val effReps = chosen.pairs
     val eff = chosen.median
     val eff832 = mFull(s"docs_per_sec_n$cpus") / (4.0 * mBig("docs_per_sec_n8"))
+    val (cpu832, mem832) = ceilings832()
 
     // representative operators at the driver's SF
     val spark = session(cpus, cpus)
@@ -286,7 +299,7 @@ object Bench {
         s""""host_window_ok":${a.ok}}"""
     }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"cpu_ceiling_2_8_pre":${f(ceilingPre)},"cpu_ceiling_2_8_post":${f(ceilingPost)},"mem_ceiling_2_8_pre":${f(chosen.memPre)},"mem_ceiling_2_8_post":${f(chosen.memPost)},"host_window_ok":${chosen.ok},"attempts":$attemptsJson,"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
+      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"cpu_ceiling_8_$cpus":${f(cpu832)},"mem_ceiling_8_$cpus":${f(mem832)},"cpu_ceiling_2_8_pre":${f(ceilingPre)},"cpu_ceiling_2_8_post":${f(ceilingPost)},"mem_ceiling_2_8_pre":${f(chosen.memPre)},"mem_ceiling_2_8_post":${f(chosen.memPost)},"host_window_ok":${chosen.ok},"attempts":$attemptsJson,"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
   }
 
   private def SearchOps_workDir: String = graft.ops.SearchOps.workDir
