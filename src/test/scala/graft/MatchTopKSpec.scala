@@ -374,6 +374,51 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       .count() == 0L)
   }
 
+  test("match registry survives a JVM restart via -Dgraft.match.registry") {
+    import graft.plans.{MatchIds, MatchRegistry}
+    val work = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "matchpersist").toString
+    val tablePath = s"$work/corpus.parquet"
+    CorpusGen.dataset(spark, 60, 11L, 2).write.parquet(tablePath)
+    val regFile = s"$work/registry.tsv"
+    val old = sys.props.get(MatchRegistry.RegistryProp)
+    sys.props(MatchRegistry.RegistryProp) = regFile
+    try {
+      MatchRegistry.registerPersistent(tablePath, "content",
+        Seq("repo" -> "repo", "path" -> "path", "commit" -> "commit"),
+        MatchRegistry.IndexRoot(s"$work/index"))
+      // "restart": forget in-memory registrations AND the file memo
+      MatchRegistry.resetForTest()
+      assert(MatchRegistry.lookup(tablePath).exists(_.contentCol == "content"),
+        "file-backed registration must survive the in-memory reset")
+      // the optimizer sees the reloaded entry: the plan compiles to the
+      // semi-join (MatchIds is lazy — nothing opens the unbuilt index)
+      GraftSql.ensureMatchSupport(spark)
+      spark.read.parquet(tablePath).createOrReplaceTempView("persistcorpus")
+      val df = spark.sql(
+        "SELECT repo FROM persistcorpus WHERE match(content, 'spark')")
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.exists(_.isInstanceOf[MatchIds]),
+        s"expected the MatchIds leaf after the reload:\n$opt")
+      // unregisterPersistent rewrites the file: gone after a restart too
+      MatchRegistry.unregisterPersistent(tablePath)
+      MatchRegistry.resetForTest()
+      assert(MatchRegistry.lookup(tablePath).isEmpty,
+        "persistent unregister must remove the file entry")
+      // a corrupt file line is loud at lookup (the optimizer rule's
+      // never-fail catch turns it into a logged row-level fallback)
+      Files.write(Paths.get(regFile), "not a registry line\n".getBytes)
+      MatchRegistry.resetForTest()
+      intercept[IllegalArgumentException](MatchRegistry.lookup(tablePath))
+    } finally {
+      old match {
+        case Some(v) => sys.props(MatchRegistry.RegistryProp) = v
+        case None => sys.props.remove(MatchRegistry.RegistryProp)
+      }
+      MatchRegistry.resetForTest()
+    }
+  }
+
   test("GraftExtensions applies cleanly; registered functions work via SQL") {
     // builder-time injection can't be exercised on the shared test context
     // (getOrCreate would return it); verify the extension wiring applies
