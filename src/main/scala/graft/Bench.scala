@@ -221,8 +221,21 @@ object Bench {
         Thread.sleep(120000L)
         Seq(a1, fullAttempt(reps))
       }
-    val chosen = attempts.maxBy(_.median)
+    // Headline attempt chosen by WINDOW HEALTH, never max-by-median: the
+    // retry fires only on a miss, so attempt 1 is a sample conditioned on
+    // missing while attempt 2 is unconditioned — max-by-median across the
+    // two would bias the headline upward. Rule: the LAST attempt whose
+    // probe brackets were healthy; if none were, the last attempt (its
+    // host_window_ok=false then flags the headline as host-attributed).
+    // Every attempt's median + pairs + probes stay in the artifact.
+    val chosen = attempts.filter(_.ok) match {
+      case Seq() => attempts.last
+      case healthy => healthy.last
+    }
     val runs = attempts.flatMap(_.runs) // best-of across ALL recorded runs
+    // (best-observed throughput/latency across all runs is kept as the
+    // capability metric — host drift only depresses, never inflates, a
+    // single run; the SCALING headline is what must not be max-picked)
     val (ceilingPre, ceilingPost) = (chosen.cpuPre, chosen.cpuPost)
     def best(n: Int, key: String, agg: Seq[Double] => Double): Double =
       agg(runs.map(_(levels.indexOf(n))(s"${key}_n$n")))
@@ -299,7 +312,7 @@ object Bench {
         s""""host_window_ok":${a.ok}}"""
     }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"cpu_ceiling_8_$cpus":${f(cpu832)},"mem_ceiling_8_$cpus":${f(mem832)},"cpu_ceiling_2_8_pre":${f(ceilingPre)},"cpu_ceiling_2_8_post":${f(ceilingPost)},"mem_ceiling_2_8_pre":${f(chosen.memPre)},"mem_ceiling_2_8_post":${f(chosen.memPost)},"host_window_ok":${chosen.ok},"attempts":$attemptsJson,"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
+      s"""{"metric":"index-build docs/sec + p95 BM25 top-10 latency; scaling n2->n8 (and n8->n$cpus)","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","bench_docs":$nDocs,"docs_per_sec_n2":${f(mSmall("docs_per_sec_n2"))},"docs_per_sec_n8":${f(mBig("docs_per_sec_n8"))},"docs_per_sec_n$cpus":${f(mFull(s"docs_per_sec_n$cpus"))},"scaling_efficiency":${f(eff)},"scaling_efficiency_reps":[${effReps.map(f).mkString(",")}],"scaling_efficiency_attempt_medians":[${attempts.map(a => f(a.median)).mkString(",")}],"scaling_efficiency_8_$cpus":${f(eff832)},"cpu_ceiling_8_$cpus":${f(cpu832)},"mem_ceiling_8_$cpus":${f(mem832)},"cpu_ceiling_2_8_pre":${f(ceilingPre)},"cpu_ceiling_2_8_post":${f(ceilingPost)},"mem_ceiling_2_8_pre":${f(chosen.memPre)},"mem_ceiling_2_8_post":${f(chosen.memPost)},"host_window_ok":${chosen.ok},"attempts":$attemptsJson,"query_p95_sec":${f(mFull(s"query_p95_sec_n$cpus"))},"query_p50_sec":${f(mFull(s"query_p50_sec_n$cpus"))}}""")
   }
 
   private def SearchOps_workDir: String = graft.ops.SearchOps.workDir

@@ -104,6 +104,22 @@ object IndexBuilder {
     * optional per-block position stream (posBlocks). */
   val FormatVersion = "4"
 
+  /** Loud format gate at OPEN time: every writer since v4 stamps
+    * `FormatVersion` into the manifest, so a durable pre-v4 root — whose
+    * parquet lacks posBlocks/tableId columns — fails here with a clear
+    * rebuild message instead of an opaque `cannot resolve posBlocks`
+    * AnalysisException deep inside the first query. (Cache roots embed
+    * the version in their PATH and never hit this; explicit
+    * MatchRegistry.IndexRoot / direct QueryEngine / SegmentMerge use is
+    * what this protects.) An EMPTY manifest (no segments yet) passes —
+    * there is nothing on disk whose layout could be stale. */
+  def requireFormat(m: graft.table.Manifest, root: String): Unit =
+    if (m.segments.nonEmpty && !m.format.contains(FormatVersion))
+      throw new IllegalStateException(
+        s"index at $root has on-disk format ${m.format.getOrElse("<pre-4, unstamped>")} " +
+          s"but this engine requires format $FormatVersion — rebuild the index " +
+          "(drop the root and re-run IndexBuilder, or point at a fresh root)")
+
   /** Spark SQL expression equal to the shard id a row lands on. */
   def shardExpr(numShards: Int) =
     pmod(hash(col("repo"), col("path"), col("commit")), lit(numShards))
@@ -207,6 +223,10 @@ object IndexBuilder {
     val tbl = new IcebergLite(root)
     tbl.init()
     val prev = tbl.currentManifest().getOrElse(Manifest(0, numShards, Nil, 0L, 0L))
+    // appending a v4 segment to a pre-v4 root would stamp the merged
+    // manifest v4 while old segments still lack posBlocks/tableId — gate
+    // the resume/append path the same way readers are gated
+    requireFormat(prev, root)
     require(prev.segments.isEmpty || prev.numShards == numShards,
       s"index at $root was created with numShards=${prev.numShards}")
     // resume=false exists for streaming re-delivery simulation (batch > 0,
@@ -377,7 +397,8 @@ object IndexBuilder {
     // until the next compaction re-materializes it.
     val manifest = Manifest(prev.version + 1, numShards,
       prev.segments :+ seg, prev.numDocs + docCount, prev.totalTokens + tokCount,
-      dict = None, batchBase = prev.batchBase)
+      dict = None, batchBase = prev.batchBase,
+      format = Some(FormatVersion))
 
     // 7. atomic snapshot commit — the commit IS the per-pass checkpoint
     tbl.commit(manifest)

@@ -59,6 +59,10 @@ final class QueryEngine(spark: SparkSession, val root: String,
   private val tbl = new IcebergLite(root)
   val manifest = tbl.currentManifest()
     .getOrElse(throw new IllegalStateException(s"no committed snapshot at $root"))
+  // loud gate: a pre-v4 durable root (no posBlocks/tableId parquet
+  // columns) must fail HERE with a rebuild message, not deep inside the
+  // first query with an unresolved-column AnalysisException
+  IndexBuilder.requireFormat(manifest, root)
   val bm25: Bm25 = Bm25(manifest.numDocs, manifest.avgdl)
 
   private val postingPaths = manifest.segments.map(s => s"$root/${s.name}/postings")

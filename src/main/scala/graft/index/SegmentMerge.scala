@@ -28,6 +28,7 @@ object SegmentMerge {
     val tbl = new IcebergLite(root)
     val prev = tbl.currentManifest()
       .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
+    IndexBuilder.requireFormat(prev, root) // pre-v4 roots lack posBlocks/tableId
     if (prev.segments.size <= 1) return prev
     mergeSegments(spark, root, prev, prev.segments)
   }
@@ -52,6 +53,7 @@ object SegmentMerge {
     val tbl = new IcebergLite(root)
     var m = tbl.currentManifest()
       .getOrElse(throw new IllegalStateException(s"nothing to merge at $root"))
+    IndexBuilder.requireFormat(m, root)
     while (m.segments.size > maxSegments) {
       val surplus = m.segments.size - maxSegments + 1
       val window = math.min(surplus, fanIn)
@@ -91,6 +93,7 @@ object SegmentMerge {
     val tbl = new IcebergLite(root)
     var prev = tbl.currentManifest()
       .getOrElse(throw new IllegalStateException(s"nothing to rebase at $root"))
+    IndexBuilder.requireFormat(prev, root)
     if (prev.segments.isEmpty) return prev
     if (prev.segments.size > 1) prev = merge(spark, root)
     val seg = prev.segments.head
@@ -192,7 +195,8 @@ object SegmentMerge {
         "positions" -> seg.lineage.getOrElse("positions", "false"),
         "batch0Shards" -> (0 until prev.numShards).mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, Seq(newSeg),
-      prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase)
+      prev.numDocs, prev.totalTokens, dict = prev.dict, batchBase = newBase,
+      format = Some(IndexBuilder.FormatVersion))
     tbl.commit(manifest)
     manifest
   }
@@ -310,7 +314,8 @@ object SegmentMerge {
         "batch0Shards" -> b0Shards.mkString(",")))
     val manifest = Manifest(prev.version + 1, prev.numShards, kept :+ seg,
       prev.numDocs, prev.totalTokens, dict = dict,
-      batchBase = prev.batchBase)
+      batchBase = prev.batchBase,
+      format = Some(IndexBuilder.FormatVersion))
 
     tbl.commit(manifest)
     manifest

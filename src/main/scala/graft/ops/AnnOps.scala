@@ -65,7 +65,15 @@ object AnnOps {
     * stored vec_id. Dimension-checked loudly: zip_with would silently
     * truncate a short vector into wrong cosines. */
   def parseVecLiteral(s: String): Array[Double] = {
-    val parts = s.split(",").map(_.trim).filter(_.nonEmpty)
+    // split with -1 keeps empty slots; an empty component ('0.1,,0.3')
+    // must FAIL, not be dropped — dropping would shift every later
+    // component and could still pass the length check (a Dim+1-slot
+    // literal with one empty parses to Dim silently-misaligned values)
+    val parts = s.split(",", -1).map(_.trim)
+    val empties = parts.zipWithIndex.collect { case ("", i) => i }
+    require(empties.isEmpty,
+      s"query vector has empty component(s) at position(s) " +
+        s"${empties.mkString(",")} — components must all be numbers")
     val vs = parts.map(x => x.toDoubleOption.getOrElse(
       throw new IllegalArgumentException(
         s"query vector component '$x' is not a number")))

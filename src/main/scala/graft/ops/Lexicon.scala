@@ -131,11 +131,15 @@ object Lexicon {
   def parseVendoredTsv(lines: Iterator[String]): Seq[(String, Double)] =
     lines.map(_.trim)
       .filter(_.nonEmpty)
+      // comment/header lines ('# revised<TAB>2014') must not become the
+      // entry '# revised' -> 2014.0: skip '#' followed by whitespace.
+      // Hashtag TOKENS ('#happy') have no whitespace after '#' and still
+      // load (extended VADER lexicons carry them).
+      .filterNot(l => l.length >= 2 && l(0) == '#' && l(1).isWhitespace)
       .flatMap { l =>
-        // any line parsing as `token<TAB>double` is an entry — including
-        // hashtag tokens like `#happy` (extended VADER lexicons carry
-        // them; the published loader has no comment syntax). Lines that
-        // don't parse (headers, comments) are skipped.
+        // any remaining line parsing as `token<TAB>double` is an entry;
+        // lines that don't parse (headers without the comment marker)
+        // are skipped.
         val parts = l.split("\t")
         if (parts.length >= 2) parts(1).toDoubleOption.map(v => parts(0) -> v)
         else None

@@ -239,7 +239,17 @@ object SearchOps {
       val root = s"$workDir/doc-index-f${IndexBuilder.FormatVersion}-${
         IndexBuilder.sha256Hex(dir + "|" +
           Tables.contentFingerprint(s"$dir/documents.parquet")).take(12)}"
-      if (!new graft.table.IcebergLite(root).exists) {
+      // ensure-built semantics make cache roots SELF-HEALING on format
+      // drift: the path embeds FormatVersion, but a root written before
+      // manifests carried the format stamp (or by any older engine whose
+      // layout the stamp now rejects) reopens as a loud failure — for
+      // this cache, the right response is rebuild, not error
+      val stale = new graft.table.IcebergLite(root).currentManifest()
+        .exists(m => m.segments.nonEmpty &&
+          !m.format.contains(IndexBuilder.FormatVersion))
+      if (stale) org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+      if (stale || !new graft.table.IcebergLite(root).exists) {
         val corpus = t(spark, dir, "documents")
           .select(col("source").as("repo"),
             concat(lit("doc_"), col("doc_id")).as("path"),

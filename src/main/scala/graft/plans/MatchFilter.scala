@@ -207,15 +207,17 @@ object MatchFilterRewrite
       case Seq(one) => one
       case _ => return None // ambiguous (self-join) or derived column
     }
-    val fsPath = rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.toList match {
-          case one :: Nil => one.toString
-          case _ => return None
-        }
+    val roots = rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.toList.map(_.toString)
       case _ => return None
     }
-    val entry = MatchRegistry.lookup(fsPath).getOrElse(return None)
+    if (roots.isEmpty) return None
+    // single root resolves exactly (incl. the documents convention);
+    // multi-root — a partitioned corpus read per-partition-dir, or any
+    // subdirectory read — resolves when one REGISTERED table path
+    // prefixes every root (the Union bail-out above already rejects the
+    // unsafe no-row-correspondence shape)
+    val entry = MatchRegistry.lookupCovering(roots).getOrElse(return None)
     if (attr.name != entry.contentCol) return None
     def colType(n: String): Option[org.apache.spark.sql.types.DataType] =
       rel.output.find(_.name == n).map(_.dataType)

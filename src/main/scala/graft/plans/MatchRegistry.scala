@@ -199,4 +199,29 @@ object MatchRegistry {
       else None
     }
   }
+
+  /** Resolve a relation's FULL root-path set — the shape a real lake
+    * table takes: a Hive-partitioned corpus read as
+    * `root/lang=scala, root/lang=python, ...` (or any subdirectory read)
+    * surfaces several rootPaths, none equal to the registered table
+    * path. An explicit registration of the COMMON ROOT covers them: the
+    * entry whose tablePath is a path-prefix of EVERY root wins (longest
+    * prefix on ties — nested registrations resolve to the nearest
+    * table). Correctness under a partial read (some partitions only) is
+    * free: the semi-join only FILTERS scanned rows, and the keyMap
+    * uniqueness contract makes per-row membership independent of which
+    * sibling partitions are scanned. The documents.parquet convention
+    * stays exact-single-path (its shape guard needs the one file). */
+  def lookupCovering(fsPaths: Seq[String]): Option[Entry] = {
+    ensureLoaded()
+    val ps = fsPaths.map(normalize)
+    if (ps.isEmpty) return None
+    val exact = if (ps.sizeIs == 1) lookup(ps.head) else None
+    exact.orElse {
+      entries.values.toSeq
+        .filter(e => ps.forall(p =>
+          p == e.tablePath || p.startsWith(e.tablePath + "/")))
+        .sortBy(-_.tablePath.length).headOption
+    }
+  }
 }

@@ -23,7 +23,8 @@ final case class SegmentInfo(segId: Int, name: String, shards: Seq[Int],
 final case class Manifest(version: Int, numShards: Int, segments: Seq[SegmentInfo],
                           numDocs: Long, totalTokens: Long,
                           dict: Option[String] = None,
-                          batchBase: Long = 0L) {
+                          batchBase: Long = 0L,
+                          format: Option[String] = None) {
   def avgdl: Double = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs
 }
 
@@ -97,7 +98,8 @@ final class IcebergLite(val root: String) {
       totalTokens = n.get("totalTokens").asLong(),
       dict = Option(n.get("dict")).filterNot(_.isNull).map(_.asText()),
       batchBase = Option(n.get("batchBase")).filterNot(_.isNull)
-        .map(_.asLong()).getOrElse(0L))
+        .map(_.asLong()).getOrElse(0L),
+      format = Option(n.get("format")).filterNot(_.isNull).map(_.asText()))
   }
 
   /** Atomic snapshot commit: manifest file then rename-over pointer. */
@@ -113,7 +115,8 @@ final class IcebergLite(val root: String) {
         "metrics" -> Map("docs" -> s.metrics.docs, "terms" -> s.metrics.terms,
           "postings" -> s.metrics.postings, "bytes" -> s.metrics.bytes),
         "lineage" -> s.lineage)))
-    val full = m.dict.fold(base)(d => base + ("dict" -> d))
+    val withDict = m.dict.fold(base)(d => base + ("dict" -> d))
+    val full = m.format.fold(withDict)(f => withDict + ("format" -> f))
     Files.writeString(p(mfName),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(full))
     val tmp = p(s"snapshot.json.tmp-${m.version}")

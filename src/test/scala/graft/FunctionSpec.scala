@@ -155,6 +155,31 @@ class FunctionSpec extends AnyFunSuite with SparkSessionFixture {
     close(x("good", "?"), 1.9) // single '?' does not amplify
   }
 
+  test("parseVecLiteral: empty components fail loudly, never shift") {
+    import graft.ops.{AnnIndex, AnnOps}
+    val good = (0 until AnnIndex.Dim).map(i => (i % 7 - 3) / 7.0)
+    assert(AnnOps.parseVecLiteral(good.mkString(",")).toSeq == good)
+    // Dim+1 slots with ONE empty: dropping the empty would pass the
+    // length check with every later component misaligned — must throw
+    val shifted = (good :+ 0.5).updated(3, "")
+    val e1 = intercept[IllegalArgumentException] {
+      AnnOps.parseVecLiteral(shifted.mkString(","))
+    }
+    assert(e1.getMessage.contains("empty component"), e1.getMessage)
+    // a trailing separator is an empty component too (strict contract)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnOps.parseVecLiteral(good.mkString(",") + ",")
+    }
+    assert(e2.getMessage.contains("empty component"), e2.getMessage)
+    // non-numeric and wrong-arity stay loud
+    intercept[IllegalArgumentException] {
+      AnnOps.parseVecLiteral(good.updated(0, "abc").mkString(","))
+    }
+    intercept[IllegalArgumentException] {
+      AnnOps.parseVecLiteral(good.take(AnnIndex.Dim - 1).mkString(","))
+    }
+  }
+
   test("null-safety through the expression") {
     import spark.implicits._
     GraftFunctions.register(spark)

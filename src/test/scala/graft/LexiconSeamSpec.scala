@@ -21,10 +21,15 @@ class LexiconSeamSpec extends AnyFunSuite {
       ":'(\t-2.2\t0.4\t[-2, -2, -3]",
       "terrible\t-2.1",
       "#happy\t1.5\t0.6\t[1, 2]",
+      // comment/header lines that HAPPEN to parse as token\tdouble must
+      // still be skipped ('#' + whitespace marks them) — '# revised'
+      // -> 2014.0 would otherwise silently join the lexicon
+      "# revised\t2014",
+      "#\t2.0",
       "notanumber\tNaNopE\tx").iterator
     val es = Lexicon.parseVendoredTsv(lines)
     // hashtag TOKENS are entries (extended VADER lexicons carry them);
-    // only non-parsing lines (the "# comment" header) are skipped
+    // comment lines ('#' + whitespace) and non-parsing lines are skipped
     assert(es == Seq("good" -> 1.9, ":'(" -> -2.2, "terrible" -> -2.1,
       "#happy" -> 1.5))
     // the quote-escaped SQL literal helper round-trips such tokens

@@ -313,6 +313,80 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
     } finally MatchRegistry.unregister(tablePath)
   }
 
+  test("lang=-partitioned corpus: match() takes the semi-join on whole-root, sub-dir and multi-root reads") {
+    import graft.plans.{MatchFilter, MatchIds, MatchRegistry}
+    import org.apache.spark.sql.functions.expr
+    val work = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "matchpart").toString
+    val tablePath = s"$work/corpus"
+    // the first shape a real lake table takes: Hive-partitioned by lang
+    CorpusGen.dataset(spark, 400, 13L, 4)
+      .write.partitionBy("lang").parquet(tablePath)
+    val idxRoot = s"$work/index"
+    import spark.implicits._
+    IndexBuilder.build(spark,
+      spark.read.parquet(tablePath)
+        .select("repo", "path", "commit", "lang", "content")
+        .as[graft.corpus.CorpusDoc], idxRoot, 4)
+    // register the COMMON ROOT once; every read shape under it resolves
+    MatchRegistry.register(tablePath, "content",
+      Seq("repo" -> "repo", "path" -> "path", "commit" -> "commit"),
+      MatchRegistry.IndexRoot(idxRoot))
+    try {
+      GraftSql.ensureMatchSupport(spark)
+      val q = "buildPostingList mergeSortedRuns, shardRouterTable"
+      def assertAccelerated(df: org.apache.spark.sql.DataFrame,
+                            label: String): Unit = {
+        val opt = df.queryExecution.optimizedPlan
+        assert(!opt.exists(_.expressions.exists(
+            _.exists(_.isInstanceOf[MatchFilter]))),
+          s"$label: match() must be rewritten away:\n$opt")
+        assert(opt.exists(_.isInstanceOf[MatchIds]),
+          s"$label: expected the MatchIds leaf:\n$opt")
+      }
+      def rowLevel(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+        df.selectExpr("repo", "path", "concat(content, '') AS body")
+          .where(expr(s"match(body, '$q')"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+      // 1. whole-root read (partition discovery, single rootPath)
+      val whole = spark.read.parquet(tablePath)
+      val dfW = whole.where(expr(s"match(content, '$q')")).select("repo", "path")
+      assertAccelerated(dfW, "whole-root")
+      val gotW = dfW.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(gotW.nonEmpty && gotW == rowLevel(whole))
+
+      // 2. one partition directory read directly (a sub-path of the root)
+      val sub = spark.read.parquet(s"$tablePath/lang=scala")
+      val dfS = sub.where(expr(s"match(content, '$q')")).select("repo", "path")
+      assertAccelerated(dfS, "sub-dir")
+      val gotS = dfS.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(gotS == rowLevel(sub))
+      assert(gotS.toSet.subsetOf(gotW.toSet) && gotS.size < gotW.size)
+
+      // 3. multi-root read (several partition dirs; basePath keeps lang)
+      val multi = spark.read.option("basePath", tablePath)
+        .parquet(s"$tablePath/lang=scala", s"$tablePath/lang=java")
+      val dfM = multi.where(expr(s"match(content, '$q')")).select("repo", "path")
+      assertAccelerated(dfM, "multi-root")
+      val gotM = dfM.collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(gotM == rowLevel(multi))
+      assert(gotS.toSet.subsetOf(gotM.toSet) && gotM.toSet.subsetOf(gotW.toSet))
+
+      // a multi-root read NOT fully under the registered root stays on
+      // row-level eval (no entry covers the foreign sibling)
+      val foreignDir = s"$work/other"
+      CorpusGen.dataset(spark, 50, 14L, 2).write.partitionBy("lang")
+        .parquet(foreignDir)
+      val mixed = spark.read.parquet(s"$tablePath/lang=scala",
+        s"$foreignDir/lang=scala")
+      val dfF = mixed.where(expr(s"match(content, '$q')"))
+      assert(dfF.queryExecution.optimizedPlan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[MatchFilter]))),
+        "a read spanning a foreign root must stay on row-level eval")
+    } finally MatchRegistry.unregister(tablePath)
+  }
+
   test("keying on tableId against an id-less index fails loudly at execution") {
     import graft.plans.MatchRegistry
     val work = Files.createTempDirectory(
@@ -410,6 +484,33 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       Files.write(Paths.get(regFile), "not a registry line\n".getBytes)
       MatchRegistry.resetForTest()
       intercept[IllegalArgumentException](MatchRegistry.lookup(tablePath))
+      // ... and END-TO-END: with the corrupt file still configured, a
+      // match() query stays CORRECT via the row-level fallback, the plan
+      // keeps the predicate (no MatchIds), and the fallback is logged —
+      // the scaladoc's "results stay correct, breakage stays visible"
+      MatchRegistry.resetForTest()
+      val sf = "/root/testdata/sf0.001"
+      val q = "spark query, merge join"
+      graft.ops.Tables.t(spark, sf, "documents")
+        .createOrReplaceTempView("corruptdocs")
+      val dfC = spark.sql(
+        s"SELECT doc_id FROM corruptdocs WHERE match(text, '$q')")
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val optC = try dfC.queryExecution.optimizedPlan
+                 finally System.setErr(oldErr)
+      assert(optC.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[graft.plans.MatchFilter]))),
+        s"corrupt registry file must leave the row-level predicate:\n$optC")
+      assert(!optC.exists(_.isInstanceOf[MatchIds]))
+      assert(errBuf.toString.contains("falling back to row-level eval"),
+        s"fallback must be logged, stderr was: ${errBuf.toString}")
+      val gotC = dfC.collect().map(_.getLong(0)).sorted
+      val expC = graft.ops.SearchOps.matchTableIds(spark, sf, q)
+        .collect().map(_.getLong(0)).sorted
+      assert(gotC.nonEmpty && gotC.sameElements(expC),
+        "row-level fallback must still answer correctly")
     } finally {
       old match {
         case Some(v) => sys.props(MatchRegistry.RegistryProp) = v

@@ -35,4 +35,41 @@ class SnapshotIsolationSpec extends AnyFunSuite with SparkSessionFixture {
     assert(fresh.manifest.numDocs === 500L)
     assert(fresh.manifest.segments.size === 1)
   }
+
+  test("format gate: build/merge stamp FormatVersion; unstamped roots fail loudly at open") {
+    import spark.implicits._
+    val work = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "fmtgate").toString
+    val root = s"$work/index"
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, 120, 7L, 2), root, 2)
+    val tbl = new graft.table.IcebergLite(root)
+    // every writer stamps the current format
+    assert(tbl.currentManifest().get.format.contains(IndexBuilder.FormatVersion))
+    IndexBuilder.build(spark,
+      spark.range(120, 200).map(i => CorpusGen.doc(7L, i)), root, 2, batch = 1)
+    SegmentMerge.merge(spark, root)
+    assert(tbl.currentManifest().get.format.contains(IndexBuilder.FormatVersion))
+
+    // simulate a durable pre-v4 root: strip the stamp from the manifest
+    // (pre-v4 writers never wrote one). Opening it must fail with the
+    // rebuild message, not an unresolved-posBlocks AnalysisException.
+    val snap = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(root, "snapshot.json")))
+    val mfName = snap.get("manifest").asText()
+    val mfPath = Paths.get(root, mfName)
+    val mf = Files.readString(mfPath)
+    Files.writeString(mfPath,
+      mf.replaceAll(""""format"\s*:\s*"[^"]*",?""", "")
+        .replaceAll(""",\s*}""", "}")) // tolerate trailing-comma cleanup
+    val eOpen = intercept[IllegalStateException](new QueryEngine(spark, root))
+    assert(eOpen.getMessage.contains("rebuild"), eOpen.getMessage)
+    // the append/resume and maintenance paths are gated the same way
+    val eBuild = intercept[IllegalStateException] {
+      IndexBuilder.build(spark,
+        spark.range(200, 220).map(i => CorpusGen.doc(7L, i)), root, 2, batch = 2)
+    }
+    assert(eBuild.getMessage.contains("rebuild"), eBuild.getMessage)
+    val eRebase = intercept[IllegalStateException](SegmentMerge.rebase(spark, root))
+    assert(eRebase.getMessage.contains("rebuild"), eRebase.getMessage)
+  }
 }
