@@ -286,7 +286,10 @@ object Bench {
       "q38_approx_distinct", "q71_wav_features", "q73_frame_sample",
       "q72_ppm_grid", "q74_match_where", "q75_explain_score",
       // r5 additions: positional phrase search, literal-vector ANN
-      "q76_phrase_search", "q77_ann_vec_literal")
+      "q76_phrase_search", "q77_ann_vec_literal",
+      // r6 additions: prefix/wildcard queries (scored, cap metrics,
+      // filter-context match)
+      "q78_prefix_search", "q79_prefix_cap_metrics", "q80_prefix_match_where")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"

@@ -93,6 +93,9 @@ object SparkEntry {
     "q74_match_where" -> (SearchOps.qMatchWhere _),
     "q76_phrase_search" -> (SearchOps.qPhraseSearch _),
     "q75_explain_score" -> (SearchOps.qExplainScore _),
+    "q78_prefix_search" -> (SearchOps.qPrefixSearch _),
+    "q79_prefix_cap_metrics" -> (SearchOps.qPrefixCapMetrics _),
+    "q80_prefix_match_where" -> (SearchOps.qPrefixMatchWhere _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -315,6 +318,9 @@ object SparkEntry {
     "q74_match_where" -> SearchOps.matchWhereOracleSql,
     "q76_phrase_search" -> SearchOps.phraseSearchOracleSql,
     "q75_explain_score" -> SearchOps.explainScoreOracleSql,
+    "q78_prefix_search" -> SearchOps.prefixSearchOracleSql,
+    "q79_prefix_cap_metrics" -> SearchOps.prefixCapMetricsOracleSql,
+    "q80_prefix_match_where" -> SearchOps.prefixMatchWhereOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

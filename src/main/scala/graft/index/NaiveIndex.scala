@@ -33,6 +33,19 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     phrase.nonEmpty && toks.sliding(phrase.length).exists(_ == phrase)
   }
 
+  /** Exhaustive prefix check: any analyzed token starts with `prefix`. */
+  def prefixInDoc(id: Long, prefix: String): Boolean =
+    CodeAnalyzer.analyze(contentById(id)).exists(_.startsWith(prefix))
+
+  /** Scored-context expansion: vocabulary terms with the prefix, ranked
+    * df-desc/term-asc, capped — the frozen selection the engine's dict
+    * expansion must reproduce. */
+  def expandPrefix(prefix: String,
+                   cap: Int = QueryParser.MaxScoredExpansions): Seq[String] =
+    QueryParser.rankExpansions(
+      postings.keysIterator.filter(_.startsWith(prefix))
+        .map(t => t -> df(t)).toSeq, cap)
+
   val postings: Map[String, Array[(Long, Int)]] = {
     val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
     docs.sortBy(_._1).foreach { case (id, content) =>
@@ -54,9 +67,12 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
 
   def df(term: String): Long = postings.get(term).map(_.length.toLong).getOrElse(0L)
 
-  /** Disjunctive BM25 top-k (exhaustive). */
+  /** Disjunctive BM25 top-k (exhaustive); `word*` words expand to their
+    * ranked capped dictionary terms in place (scored like any term). */
   def topK(query: String, k: Int): Seq[ScoredDoc] = {
-    val terms = CodeAnalyzer.analyzeQuery(query).filter(postings.contains)
+    val terms = QueryParser
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_))
+      .filter(postings.contains)
     scoreDisjunctive(terms, k)
   }
 
@@ -93,18 +109,21 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
         val pl = postings(t)
         (bm25.idf(pl.length.toLong), pl.toMap)
       }
-      if (perTerm.nonEmpty) {
-        // docs containing every term of the group
-        val docsSets = perTerm.map(_._2.keySet)
-        val common = docsSets.reduce(_ intersect _)
-          .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)))
-        common.toSeq.sorted.foreach { id =>
-          var s = 0.0
-          val dl = docLen(id)
-          perTerm.foreach { case (idf, m) => s += bm25.score(idf, m(id), dl) }
-          val prev = best.get(id)
-          if (prev.isEmpty || s > prev.get) best(id) = s
-        }
+      // candidate docs: the term intersection, or — for a prefix-only
+      // group — every doc (prefixes then filter it down)
+      val candidates: Iterable[Long] =
+        if (perTerm.nonEmpty) perTerm.map(_._2.keySet).reduce(_ intersect _)
+        else docLen.keys
+      // phrases and prefixes FILTER, never score
+      val common = candidates
+        .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)) &&
+                      group.prefixes.forall(p => prefixInDoc(id, p)))
+      common.toSeq.sorted.foreach { id =>
+        var s = 0.0
+        val dl = docLen(id)
+        perTerm.foreach { case (idf, m) => s += bm25.score(idf, m(id), dl) }
+        val prev = best.get(id)
+        if (prev.isEmpty || s > prev.get) best(id) = s
       }
     }
     val top = new ScoredDoc.TopK(k)
@@ -117,8 +136,24 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
   * occur at consecutive post-filter token positions. Phrase tokens are
   * ALSO terms (the phrase both ANDs its words and constrains order), so
   * scoring — the fixed-order sum over `terms` — is identical whether a
-  * word arrived bare or quoted; the phrase only filters. */
-final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]])
+  * word arrived bare or quoted; the phrase only filters.
+  *
+  * `prefixes` are trailing-wildcard requirements (`term*`): the doc must
+  * contain at least one token starting with each prefix. Like phrases
+  * they FILTER, never score (the Lucene/ES constant-score rewrite of
+  * multi-term queries in boolean context), so group scores stay the
+  * plain fixed-order sum over `terms` and the SQL oracle stays
+  * expressible. */
+final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
+                            prefixes: Seq[String] = Nil)
+
+/** Scored-query atom: a plain analyzed term, or a trailing-`*` prefix.
+  * Wildcard words BYPASS the analyzer (the Lucene query_string contract:
+  * `mergeSort*` lowercases to the prefix `mergesort`, which matches the
+  * preserveOriginal combined token of camelCase identifiers). */
+sealed trait QueryAtom extends Serializable
+final case class TermAtom(term: String) extends QueryAtom
+final case class PrefixAtom(prefix: String) extends QueryAtom
 
 /** "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641):
   * OR groups split on ',', AND terms split on whitespace, every word run
@@ -134,18 +169,77 @@ final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]])
 object QueryParser {
   private val PhraseRe = "\"([^\"]*)\"".r
 
+  /** Cap on dictionary expansions of one prefix in SCORED contexts (the
+    * Lucene top-terms rewrite budget; ES match_phrase_prefix defaults to
+    * 50). Expansions are RANKED df-desc, term-asc before the cut, so the
+    * kept terms are deterministic and SQL-reproducible. Filter contexts
+    * (boolean groups, WHERE match()) expand UNCAPPED — they are
+    * constant-score, so extra expansions only tighten the bitset walk,
+    * and a cap there would silently diverge from row-level semantics. */
+  val MaxScoredExpansions = 64
+
+  /** Is this whitespace word a trailing-wildcard prefix? (one `*`, at
+    * the end, non-empty stem). Anything else — `*` alone, `a*b` — is
+    * left to the analyzer, which strips the `*` like any punctuation. */
+  private def wildcardStem(w: String): Option[String] =
+    if (w.length >= 2 && w.endsWith("*") && !w.init.contains("*"))
+      Some(w.init.toLowerCase)
+    else None
+
   def parseGroups(query: String): Seq[MatchGroup] =
     query.split(',').toSeq.map { g =>
       val phrases = PhraseRe.findAllMatchIn(g)
         .map(m => CodeAnalyzer.analyze(m.group(1)))
         .filter(_.length >= 2).toSeq
-      // quotes stripped: phrase words are ordinary AND terms as well
-      val terms = g.replace('"', ' ').trim.split("\\s+").toSeq
-        .filter(_.nonEmpty).flatMap(w => CodeAnalyzer.analyze(w)).distinct
-      MatchGroup(terms, phrases)
-    }.filter(_.terms.nonEmpty)
+      // quotes stripped: phrase words are ordinary AND terms as well;
+      // wildcard detection runs on the quote-stripped words, so a `*`
+      // inside a phrase never becomes a prefix (no wildcard-in-phrase
+      // semantics — same restriction as Lucene's match_phrase)
+      val words = g.replace('"', ' ').trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val prefixes = words.flatMap(wildcardStem).distinct
+      val terms = words.filter(wildcardStem(_).isEmpty)
+        .flatMap(w => CodeAnalyzer.analyze(w)).distinct
+      MatchGroup(terms, phrases, prefixes)
+    }.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty)
 
   /** Terms-only view (scoring order; used by paths with no positional
     * machinery — the full structure is parseGroups). */
   def parse(query: String): Seq[Seq[String]] = parseGroups(query).map(_.terms)
+
+  /** Wildcard-aware SCORED-query parse (the disjunctive topK surface):
+    * atoms in word order — the frozen float-sum order — plain words
+    * analyzed as before (dedup first-occurrence, same stream
+    * CodeAnalyzer.analyzeQuery yields), `word*` words as PrefixAtoms. */
+  def parseScored(query: String): Seq[QueryAtom] = {
+    if (query == null || query.isEmpty) return Nil
+    val seen = mutable.HashSet.empty[String]
+    val seenPre = mutable.HashSet.empty[String]
+    query.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+      wildcardStem(w) match {
+        case Some(p) => if (seenPre.add(p)) Seq(PrefixAtom(p)) else Nil
+        case None => CodeAnalyzer.analyze(w).filter(seen.add).map(TermAtom.apply)
+      }
+    }
+  }
+
+  /** Frozen expansion ranking: df DESC, term ASC, first `cap` kept —
+    * deterministic, and what the DuckDB oracle reproduces with
+    * `ORDER BY df DESC, token LIMIT cap`. */
+  def rankExpansions(cands: Seq[(String, Long)], cap: Int): Seq[String] =
+    cands.sortBy { case (t, d) => (-d, t) }.take(cap).map(_._1)
+
+  /** Resolve scored atoms to the final term order: atom order, each
+    * prefix replaced in place by its (ranked, capped) expansions, global
+    * first-occurrence dedup. `expand` is the dictionary hook — the real
+    * engine's dict, or NaiveIndex's postings keys. */
+  def resolveScored(atoms: Seq[QueryAtom],
+                    expand: String => Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val seen = mutable.HashSet.empty[String]
+    atoms.foreach {
+      case TermAtom(t) => if (seen.add(t)) out += t
+      case PrefixAtom(p) => expand(p).foreach(t => if (seen.add(t)) out += t)
+    }
+    out.result()
+  }
 }

@@ -114,12 +114,41 @@ final class QueryEngine(spark: SparkSession, val root: String,
         .select("term", "df").as[(String, Long)].collect().toMap
     }
 
+  /** ALL dictionary terms starting with `prefix`, with global dfs — the
+    * FILTER-context expansion (uncapped: constant-score, so extra terms
+    * only tighten the walk, and a cap would silently diverge from the
+    * row-level `startsWith` semantics). The non-resident path is a
+    * pushdown-filtered scan of the sorted dict parquet (StringStartsWith
+    * range-prunes row groups via column min/max). */
+  def expandPrefixAll(prefix: String): Map[String, Long] =
+    if (prefix.isEmpty) Map.empty
+    else residentDict match {
+      case Some(m) => m.filter { case (t, _) => t.startsWith(prefix) }
+      case None => dict.where(col("term").startsWith(prefix))
+        .select("term", "df").as[(String, Long)].collect().toMap
+    }
+
+  /** SCORED-context expansion of one `prefix*`: the
+    * QueryParser.MaxScoredExpansions highest-df dictionary terms with
+    * the prefix (term-asc tie-break — frozen, SQL-reproducible), plus
+    * the TOTAL match count so callers can see what the cap dropped
+    * (reported by the cap-metrics query, like the dedup caps q47/q49). */
+  def expandPrefix(prefix: String,
+                   cap: Int = QueryParser.MaxScoredExpansions)
+      : (Seq[String], Long) = {
+    val all = expandPrefixAll(prefix)
+    (QueryParser.rankExpansions(all.toSeq, cap), all.size.toLong)
+  }
+
   private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
       : Map[String, PostingCursor] = QueryEngine.termCursors(rows, bm25, dfs)
 
-  /** Disjunctive BM25 top-k; returns (docId, score) best-first. */
+  /** Disjunctive BM25 top-k; returns (docId, score) best-first. `word*`
+    * words expand to their ranked, capped dictionary terms in place
+    * (each scored like any term — the Lucene top-terms rewrite). */
   def topK(query: String, k: Int): Seq[ScoredDoc] = {
-    val terms = CodeAnalyzer.analyzeQuery(query)
+    val terms = QueryParser
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1)
     val dfs = termDfs(terms)
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
@@ -159,23 +188,38 @@ final class QueryEngine(spark: SparkSession, val root: String,
         "has segments built without them (positions=false) — rebuild or " +
         "compact with positions on")
 
+  /** Shared boolean-path prep: filter-context prefix expansion (uncapped)
+    * plus group validity — a group is dead if any concrete term is absent
+    * from the dict OR any of its prefixes expands to nothing. Returns
+    * (valid groups, dfs incl. expansions, prefix -> expansion terms). */
+  private def prepGroups(groups: Seq[MatchGroup])
+      : (Seq[MatchGroup], Map[String, Long], Map[String, Set[String]]) = {
+    val exp: Map[String, Map[String, Long]] =
+      groups.flatMap(_.prefixes).distinct
+        .map(p => p -> expandPrefixAll(p)).toMap
+    val dfs = termDfs(groups.flatMap(_.terms).distinct) ++ exp.values.flatten
+    val valid = groups.filter(g => g.terms.forall(dfs.contains) &&
+      g.prefixes.forall(p => exp(p).nonEmpty))
+    (valid, dfs, exp.view.mapValues(_.keySet).toMap)
+  }
+
   /** Boolean keyword query: "spaces are ANDs commas are ORs"
     * (/root/reference/sentiment.py:638-641); quoted spans add positional
-    * phrase constraints. Doc score = max over matching AND-groups of the
-    * group's summed BM25 (phrases filter, never boost). */
+    * phrase constraints; `word*` words add prefix requirements
+    * (filter-only, uncapped expansion — see prepGroups). Doc score = max
+    * over matching AND-groups of the group's summed BM25 (phrases and
+    * prefixes filter, never boost). */
   def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
     val groups = QueryParser.parseGroups(query)
     if (groups.isEmpty) return Nil
-    val allTerms = groups.flatMap(_.terms).distinct
-    val dfs = termDfs(allTerms)
-    // a group with any absent term can never match
-    val valid = groups.filter(_.terms.forall(dfs.contains))
+    val (valid, dfs, expSets) = prepGroups(groups)
     if (valid.isEmpty) return Nil
     val needPos = valid.exists(_.phrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = valid.flatMap(_.terms).distinct
+    val validTerms = (valid.flatMap(_.terms) ++
+      valid.flatMap(_.prefixes).flatMap(expSets(_))).distinct
     val rows = postingRowsFor(validTerms, needPos)
-    val (bm, dfsB, validB) = (bm25, dfs, valid)
+    val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
 
     // Memory-bounded EXACT scoring: each AND-group keeps only its own
     // TopK(k) while streaming its intersection (never the full match set —
@@ -190,8 +234,14 @@ final class QueryEngine(spark: SparkSession, val root: String,
       val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
         val cur = QueryEngine.termCursorsPos(
           rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
+        // one cursor set per prefix: this shard's posting rows of the
+        // expansion terms (an empty set kills the group in this shard)
+        val preSets = group.prefixes.map { p =>
+          QueryEngine.termCursorsPos(
+            rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
+        }
         val groupTop = new ScoredDoc.TopK(k)
-        WandScorer.conjunctive(group.terms, cur, group.phrases)
+        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets)
           .foreach(groupTop.offer)
         groupTop.result()
       }
@@ -281,20 +331,24 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val groups = QueryParser.parseGroups(query)
     val empty = spark.createDataset(Seq.empty[Long]).toDF("docId")
     if (groups.isEmpty) return empty
-    val dfs = termDfs(groups.flatMap(_.terms).distinct)
-    val valid = groups.filter(_.terms.forall(dfs.contains))
+    val (valid, dfs, expSets) = prepGroups(groups)
     if (valid.isEmpty) return empty
     val needPos = valid.exists(_.phrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = valid.flatMap(_.terms).distinct
+    val validTerms = (valid.flatMap(_.terms) ++
+      valid.flatMap(_.prefixes).flatMap(expSets(_))).distinct
     val rows = postingRowsFor(validTerms, needPos)
-    val (bm, dfsB, validB) = (bm25, dfs, valid)
+    val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
     def shardIds(rs: Seq[PostingRowPos]): Iterator[Long] = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       validB.foreach { group =>
         val cur = QueryEngine.termCursorsPos(
           rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
-        WandScorer.conjunctive(group.terms, cur, group.phrases)
+        val preSets = group.prefixes.map { p =>
+          QueryEngine.termCursorsPos(
+            rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
+        }
+        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets)
           .foreach(sd => seen += sd.docId)
       }
       seen.iterator

@@ -24,5 +24,13 @@ object ReferenceQueries {
   /** Quoted-span queries (ES match_phrase analogue) — run through the
     * boolean path; positional constraints filter the AND groups. */
   val phraseQueries: Seq[String] = entries.filter(_._4 == "phrase").map(_._2)
+  /** Trailing-wildcard queries (the Kibana query_string analogue,
+    * /root/reference/export.json:9): `prefix` kind runs the SCORED
+    * disjunctive path (capped top-terms expansion), `boolprefix` the
+    * boolean path (uncapped filter-context expansion). New kinds so the
+    * pre-existing latency populations stay frozen across rounds. */
+  val prefixQueries: Seq[String] = entries.filter(_._4 == "prefix").map(_._2)
+  val boolPrefixQueries: Seq[String] =
+    entries.filter(_._4 == "boolprefix").map(_._2)
   val topK = 10
 }

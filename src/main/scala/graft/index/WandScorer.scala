@@ -11,9 +11,66 @@ import scala.collection.mutable
  * practical win of block-structured postings (Lucene skip data; block-max
  * metadata per Ding & Suel, WSDM 2011).
  */
+/** The movement interface the conjunctive leapfrog drives: a concrete
+  * term's posting cursor, or the union of several (a prefix expansion). */
+sealed trait DocCursor {
+  def exhausted: Boolean
+  def curDoc: Long
+  def advanceTo(target: Long): Unit
+  def nextDoc(): Unit
+}
+
+/** Union-of-cursors (the `term*` expansion in FILTER context): positioned
+  * at the minimum current doc of its live members — "the doc contains at
+  * least one expansion term". Never scores (constant-score semantics, the
+  * Lucene multi-term rewrite in boolean context), so it carries no
+  * idf/tf. Skip structure is preserved: advanceTo forwards to every
+  * member, so a selective union binary-skips like its members do. */
+final class UnionCursor(members: Seq[PostingCursor]) extends DocCursor {
+  private var live: Array[PostingCursor] =
+    members.filterNot(_.exhausted).toArray
+  private var min: Long = recompute()
+  private def recompute(): Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < live.length) {
+      val d = live(i).curDoc
+      if (d < m) m = d
+      i += 1
+    }
+    min = m
+    m
+  }
+  private def prune(): Unit = {
+    var any = false
+    var i = 0
+    while (i < live.length && !any) { any = live(i).exhausted; i += 1 }
+    if (any) live = live.filterNot(_.exhausted)
+  }
+  def exhausted: Boolean = live.isEmpty
+  def curDoc: Long = min
+  def advanceTo(target: Long): Unit = {
+    if (min >= target) return
+    var i = 0
+    while (i < live.length) { live(i).advanceTo(target); i += 1 }
+    prune()
+    recompute()
+  }
+  def nextDoc(): Unit = {
+    val d = min
+    var i = 0
+    while (i < live.length) {
+      if (!live(i).exhausted && live(i).curDoc == d) live(i).nextDoc()
+      i += 1
+    }
+    prune()
+    recompute()
+  }
+}
+
 final class PostingCursor(val term: String, val idf: Double,
                           subLists: Seq[(Seq[Array[Byte]], Seq[SkipRow], Seq[Array[Byte]])],
-                          bm25: Bm25) {
+                          bm25: Bm25) extends DocCursor {
   // flatten: global block arrays, ordered by firstDoc
   private val blocks: Array[Array[Byte]] = subLists.iterator.flatMap(_._1).toArray
   private val skips: Array[SkipRow] = subLists.iterator.flatMap(_._2).toArray
@@ -291,40 +348,51 @@ object WandScorer {
     * stay the plain AND-group sum — a phrase FILTERS, it does not boost
     * (frozen semantics, what the SQL oracle reproduces). */
   def conjunctive(groupOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
-                  phrases: Seq[Seq[String]] = Nil)
+                  phrases: Seq[Seq[String]] = Nil,
+                  prefixSets: Seq[Seq[PostingCursor]] = Nil)
       : Iterator[ScoredDoc] = {
-    val cursors = groupOrder.flatMap(cursorsByTerm.get).toArray
-    if (cursors.length < groupOrder.length || cursors.exists(_.exhausted))
+    val termCursors = groupOrder.flatMap(cursorsByTerm.get).toArray
+    if (termCursors.length < groupOrder.length || termCursors.exists(_.exhausted))
       return Iterator.empty
+    // each prefix requirement joins the leapfrog as ONE union cursor —
+    // "the doc contains some expansion term"; an expansion with no live
+    // cursor can never match (the group is dead in this shard)
+    val unions = prefixSets.map(s => new UnionCursor(s))
+    if (unions.exists(_.exhausted)) return Iterator.empty
+    val drivers: Array[DocCursor] =
+      (termCursors.map(c => c: DocCursor) ++ unions.map(u => u: DocCursor)).toArray
+    if (drivers.isEmpty) return Iterator.empty
     new Iterator[ScoredDoc] {
       private var nextHit: ScoredDoc = _
       private var done = false
       advance()
       private def advance(): Unit = {
         while (true) {
-          if (cursors.exists(_.exhausted)) { done = true; return }
-          var target = cursors(0).curDoc
+          if (drivers.exists(_.exhausted)) { done = true; return }
+          var target = drivers(0).curDoc
           var aligned = true
           var i = 1
-          while (i < cursors.length) {
-            if (cursors(i).curDoc > target) { target = cursors(i).curDoc; aligned = false }
-            else if (cursors(i).curDoc < target) aligned = false
+          while (i < drivers.length) {
+            if (drivers(i).curDoc > target) { target = drivers(i).curDoc; aligned = false }
+            else if (drivers(i).curDoc < target) aligned = false
             i += 1
           }
           if (aligned) {
             if (phrases.forall(ph => phraseMatch(cursorsByTerm, ph))) {
+              // prefixes filter, never score: the sum runs over the
+              // group's CONCRETE terms only (frozen order)
               var s = 0.0
               var q = 0
-              while (q < cursors.length) { s += cursors(q).curScore; q += 1 }
+              while (q < termCursors.length) { s += termCursors(q).curScore; q += 1 }
               nextHit = ScoredDoc(target, s)
-              cursors(0).nextDoc()
+              drivers(0).nextDoc()
               return
             }
             // terms align but a phrase doesn't: skip this doc
-            cursors(0).nextDoc()
+            drivers(0).nextDoc()
           } else {
             var j = 0
-            while (j < cursors.length) { cursors(j).advanceTo(target); j += 1 }
+            while (j < drivers.length) { drivers(j).advanceTo(target); j += 1 }
           }
         }
       }

@@ -193,6 +193,136 @@ object SearchOps {
        |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
   }
 
+  /** q78: PREFIX search (the Kibana query_string `term*` analogue,
+    * /root/reference/export.json:9) through the real engine — the
+    * wildcard expands against the index dictionary to the
+    * MaxScoredExpansions highest-df terms (term-asc tie-break), each
+    * scored like any query term, in expansion-rank order, followed by
+    * the query's plain terms (frozen float-sum order). The oracle
+    * re-derives the expansion from re-tokenized text with the SAME
+    * ranking (ORDER BY df DESC, token) and folds contributions in rank
+    * order — bit-identical summation. */
+  val PrefixSearchQuery = "s* merge"
+
+  def qPrefixSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topK(PrefixSearchQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+  }
+
+  /** Dynamic-term BM25 in pure SQL: the expansion is data-dependent, so
+    * the oracle cannot enumerate tf columns like q60 — it cross-joins
+    * docs with the selected terms and folds per-doc contributions in
+    * expansion-rank order (list_reduce left fold, 0.0 init — the same
+    * accumulation the WAND evaluator runs; absent terms add an exact
+    * 0.0). */
+  def prefixSearchOracleSql: String = {
+    val tf = "CAST(len(list_filter(d.toks, w -> w = s.token)) AS DOUBLE)"
+    s"""WITH ${bm25CtesTokensOnly()},
+       |exp AS (
+       |  SELECT token, CAST(count(*) AS DOUBLE) AS df,
+       |         row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+       |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM docs)
+       |  WHERE token LIKE 's%' GROUP BY token),
+       |dfm AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM docs
+       |        WHERE list_contains(toks, 'merge')),
+       |sel AS (
+       |  SELECT token, df, rnk FROM exp
+       |  WHERE rnk <= ${graft.index.QueryParser.MaxScoredExpansions}
+       |  UNION ALL SELECT 'merge' AS token, df, 1000000 AS rnk FROM dfm),
+       |contrib AS (
+       |  SELECT d.doc_id, s.rnk,
+       |    CASE WHEN $tf > 0 THEN
+       |      ln(1.0 + (n - s.df + 0.5) / (s.df + 0.5)) * ($tf * ${K1 + 1.0}) /
+       |      ($tf + $K1 * (1.0 - $B + $B * CAST(len(d.toks) AS DOUBLE) / avgdl))
+       |    ELSE 0.0 END AS c
+       |  FROM docs d, sel s, stats),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY rnk)), (a, b) -> a + b)
+       |      AS score_raw
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT 'doc_' || doc_id AS path,
+       |       floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM scored WHERE score_raw > 0.0
+       |ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q79: the prefix-expansion CAP as an oracled output (the q47/q49
+    * pattern: a scale guard's drop volume is itself verified, never
+    * silent). A deliberately small cap (3) over a broad prefix ('s')
+    * reports total/kept/dropped and the KEPT LIST — pinning the frozen
+    * df-desc/term-asc ranking cross-engine. */
+  val CapDemoPrefix = "s"
+  val CapDemoCap = 3
+
+  def qPrefixCapMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = docEngine(spark, dir)
+    val (kept, total) = eng.expandPrefix(CapDemoPrefix, CapDemoCap)
+    Seq((CapDemoPrefix, total, kept.length.toLong,
+      total - kept.length, kept.mkString(",")))
+      .toDF("prefix", "total_terms", "kept_n", "dropped_n", "kept_list")
+  }
+
+  def prefixCapMetricsOracleSql: String =
+    s"""WITH ${bm25CtesTokensOnly()},
+       |exp AS (
+       |  SELECT token, count(*) AS df,
+       |         row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+       |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM docs)
+       |  WHERE token LIKE '$CapDemoPrefix%' GROUP BY token)
+       |SELECT '$CapDemoPrefix' AS prefix,
+       |  (SELECT count(*) FROM exp) AS total_terms,
+       |  CAST(count(*) AS BIGINT) AS kept_n,
+       |  (SELECT count(*) FROM exp) - count(*) AS dropped_n,
+       |  string_agg(token, ',' ORDER BY rnk) AS kept_list
+       |FROM exp WHERE rnk <= $CapDemoCap""".stripMargin
+
+  /** q80: prefixes in FILTER context — `WHERE match(text, 'spark qu*,
+    * mer* join')` through the semi-join rewrite; expansion is UNCAPPED
+    * there (constant-score), so the oracle is a plain row predicate:
+    * every group term present AND some token per prefix. */
+  val PrefixMatchQuery = "spark qu*, mer* join"
+
+  def qPrefixMatchWhere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureMatchSupport(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_prefix_docs")
+    spark.sql(
+      s"""SELECT doc_id, lang FROM graft_prefix_docs
+         |WHERE match(text, '$PrefixMatchQuery')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def prefixMatchWhereOracleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks
+       |  FROM documents)
+       |WHERE (list_contains(toks, 'spark')
+       |        AND len(list_filter(toks, w -> w LIKE 'qu%')) > 0)
+       |   OR (list_contains(toks, 'join')
+       |        AND len(list_filter(toks, w -> w LIKE 'mer%')) > 0)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The docs/stats CTE pair alone (no per-term tf columns) — for the
+    * dynamic-term oracles whose term lists are data-dependent. */
+  private def bm25CtesTokensOnly(): String = {
+    val stops = stopListSql
+    s"""docs AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |         AND w NOT IN $stops) AS toks
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM docs)""".stripMargin
+  }
+
   /** The code-aware analyzer exposed to SQL as a native codegen'd
     * Catalyst expression (graft.functions.CodeTokenize). On the plain
     * lowercase `documents` text the analyzer reduces to the filtered

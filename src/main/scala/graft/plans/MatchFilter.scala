@@ -61,7 +61,8 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
         val toks = CodeAnalyzer.analyze(c.toString)
         val tokSet = toks.toSet
         groups.exists(g => g.terms.forall(tokSet.contains) &&
-          g.phrases.forall(ph => toks.sliding(ph.length).exists(_ == ph)))
+          g.phrases.forall(ph => toks.sliding(ph.length).exists(_ == ph)) &&
+          g.prefixes.forall(p => toks.exists(_.startsWith(p))))
       }
     }
   }

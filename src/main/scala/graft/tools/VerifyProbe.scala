@@ -31,6 +31,19 @@ object VerifyProbe {
     println("PROBE huge k -> " + eng.topK("computeHashValue", 100000).size + " hits")
     println("PROBE search no hits -> " + eng.search("zzzznotaterm", 5).count() + " rows")
 
+    // wildcard edges: dead prefix, bare '*', '*' mid-word (analyzer
+    // strips it), prefix-only boolean group, cap truncation
+    println("PROBE prefix topK -> " + eng.topK("merge*", 5).size + " hits")
+    println("PROBE dead-prefix topK -> " + eng.topK("zzzz*", 5))
+    println("PROBE bare-star topK -> " + eng.topK("*", 5))
+    println("PROBE mid-star topK ('de*f' == 'de f') -> " + eng.topK("de*f", 5).size + " hits")
+    println("PROBE prefix-only bool -> " + eng.booleanTopK("var*", 5).size +
+      " hits (constant score " + eng.booleanTopK("var*", 1).map(_.score) + ")")
+    println("PROBE dead-prefix group -> " + eng.booleanTopK("zzz* def, return", 3).size +
+      " hits (dead group dropped)")
+    val (kept, total) = eng.expandPrefix("s", cap = 2)
+    println(s"PROBE expansion cap -> kept=${kept.size} of total=$total: $kept")
+
     // rebuild over a committed index: must be a no-op (all shards done)
     val r = IndexBuilder.build(spark, corpus, root, numShards = 4)
     println("PROBE rebuild over done index -> builtShards=" + r.builtShards)

@@ -123,6 +123,43 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(setTight === tight)
   }
 
+  test("PREFIX PARITY: wildcard queries match the oracle (scored + boolean paths)") {
+    // the engine expands via the global dict, the oracle via its postings
+    // keys — same ranking rule (df desc, term asc), so expansions must be
+    // IDENTICAL, and with them the top-k docIds and scores
+    ReferenceQueries.prefixQueries.foreach { q =>
+      val expected = parityOracle.topK(q, 10)
+      val got = engine.topK(q, 10)
+      assert(expected.nonEmpty, s"prefix query '$q' should hit on this corpus")
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score doc ${g.docId}")
+      }
+    }
+    (ReferenceQueries.boolPrefixQueries ++ Seq(
+      "merge*",                       // prefix-only group (constant score)
+      "zzznope* reader",              // dead prefix kills its group
+      "post* zzznope, var*"           // dead term kills group 1, group 2 lives
+    )).foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"bool query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"bool query '$q' score doc ${g.docId}")
+      }
+    }
+    // expansion selection is frozen and shared: dict == oracle vocabulary
+    assert(engine.expandPrefix("merge")._1 === parityOracle.expandPrefix("merge"))
+    val (selS, totalS) = engine.expandPrefix("s", cap = 3)
+    assert(selS.length == 3 && totalS > 3, s"'s*' should exceed a cap of 3")
+    assert(selS === parityOracle.expandPrefix("s", cap = 3))
+    // matchingDocIds honors prefixes (filter-context, uncapped)
+    import spark.implicits._
+    val viaSet = engine.matchingDocIds("var*").as[Long].collect().toSet
+    val viaBool = engine.booleanTopK("var*", 100000).map(_.docId).toSet
+    assert(viaSet === viaBool && viaSet.nonEmpty)
+  }
+
   test("PHRASE: queries on a positions-less index fail loudly; plain queries fine") {
     val rootNp = s"$work/index-nopos"
     IndexBuilder.build(spark, CorpusGen.dataset(spark, 120, 42L, 4), rootNp,

@@ -188,6 +188,91 @@ class WandSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no positions"))
   }
 
+  test("PREFIX (scored): wildcard expansion WAND == exhaustive on random corpora") {
+    val rnd = new Random(61)
+    var effective = 0
+    (1 to 50).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(250))
+      val oracle = new NaiveIndex(corpus)
+      // 's*' expands to several vocab terms (sort/skip/shard/scan...);
+      // mix with a plain term on alternating rounds
+      val query = if (round % 2 == 0) "s* query" else "s*"
+      val k = 1 + rnd.nextInt(10)
+      val expected = oracle.topK(query, k)
+      // engine-style resolution: atoms -> ranked capped expansion -> WAND
+      val terms = QueryParser.resolveScored(
+        QueryParser.parseScored(query), oracle.expandPrefix(_))
+        .filter(oracle.postings.contains)
+      if (terms.nonEmpty) effective += 1
+      val got = WandScorer.topK(terms, cursorsFor(oracle, terms), k)
+      assert(got.map(_.docId) === expected.map(_.docId), s"round $round docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"round $round score doc ${g.docId}")
+      }
+    }
+    assert(effective > 40)
+  }
+
+  test("PREFIX expansion ranking + cap are frozen (df desc, term asc)") {
+    // hand-built dfs: scan in 3 docs, sort in 2, skip in 2, shard in 1
+    val corpus = Seq(
+      (0L, "scan sort skip"), (1L, "scan sort skip"),
+      (2L, "scan shard"), (3L, "query alpha"))
+    val oracle = new NaiveIndex(corpus)
+    assert(oracle.expandPrefix("s") === Seq("scan", "skip", "sort", "shard"))
+    // cap keeps the highest-df terms; the skip/sort df tie breaks term-asc
+    assert(oracle.expandPrefix("s", cap = 2) === Seq("scan", "skip"))
+    assert(oracle.expandPrefix("zzz") === Nil)
+    // capped scored search == exhaustive over exactly the KEPT terms
+    val kept = oracle.expandPrefix("s", cap = 2)
+    val got = WandScorer.topK(kept, cursorsFor(oracle, kept), 4)
+    val exp = oracle.topK(kept.mkString(" "), 4)
+    assert(got === exp)
+  }
+
+  test("PREFIX (filter): conjunctive with prefix sets == exhaustive row check") {
+    val rnd = new Random(83)
+    var effective = 0
+    (1 to 40).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val prefix = Seq("s", "b", "qu", "co")(rnd.nextInt(4))
+      val exps = oracle.postings.keys.filter(_.startsWith(prefix)).toSeq
+      val group = Seq("query").filter(oracle.postings.contains)
+      if (group.nonEmpty && exps.nonEmpty) {
+        effective += 1
+        val preCursors = cursorsFor(oracle, exps).values.toSeq
+        val got = WandScorer.conjunctive(group, cursorsFor(oracle, group),
+          Nil, Seq(preCursors)).toSeq
+        val exp = corpus.collect {
+          case (id, c) =>
+            val toks = graft.analyze.CodeAnalyzer.analyze(c)
+            (id, toks)
+        }.filter { case (_, toks) =>
+          group.forall(toks.contains) && toks.exists(_.startsWith(prefix))
+        }.map(_._1).sorted
+        assert(got.map(_.docId) === exp, s"round $round prefix '$prefix'")
+        // prefixes filter, never score: sum over concrete terms only
+        got.foreach { sd =>
+          val tf = oracle.postings("query").find(_._1 == sd.docId).get._2
+          val s = oracle.bm25.score(
+            oracle.bm25.idf(oracle.df("query")), tf, oracle.docLen(sd.docId))
+          assert(sd.score === s, s"round $round doc ${sd.docId}")
+        }
+        // prefix-ONLY group: drives on the union alone, constant score 0
+        val gotOnly = WandScorer.conjunctive(Nil, Map.empty,
+          Nil, Seq(cursorsFor(oracle, exps).values.toSeq)).toSeq
+        val expOnly = corpus.collect {
+          case (id, c) if graft.analyze.CodeAnalyzer.analyze(c)
+            .exists(_.startsWith(prefix)) => id
+        }.sorted
+        assert(gotOnly.map(_.docId) === expOnly, s"round $round prefix-only")
+        assert(gotOnly.forall(_.score == 0.0))
+      }
+    }
+    assert(effective > 30)
+  }
+
   test("tie-break: equal scores ordered by docId asc") {
     // identical docs => identical scores; top-k must pick lowest docIds
     val docs = (0 until 20).map(i => (100L - i, "alpha beta alpha"))
