@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MatchTvf.explainUsage, ""),
       (exprs: Seq[Expression]) => MatchTvf.buildExplain(exprs)))
     e.injectTableFunction((
+      FunctionIdentifier("highlight"),
+      new ExpressionInfo(MatchTvf.getClass.getName, null, "highlight",
+        MatchTvf.highlightUsage, ""),
+      (exprs: Seq[Expression]) => MatchTvf.buildHighlight(exprs)))
+    e.injectTableFunction((
       FunctionIdentifier("ann_topk"),
       new ExpressionInfo(AnnTvf.getClass.getName, null, "ann_topk",
         AnnTvf.usage, ""),

@@ -96,6 +96,7 @@ object SparkEntry {
     "q78_prefix_search" -> (SearchOps.qPrefixSearch _),
     "q79_prefix_cap_metrics" -> (SearchOps.qPrefixCapMetrics _),
     "q80_prefix_match_where" -> (SearchOps.qPrefixMatchWhere _),
+    "q81_highlight" -> (SearchOps.qHighlight _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -321,6 +322,7 @@ object SparkEntry {
     "q78_prefix_search" -> SearchOps.prefixSearchOracleSql,
     "q79_prefix_cap_metrics" -> SearchOps.prefixCapMetricsOracleSql,
     "q80_prefix_match_where" -> SearchOps.prefixMatchWhereOracleSql,
+    "q81_highlight" -> SearchOps.highlightOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -36,6 +36,12 @@ final case class ScoredDoc(docId: Long, score: Double)
 final case class ScoreExplain(term: String, df: Long, idf: Double,
                               tf: Int, dl: Int, contribution: Double)
 
+/** One query term's match positions in a document (the ES highlighter
+  * shape: QueryEngine.highlight). Positions are post-filter token
+  * emission indices — the same space phrase matching and the SQL
+  * oracles' sliding-window checks use. */
+final case class HighlightTerm(term: String, positions: Seq[Int])
+
 object ScoredDoc {
   /** Heap/merge ordering: "better" = higher score, then lower docId. */
   val betterOrdering: Ordering[ScoredDoc] = new Ordering[ScoredDoc] {

@@ -321,6 +321,50 @@ final class QueryEngine(spark: SparkSession, val root: String,
     }
   }
 
+  /** The ES highlighter analogue: per-term match POSITIONS of one
+    * document against a query — the user-facing read of the positional
+    * posBlocks column beyond phrase filtering. Wildcards expand like
+    * topK (ranked, capped); terms are returned in query/expansion order,
+    * positions ascending. Point lookup: term-IN pruned postingsFull read
+    * + per-(shard,term) skip-advance, same driver/distributed gate as
+    * explainScore — only the landing block's position bytes are ever
+    * decoded. */
+  def highlight(query: String, docId: Long): Seq[HighlightTerm] = {
+    requirePositions()
+    val terms = QueryParser
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1)
+    val dfs = termDfs(terms)
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return Nil
+    val rows = postingsFull.where(col("term").isin(present: _*)).as[PostingRowPos]
+    val totalPostings = present.map(dfs).sum
+    val hits: Map[String, Seq[Int]] =
+      if (totalPostings <= driverPathMaxPostings) {
+        val collected = rows.collect()
+        present.flatMap { t =>
+          collected.filter(_.term == t).groupBy(_.shard).values.flatMap { rs =>
+            val cur = QueryEngine.termCursorsPos(rs.toSeq, bm25, dfs)(t)
+            cur.advanceTo(docId)
+            if (!cur.exhausted && cur.curDoc == docId)
+              Some(t -> cur.curPositions.toSeq)
+            else None
+          }
+        }.toMap
+      } else {
+        val (bm, dfsB, target) = (bm25, dfs, docId)
+        rows.groupByKey(r => (r.shard, r.term))
+          .flatMapGroups { (key: (Int, String), it: Iterator[PostingRowPos]) =>
+            val t = key._2
+            val cur = QueryEngine.termCursorsPos(it.toSeq, bm, dfsB)(t)
+            cur.advanceTo(target)
+            if (!cur.exhausted && cur.curDoc == target)
+              Iterator.single((t, cur.curPositions.toSeq))
+            else Iterator.empty
+          }.collect().toMap
+      }
+    present.flatMap(t => hits.get(t).map(ps => HighlightTerm(t, ps)))
+  }
+
   /** FILTER-context boolean retrieval: the FULL matching docId set (no
     * scores, no k-cut) as a DataFrame — the hit set of a
     * `WHERE match(...)` can be corpus-sized, so it is never collected:

@@ -310,6 +310,36 @@ object SearchOps {
        |        AND len(list_filter(toks, w -> w LIKE 'mer%')) > 0)
        |ORDER BY doc_id""".stripMargin
 
+  /** q81: the ES highlighter analogue DRIVER-ORACLED — per-term match
+    * positions of one fixed document (table doc ExplainDocId) against
+    * the frozen demo query, read from the index's positional posBlocks
+    * (QueryEngine.highlight). The oracle recomputes positions from the
+    * SAME filtered token stream the phrase oracles window over:
+    * positions are post-filter emission indices, 0-based. */
+  def qHighlight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = docEngine(spark, dir)
+    val ids = eng.docmeta.where(col("path") === s"doc_$ExplainDocId")
+      .select(col("docId")).as[Long].take(1)
+    require(ids.nonEmpty, s"doc_$ExplainDocId missing from the index")
+    eng.highlight(QueryTerms.mkString(" "), ids.head)
+      .flatMap(h => h.positions.map(p => (h.term, p.toLong)))
+      .toDF("term", "pos")
+      .orderBy("term", "pos")
+  }
+
+  def highlightOracleSql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH ${bm25CtesTokensOnly()},
+       |d AS (SELECT toks FROM docs WHERE doc_id = $ExplainDocId),
+       |t AS (SELECT unnest($termList) AS term)
+       |SELECT term,
+       |  CAST(unnest(list_filter(range(len(toks)), i -> toks[i+1] = term))
+       |    AS BIGINT) AS pos
+       |FROM d, t
+       |ORDER BY term, pos""".stripMargin
+  }
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

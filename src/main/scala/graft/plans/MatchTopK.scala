@@ -107,7 +107,41 @@ object MatchStrategy extends SparkStrategy {
     case a: AnnTopK => AnnTopKExec(a) :: Nil
     case i: MatchIds => MatchIdsExec(i) :: Nil
     case x: ExplainScore => ExplainScoreExec(x) :: Nil
+    case h: Highlight => HighlightExec(h) :: Nil
     case _ => Nil
+  }
+}
+
+/** The ES highlighter shape on the SQL surface:
+  *   SELECT * FROM highlight('<indexRoot>', '<query>', docId)
+  * one row per (matching query term, token position) — exploded so the
+  * relation carries scalars only (composes with ORDER BY/joins, and the
+  * driver comparator hashes it directly). */
+case class Highlight(indexRoot: String, query: String, docId: Long,
+                     override val output: Seq[Attribute] = Highlight.freshOutput())
+    extends LeafNode
+
+object Highlight {
+  val schema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false)))
+  def freshOutput(): Seq[Attribute] = schema
+    .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+}
+
+case class HighlightExec(plan: Highlight) extends LeafExecNode {
+  override val output: Seq[Attribute] = plan.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    val eng = MatchTopKExec.engineFor(session, plan.indexRoot)
+    val rows: Seq[InternalRow] =
+      eng.highlight(plan.query, plan.docId).flatMap { h =>
+        h.positions.map(p => InternalRow(UTF8String.fromString(h.term), p))
+      }
+    sparkContext.parallelize(rows, 1).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Highlight.schema)
+      it.map(r => proj(r).copy())
+    }
   }
 }
 
@@ -210,6 +244,18 @@ object MatchTvf {
     require(args.size == 3,
       "explain_score(indexRoot, query, docId) takes 3 arguments")
     ExplainScore(strArg(args(0), "indexRoot"), strArg(args(1), "query"),
+      longArg(args(2), "docId"))
+  }
+
+  val highlightUsage = "highlight(indexRoot, query, docId) - per-term " +
+    "match positions of one document as a relation (term, pos); " +
+    "positions are post-filter token indices (the phrase-match space); " +
+    "wildcard terms expand like the scored search"
+
+  def buildHighlight(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      "highlight(indexRoot, query, docId) takes 3 arguments")
+    Highlight(strArg(args(0), "indexRoot"), strArg(args(1), "query"),
       longArg(args(2), "docId"))
   }
 }

@@ -43,6 +43,13 @@ object VerifyProbe {
       " hits (dead group dropped)")
     val (kept, total) = eng.expandPrefix("s", cap = 2)
     println(s"PROBE expansion cap -> kept=${kept.size} of total=$total: $kept")
+    val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
+    println("PROBE highlight -> " +
+      eng.highlight("posting reader", hlDoc).map(h =>
+        s"${h.term}@${h.positions.mkString("/")}").mkString(" "))
+    println("PROBE highlight wildcard -> " +
+      eng.highlight("post*", hlDoc).size + " terms")
+    println("PROBE highlight unknown doc -> " + eng.highlight("def", -1L))
 
     // rebuild over a committed index: must be a no-op (all shards done)
     val r = IndexBuilder.build(spark, corpus, root, numShards = 4)

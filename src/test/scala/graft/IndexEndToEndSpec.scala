@@ -171,6 +171,48 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
       eng.booleanTopK("\"posting reader\"", 5)
     }
     assert(e.getMessage.contains("positional postings"))
+    // highlight needs positions too
+    val eh = intercept[IllegalArgumentException] {
+      eng.highlight("posting reader", eng.docmeta.select("docId")
+        .head().getLong(0))
+    }
+    assert(eh.getMessage.contains("positional postings"))
+  }
+
+  test("HIGHLIGHT: per-term positions == exhaustive re-analysis (incl. wildcards)") {
+    val contentById: Map[Long, String] = {
+      val byKey = corpusDocs.map(d => (d.repo, d.path, d.commit) -> d.content).toMap
+      engine.docmeta.select("docId", "repo", "path", "commit").collect()
+        .map(r => r.getLong(0) ->
+          byKey((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    }
+    val queries = Seq("posting reader segment", "computeHashValue def",
+      "post* merge", "zzznope")
+    var checked = 0
+    contentById.keys.toSeq.sorted.take(25).foreach { id =>
+      val content = contentById(id)
+      val (posMap, _) = CodeAnalyzer.termPositions(content)
+      queries.foreach { q =>
+        val got = engine.highlight(q, id)
+        // expected terms: resolved query terms present in the doc, in
+        // resolution order; positions = the analyzer's emission indices
+        val resolved = QueryParser.resolveScored(
+          QueryParser.parseScored(q), p => engine.expandPrefix(p)._1)
+        val exp = resolved.flatMap(t =>
+          posMap.get(t).map(ps => (t, ps.toSeq)))
+        assert(got.map(h => (h.term, h.positions)) === exp,
+          s"doc $id query '$q'")
+        checked += 1
+      }
+    }
+    assert(checked == 100)
+    // tf consistency: positions count == explainScore's tf per term
+    val q = "posting reader"
+    val docWith = engine.booleanTopK(q, 1).head.docId
+    val hl = engine.highlight(q, docWith).map(h => h.term -> h.positions.length).toMap
+    engine.explainScore(q, docWith).foreach { e =>
+      assert(hl(e.term) == e.tf, s"term ${e.term}")
+    }
   }
 
   test("explainScore: per-term breakdown sums bit-exactly to the engine score") {

@@ -91,6 +91,39 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
       assert(s2.sql(
         s"SELECT count(*) AS n FROM explain_score('$root', 'zzznope', 0)")
         .collect().head.getLong(0) == 0L)
+      // highlight TVF: per-term positions of a hit doc reproduce the
+      // exhaustive re-analysis, and tf == position count vs explain_score
+      val hq = "buildPostingList mergeSortedRuns"
+      val hDoc = new QueryEngine(s2, root).booleanTopK("posting reader", 1)
+        .head.docId
+      val hlRows = s2.sql(
+        s"SELECT term, pos FROM highlight('$root', 'posting reader', $hDoc)")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(hlRows.nonEmpty)
+      val hMeta = new QueryEngine(s2, root).docmeta
+        .where(org.apache.spark.sql.functions.col("docId") === hDoc)
+        .select("repo", "path", "commit").head()
+      val hContent = CorpusGen.dataset(s2, 400, 42L, 4)
+        .filter(d => d.repo == hMeta.getString(0) &&
+          d.path == hMeta.getString(1) && d.commit == hMeta.getString(2))
+        .head().content
+      val posMap = graft.analyze.CodeAnalyzer.termPositions(hContent)._1
+      Seq("posting", "reader").foreach { t =>
+        assert(hlRows.filter(_._1 == t).map(_._2).toSeq === posMap(t).toSeq, t)
+      }
+      val exTf = s2.sql(
+        s"SELECT term, tf FROM explain_score('$root', 'posting reader', $hDoc)")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      exTf.foreach { case (t, tf) =>
+        assert(hlRows.count(_._1 == t) == tf, s"tf mismatch for $t")
+      }
+      // unknown doc / unknown terms -> empty relation, no error
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM highlight('$root', 'zzznope', $hDoc)")
+        .collect().head.getLong(0) == 0L)
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM highlight('$root', '$hq', -1)")
+        .collect().head.getLong(0) == 0L)
       // the injected match() WHERE-predicate works on an extension-built
       // session too (injectFunction + injectOptimizerRule wiring)
       val sf = "/root/testdata/sf0.001"
