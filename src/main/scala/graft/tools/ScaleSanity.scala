@@ -21,11 +21,22 @@ object ScaleSanity {
     // never read positions, so they stay r4-comparable, and phrase
     // scaling is measured at 1M/2M (positions on)
     val positions = sys.env.getOrElse("GRAFT_SCALE_POSITIONS", "true").toBoolean
-    println(s"[scale] positions=$positions")
+    // GRAFT_SCALE_PASSES > 1 bounds per-pass scratch: the bulk build runs
+    // in checkpointed passes of numShards/passes input shards each (the
+    // buildAll resume loop — each pass analyzes and shuffles only its own
+    // shards' docs, so peak shuffle+spill is ~1/passes of the single-pass
+    // build). This is how the 4M-doc POSITIONAL point fits this sandbox's
+    // ~67 GB scratch disk, and exactly the per-partition-checkpoint story
+    // the north rule's 10^12-file build needs anyway.
+    val passes = sys.env.getOrElse("GRAFT_SCALE_PASSES", "1").toInt
+    println(s"[scale] positions=$positions passes=$passes")
     // two batches then a merge: the full lifecycle at scale
     val r1 = timed(s"build batch0 ${nDocs}") {
-      IndexBuilder.build(spark, CorpusGen.dataset(spark, nDocs, 42L, 128), root,
-        64, positions = positions)
+      val corpus = CorpusGen.dataset(spark, nDocs, 42L, 128)
+      if (passes <= 1) IndexBuilder.build(spark, corpus, root, 64,
+        positions = positions)
+      else IndexBuilder.buildAll(spark, corpus, root, 64,
+        shardsPerPass = (64 + passes - 1) / passes, positions = positions)
     }
     println(s"[scale] batch0 docs/sec note: segments=${r1.manifest.segments.size} docs=${r1.manifest.numDocs}")
     import spark.implicits._
