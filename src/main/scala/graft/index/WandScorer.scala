@@ -215,6 +215,12 @@ object WandScorer {
     queryOrder.foreach(t => cursorsByTerm.get(t).foreach { c =>
       if (!c.exhausted) live += c
     })
+    // maxScore is FIXED per cursor: sort once; filterInPlace below keeps
+    // relative order, so `live` stays maxScore-ascending for the split
+    // (was a fresh O(T log T) sort + allocation per pivot iteration)
+    val sortedLive = live.sortBy(_.maxScore)
+    live.clear()
+    live ++= sortedLive
     val ordered: Array[PostingCursor] =
       queryOrder.flatMap(cursorsByTerm.get).toArray // frozen sum order
 
@@ -223,7 +229,7 @@ object WandScorer {
       // MAXSCORE split: cheapest-bound-first, the longest prefix whose
       // cumulative upper bound stays STRICTLY below theta cannot lift
       // any doc into the heap on its own — non-essential.
-      val byMax = live.sortBy(_.maxScore)
+      val byMax = live
       var nonEssUb = 0.0
       var split = 0
       if (top.isFull) {

@@ -44,6 +44,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
     // interleaving (merge re-blocking, rebase renumbering, appends)
     val phraseQueries = Seq("\"posting reader\" def",
       "\"merge sorted runs\", \"block max score\"")
+    val prefixQueries = Seq("merge* runs", "var*")
 
     def checkParity(step: String): Unit = {
       val eng = new QueryEngine(spark, root)
@@ -73,6 +74,19 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         assert(got.map(_.docId) == exp.map(_.docId), s"$step: phrase '$q'")
         got.zip(exp).foreach { case (g, e) =>
           assert(g.score == e.score, s"$step: phrase '$q' scores") }
+      }
+      // wildcards: the dict-backed expansion must track every lifecycle
+      // step (a merge materializes the dict; appends invalidate it back
+      // to derived dfs — expansion ranking must stay oracle-identical)
+      prefixQueries.foreach { q =>
+        val got = eng.topK(q, 10)
+        val exp = oracle.topK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: prefix '$q'")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: prefix '$q' scores") }
+        val gotB = eng.booleanTopK(q + ", post* reader", 10)
+        val expB = oracle.booleanTopK(q + ", post* reader", 10)
+        assert(gotB.map(_.docId) == expB.map(_.docId), s"$step: boolprefix '$q'")
       }
     }
     checkParity("after bulk")

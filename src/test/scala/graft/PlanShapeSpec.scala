@@ -72,6 +72,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(full.contains("posBlocks"), full)
   }
 
+  test("prefix expansion dict scan pushes StringStartsWith") {
+    val eng = SearchOps.docEngine(spark, sf)
+    val p = plan(eng.dict.where(
+      org.apache.spark.sql.functions.col("term").startsWith("s")))
+    assert(p.contains("StringStartsWith(term,s)"),
+      s"prefix expansion must push the StartsWith filter:\n$p")
+  }
+
+  test("highlight/explain point lookups push term-IN AND the docId's shard") {
+    val eng = SearchOps.docEngine(spark, sf)
+    val filtered = eng.postings.where(
+      org.apache.spark.sql.functions.col("term").isin("spark", "query") &&
+        org.apache.spark.sql.functions.col("shard") === 3)
+    val p = plan(filtered)
+    assert(p.contains("In(term") && p.contains("EqualTo(shard,3)"),
+      s"point lookup must push both filters:\n$p")
+  }
+
   test("docmeta point-lookup pushes the docId IN-filter") {
     val eng = SearchOps.docEngine(spark, sf)
     val p = plan(eng.docmeta.where(
