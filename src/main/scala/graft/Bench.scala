@@ -288,8 +288,10 @@ object Bench {
       // r5 additions: positional phrase search, literal-vector ANN
       "q76_phrase_search", "q77_ann_vec_literal",
       // r6 additions: prefix/wildcard queries (scored, cap metrics,
-      // filter-context match)
-      "q78_prefix_search", "q79_prefix_cap_metrics", "q80_prefix_match_where")
+      // filter-context match), highlight positions, negation (scored +
+      // filter-context)
+      "q78_prefix_search", "q79_prefix_cap_metrics", "q80_prefix_match_where",
+      "q81_highlight", "q82_neg_search", "q83_neg_match_where")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"

@@ -97,6 +97,8 @@ object SparkEntry {
     "q79_prefix_cap_metrics" -> (SearchOps.qPrefixCapMetrics _),
     "q80_prefix_match_where" -> (SearchOps.qPrefixMatchWhere _),
     "q81_highlight" -> (SearchOps.qHighlight _),
+    "q82_neg_search" -> (SearchOps.qNegSearch _),
+    "q83_neg_match_where" -> (SearchOps.qNegMatchWhere _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -323,6 +325,8 @@ object SparkEntry {
     "q79_prefix_cap_metrics" -> SearchOps.prefixCapMetricsOracleSql,
     "q80_prefix_match_where" -> SearchOps.prefixMatchWhereOracleSql,
     "q81_highlight" -> SearchOps.highlightOracleSql,
+    "q82_neg_search" -> SearchOps.negSearchOracleSql,
+    "q83_neg_match_where" -> SearchOps.negMatchWhereOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -37,6 +37,11 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
   def prefixInDoc(id: Long, prefix: String): Boolean =
     CodeAnalyzer.analyze(contentById(id)).exists(_.startsWith(prefix))
 
+  /** Exhaustive token-presence check (negation's obviously-correct
+    * reference: re-analyze, look for the token). */
+  def termInDoc(id: Long, term: String): Boolean =
+    CodeAnalyzer.analyze(contentById(id)).contains(term)
+
   /** Scored-context expansion: vocabulary terms with the prefix, ranked
     * df-desc/term-asc, capped — the frozen selection the engine's dict
     * expansion must reproduce. */
@@ -114,10 +119,13 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       val candidates: Iterable[Long] =
         if (perTerm.nonEmpty) perTerm.map(_._2.keySet).reduce(_ intersect _)
         else docLen.keys
-      // phrases and prefixes FILTER, never score
+      // phrases and prefixes FILTER, never score; negations EXCLUDE
       val common = candidates
         .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)) &&
-                      group.prefixes.forall(p => prefixInDoc(id, p)))
+                      group.prefixes.forall(p => prefixInDoc(id, p)) &&
+                      !group.negTerms.exists(t => termInDoc(id, t)) &&
+                      !group.negPrefixes.exists(p => prefixInDoc(id, p)) &&
+                      !group.negPhrases.exists(ph => phraseInDoc(id, ph)))
       common.toSeq.sorted.foreach { id =>
         var s = 0.0
         val dl = docLen(id)
@@ -143,9 +151,32 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
   * they FILTER, never score (the Lucene/ES constant-score rewrite of
   * multi-term queries in boolean context), so group scores stay the
   * plain fixed-order sum over `terms` and the SQL oracle stays
-  * expressible. */
+  * expressible.
+  *
+  * Negations (the ES query_string `-` operator, must_not clauses) are
+  * PROHIBITIONS — a doc matching any of them is excluded from the group:
+  *  - `negTerms`: excluded if the doc contains ANY of these tokens
+  *    (`-word` analyzes like a match query: every resulting token
+  *    prohibits — ES must_not + match semantics);
+  *  - `negPrefixes`: excluded if any doc token starts with one;
+  *  - `negPhrases`: excluded if the phrase occurs at consecutive
+  *    post-filter positions (`-"a b"`; a span analyzing to <2 tokens
+  *    degrades to its bare negTerms, mirroring the positive rule).
+  * Prohibitions FILTER only — they contribute nothing to the score sum
+  * and their tokens are NOT group terms.
+  *
+  * `fuzzies` are edit-distance requirements (`word~1`, the ES
+  * query_string fuzzy operator): the doc must contain at least one token
+  * within the stated Levenshtein distance of the stem. Like prefixes
+  * they FILTER in boolean context (constant-score rewrite), and
+  * `negFuzzies` prohibit the same way. */
 final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
-                            prefixes: Seq[String] = Nil)
+                            prefixes: Seq[String] = Nil,
+                            negTerms: Seq[String] = Nil,
+                            negPrefixes: Seq[String] = Nil,
+                            negPhrases: Seq[Seq[String]] = Nil,
+                            fuzzies: Seq[(String, Int)] = Nil,
+                            negFuzzies: Seq[(String, Int)] = Nil)
 
 /** Scored-query atom: a plain analyzed term, or a trailing-`*` prefix.
   * Wildcard words BYPASS the analyzer (the Lucene query_string contract:
@@ -154,6 +185,10 @@ final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
 sealed trait QueryAtom extends Serializable
 final case class TermAtom(term: String) extends QueryAtom
 final case class PrefixAtom(prefix: String) extends QueryAtom
+/** `word~n` — expands to dictionary terms within Levenshtein distance
+  * `maxEd` of the stem. Like wildcards, fuzzy words BYPASS the analyzer
+  * (lowercased verbatim — the Lucene FuzzyQuery contract). */
+final case class FuzzyAtom(stem: String, maxEd: Int) extends QueryAtom
 
 /** "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641):
   * OR groups split on ',', AND terms split on whitespace, every word run
@@ -165,9 +200,18 @@ final case class PrefixAtom(prefix: String) extends QueryAtom
   * A phrase that analyzes to fewer than two tokens degrades to its bare
   * terms (no positional constraint to enforce); an unbalanced quote is
   * treated as whitespace. Commas split BEFORE quotes are read, so a
-  * phrase cannot span OR groups. */
+  * phrase cannot span OR groups.
+  *
+  * A leading `-` negates the word/wildcard/quoted span (the ES
+  * query_string must_not operator): see MatchGroup for the prohibition
+  * semantics. Negation exists on the BOOLEAN surface only — the scored
+  * disjunctive parse (`parseScored`, the ES `match` analogue) has no
+  * operators, so `-foo` there analyzes to the plain term `foo`, exactly
+  * as an ES match query would. Groups that carry prohibitions but no
+  * positive requirement are rejected loudly (Lucene matches nothing on
+  * must_not-only boolean queries; at corpus scale the complement walk
+  * would be an accidental full scan). */
 object QueryParser {
-  private val PhraseRe = "\"([^\"]*)\"".r
 
   /** Cap on dictionary expansions of one prefix in SCORED contexts (the
     * Lucene top-terms rewrite budget; ES match_phrase_prefix defaults to
@@ -186,21 +230,63 @@ object QueryParser {
       Some(w.init.toLowerCase)
     else None
 
-  def parseGroups(query: String): Seq[MatchGroup] =
-    query.split(',').toSeq.map { g =>
-      val phrases = PhraseRe.findAllMatchIn(g)
-        .map(m => CodeAnalyzer.analyze(m.group(1)))
-        .filter(_.length >= 2).toSeq
-      // quotes stripped: phrase words are ordinary AND terms as well;
-      // wildcard detection runs on the quote-stripped words, so a `*`
+  /** Is this word a negation? (`-` + at least one more char). The `-`
+    * only negates at word START — `a-b` stays one positive word for the
+    * analyzer (which strips the hyphen like any punctuation). */
+  private def negStem(w: String): Option[String] =
+    if (w.length >= 2 && w.charAt(0) == '-') Some(w.tail) else None
+
+  /** Quoted span with an optional leading `-` (negated phrase). */
+  private val SpanRe = "(-?)\"([^\"]*)\"".r
+
+  def parseGroups(query: String): Seq[MatchGroup] = {
+    val out = query.split(',').toSeq.map { g =>
+      val posPhrases = mutable.Buffer.empty[Seq[String]]
+      val negPhrases = mutable.Buffer.empty[Seq[String]]
+      val negPhraseTerms = mutable.Buffer.empty[String]
+      // quoted spans first: a positive span keeps its words in the
+      // residual (phrase words are ordinary AND terms as well — the
+      // phrase only adds the positional constraint); a NEGATED span is
+      // removed entirely (its tokens prohibit, they are not required).
+      // Wildcard detection runs on the span-stripped words, so a `*`
       // inside a phrase never becomes a prefix (no wildcard-in-phrase
-      // semantics — same restriction as Lucene's match_phrase)
-      val words = g.replace('"', ' ').trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      val prefixes = words.flatMap(wildcardStem).distinct
-      val terms = words.filter(wildcardStem(_).isEmpty)
+      // semantics — same restriction as Lucene's match_phrase).
+      val residual = SpanRe.replaceAllIn(g, m => {
+        val toks = CodeAnalyzer.analyze(m.group(2))
+        if (m.group(1) == "-") {
+          if (toks.length >= 2) negPhrases += toks else negPhraseTerms ++= toks
+          " "
+        } else {
+          if (toks.length >= 2) posPhrases += toks
+          scala.util.matching.Regex.quoteReplacement(" " + m.group(2) + " ")
+        }
+      })
+      // any quote left over is unbalanced: treated as whitespace
+      val words = residual.replace('"', ' ').trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      val (negWords, posWords) = words.partition(negStem(_).isDefined)
+      val negStems = negWords.flatMap(negStem)
+      val negPrefixes = negStems.flatMap(wildcardStem).distinct
+      val negTerms = (negStems.filter(wildcardStem(_).isEmpty)
+        .flatMap(w => CodeAnalyzer.analyze(w)) ++ negPhraseTerms).distinct
+      val prefixes = posWords.flatMap(wildcardStem).distinct
+      val terms = posWords.filter(wildcardStem(_).isEmpty)
         .flatMap(w => CodeAnalyzer.analyze(w)).distinct
-      MatchGroup(terms, phrases, prefixes)
-    }.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty)
+      MatchGroup(terms, posPhrases.toSeq, prefixes,
+        negTerms, negPrefixes, negPhrases.toSeq)
+    }
+    // a group with prohibitions but no positive requirement is rejected
+    // LOUDLY: Lucene's BooleanQuery matches nothing on must_not-only
+    // clauses, and silently walking the complement at corpus scale is an
+    // accidental full scan — the user must supply a positive anchor
+    out.foreach { g =>
+      require(g.terms.nonEmpty || g.prefixes.nonEmpty ||
+        (g.negTerms.isEmpty && g.negPrefixes.isEmpty && g.negPhrases.isEmpty),
+        s"pure-negative group in query '$query': every OR-group with a " +
+          "negation needs at least one required term/prefix/phrase")
+    }
+    out.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty)
+  }
 
   /** Terms-only view (scoring order; used by paths with no positional
     * machinery — the full structure is parseGroups). */

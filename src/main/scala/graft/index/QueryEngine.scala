@@ -50,6 +50,27 @@ object QueryEngine {
       t -> new PostingCursor(t, bm.idf(dfs(t)),
         sorted.map(r => (r.blocks, r.skips, r.posBlocks)), bm)
     }
+
+  /** Per-shard prohibition cursors for one group: one exclusion cursor
+    * per negated term / negated-prefix expansion present in the shard,
+    * plus each negated phrase's OWN cursor map (tokens may overlap the
+    * group's required terms — sharing cursors would double-advance).
+    * Static: distributed closures must capture only (bm, dfs, exp). */
+  private[index] def negCursorSets(group: MatchGroup, rs: Seq[PostingRowPos],
+      expB: Map[String, Set[String]], bm: Bm25, dfsB: Map[String, Long])
+      : (Seq[PostingCursor], Seq[(Seq[String], Map[String, PostingCursor])]) = {
+    val exclTerms: Set[String] =
+      (group.negTerms ++ group.negPrefixes.flatMap(expB(_))).toSet
+    val negCur =
+      if (exclTerms.isEmpty) Nil
+      else termCursorsPos(
+        rs.filter(r => exclTerms.contains(r.term)), bm, dfsB).values.toSeq
+    val negPh = group.negPhrases.map { ph =>
+      val phSet = ph.toSet
+      ph -> termCursorsPos(rs.filter(r => phSet.contains(r.term)), bm, dfsB)
+    }
+    (negCur, negPh)
+  }
 }
 
 final class QueryEngine(spark: SparkSession, val root: String,
@@ -191,17 +212,40 @@ final class QueryEngine(spark: SparkSession, val root: String,
   /** Shared boolean-path prep: filter-context prefix expansion (uncapped)
     * plus group validity — a group is dead if any concrete term is absent
     * from the dict OR any of its prefixes expands to nothing. Returns
-    * (valid groups, dfs incl. expansions, prefix -> expansion terms). */
+    * (valid groups, dfs incl. expansions, prefix -> expansion terms).
+    *
+    * Prohibitions prune the other way: a negated term/prefix/phrase that
+    * cannot occur anywhere (absent from the dict, empty expansion) is a
+    * no-op and is DROPPED from the group — never a reason to kill it. */
   private def prepGroups(groups: Seq[MatchGroup])
       : (Seq[MatchGroup], Map[String, Long], Map[String, Set[String]]) = {
     val exp: Map[String, Map[String, Long]] =
-      groups.flatMap(_.prefixes).distinct
+      (groups.flatMap(_.prefixes) ++ groups.flatMap(_.negPrefixes)).distinct
         .map(p => p -> expandPrefixAll(p)).toMap
-    val dfs = termDfs(groups.flatMap(_.terms).distinct) ++ exp.values.flatten
-    val valid = groups.filter(g => g.terms.forall(dfs.contains) &&
-      g.prefixes.forall(p => exp(p).nonEmpty))
+    val dfs = termDfs((groups.flatMap(_.terms) ++ groups.flatMap(_.negTerms) ++
+      groups.flatMap(_.negPhrases).flatten).distinct) ++ exp.values.flatten
+    val valid = groups
+      .map(g => g.copy(
+        negTerms = g.negTerms.filter(dfs.contains),
+        negPrefixes = g.negPrefixes.filter(p => exp(p).nonEmpty),
+        negPhrases = g.negPhrases.filter(_.forall(dfs.contains))))
+      .filter(g => g.terms.forall(dfs.contains) &&
+        g.prefixes.forall(p => exp(p).nonEmpty))
     (valid, dfs, exp.view.mapValues(_.keySet).toMap)
   }
+
+  /** The postings the boolean paths must read for these (prepped) groups:
+    * required terms, filter-context expansions, and every surviving
+    * prohibition's lists (exclusion advances pay their posting volume —
+    * the Lucene must_not cost model). */
+  private def groupReadSet(valid: Seq[MatchGroup],
+                           expSets: Map[String, Set[String]]): Seq[String] =
+    (valid.flatMap(_.terms) ++
+      valid.flatMap(_.prefixes).flatMap(expSets(_)) ++
+      valid.flatMap(_.negTerms) ++
+      valid.flatMap(_.negPrefixes).flatMap(expSets(_)) ++
+      valid.flatMap(_.negPhrases).flatten).distinct
+
 
   /** Boolean keyword query: "spaces are ANDs commas are ORs"
     * (/root/reference/sentiment.py:638-641); quoted spans add positional
@@ -214,10 +258,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
     if (groups.isEmpty) return Nil
     val (valid, dfs, expSets) = prepGroups(groups)
     if (valid.isEmpty) return Nil
-    val needPos = valid.exists(_.phrases.nonEmpty)
+    val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = (valid.flatMap(_.terms) ++
-      valid.flatMap(_.prefixes).flatMap(expSets(_))).distinct
+    val validTerms = groupReadSet(valid, expSets)
     val rows = postingRowsFor(validTerms, needPos)
     val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
 
@@ -240,8 +283,10 @@ final class QueryEngine(spark: SparkSession, val root: String,
           QueryEngine.termCursorsPos(
             rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
         }
+        val (negCur, negPh) = QueryEngine.negCursorSets(group, rs, expB, bm, dfsB)
         val groupTop = new ScoredDoc.TopK(k)
-        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets)
+        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
+            negCur, negPh)
           .foreach(groupTop.offer)
         groupTop.result()
       }
@@ -391,10 +436,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
     if (groups.isEmpty) return empty
     val (valid, dfs, expSets) = prepGroups(groups)
     if (valid.isEmpty) return empty
-    val needPos = valid.exists(_.phrases.nonEmpty)
+    val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = (valid.flatMap(_.terms) ++
-      valid.flatMap(_.prefixes).flatMap(expSets(_))).distinct
+    val validTerms = groupReadSet(valid, expSets)
     val rows = postingRowsFor(validTerms, needPos)
     val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
     def shardIds(rs: Seq[PostingRowPos]): Iterator[Long] = {
@@ -406,7 +450,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
           QueryEngine.termCursorsPos(
             rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
         }
-        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets)
+        val (negCur, negPh) = QueryEngine.negCursorSets(group, rs, expB, bm, dfsB)
+        WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
+            negCur, negPh)
           .foreach(sd => seen += sd.docId)
       }
       seen.iterator

@@ -32,5 +32,9 @@ object ReferenceQueries {
   val prefixQueries: Seq[String] = entries.filter(_._4 == "prefix").map(_._2)
   val boolPrefixQueries: Seq[String] =
     entries.filter(_._4 == "boolprefix").map(_._2)
+  /** Negation queries (the ES query_string `-` / must_not operator) —
+    * boolean path; prohibited terms/prefixes/phrases EXCLUDE docs,
+    * never score. Own kind, same reason as above. */
+  val negQueries: Seq[String] = entries.filter(_._4 == "boolneg").map(_._2)
   val topK = 10
 }

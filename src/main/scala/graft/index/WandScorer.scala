@@ -352,10 +352,23 @@ object WandScorer {
     * phrase tokens are required to be part of groupOrder, so their
     * cursors are aligned on the candidate when the check runs. Scores
     * stay the plain AND-group sum — a phrase FILTERS, it does not boost
-    * (frozen semantics, what the SQL oracle reproduces). */
+    * (frozen semantics, what the SQL oracle reproduces).
+    *
+    * Prohibitions (must_not): `negCursors` are exclusion lists — a
+    * candidate any of them lands on is skipped (Lucene's must_not
+    * iteration: the excluded list advances lazily alongside the
+    * intersection, so the cost is its posting volume, never a corpus
+    * walk). `negPhrases` carry their OWN cursor map per phrase (tokens
+    * may overlap group terms — shared cursors would double-advance):
+    * the doc is skipped iff every phrase token lands on it AND the
+    * phrase occurs consecutively. Cheap checks run first: term
+    * exclusions (skip-advance only), then required phrases, then
+    * negated phrases (both decode positions). */
   def conjunctive(groupOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
                   phrases: Seq[Seq[String]] = Nil,
-                  prefixSets: Seq[Seq[PostingCursor]] = Nil)
+                  prefixSets: Seq[Seq[PostingCursor]] = Nil,
+                  negCursors: Seq[PostingCursor] = Nil,
+                  negPhrases: Seq[(Seq[String], Map[String, PostingCursor])] = Nil)
       : Iterator[ScoredDoc] = {
     val termCursors = groupOrder.flatMap(cursorsByTerm.get).toArray
     if (termCursors.length < groupOrder.length || termCursors.exists(_.exhausted))
@@ -368,6 +381,38 @@ object WandScorer {
     val drivers: Array[DocCursor] =
       (termCursors.map(c => c: DocCursor) ++ unions.map(u => u: DocCursor)).toArray
     if (drivers.isEmpty) return Iterator.empty
+    val negArr = negCursors.toArray
+    // a negated phrase missing a token's cursor in this shard can never
+    // occur here — drop it up front
+    val negPhArr = negPhrases.filter { case (ph, cur) =>
+      ph.forall(cur.contains) }.toArray
+    def prohibitedByTerm(target: Long): Boolean = {
+      var i = 0
+      while (i < negArr.length) {
+        val c = negArr(i)
+        if (!c.exhausted) {
+          c.advanceTo(target)
+          if (!c.exhausted && c.curDoc == target) return true
+        }
+        i += 1
+      }
+      false
+    }
+    def prohibitedByPhrase(target: Long): Boolean = {
+      var i = 0
+      while (i < negPhArr.length) {
+        val (ph, cur) = negPhArr(i)
+        var landed = true
+        ph.foreach { t =>
+          val c = cur(t)
+          if (landed && !c.exhausted) c.advanceTo(target)
+          if (c.exhausted || c.curDoc != target) landed = false
+        }
+        if (landed && phraseMatch(cur, ph)) return true
+        i += 1
+      }
+      false
+    }
     new Iterator[ScoredDoc] {
       private var nextHit: ScoredDoc = _
       private var done = false
@@ -384,7 +429,9 @@ object WandScorer {
             i += 1
           }
           if (aligned) {
-            if (phrases.forall(ph => phraseMatch(cursorsByTerm, ph))) {
+            if (!prohibitedByTerm(target) &&
+                phrases.forall(ph => phraseMatch(cursorsByTerm, ph)) &&
+                !prohibitedByPhrase(target)) {
               // prefixes filter, never score: the sum runs over the
               // group's CONCRETE terms only (frozen order)
               var s = 0.0

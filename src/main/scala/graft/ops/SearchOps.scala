@@ -340,6 +340,85 @@ object SearchOps {
        |ORDER BY term, pos""".stripMargin
   }
 
+  /** q82: NEGATION in SCORED boolean search (the ES query_string `-`
+    * operator / must_not clauses) through the real engine — a group's
+    * prohibitions (negated terms, prefixes, quoted phrases) EXCLUDE docs
+    * but never score: group scores stay the fixed-order BM25 sum over
+    * the required terms, doc score = max over matching groups. */
+  val NegQuery = "\"merge sort\" spark -window, table scan -\"hash join\" -qu*"
+  /** (terms in scoring order, pos phrases, neg terms, neg prefixes,
+    * neg phrases) per OR-group — must stay in lockstep with
+    * QueryParser.parseGroups(NegQuery) (pinned in IndexEndToEndSpec). */
+  val NegGroups: Seq[(Seq[String], Seq[Seq[String]], Seq[String], Seq[String],
+      Seq[Seq[String]])] = Seq(
+    (Seq("merge", "sort", "spark"), Seq(Seq("merge", "sort")),
+      Seq("window"), Nil, Nil),
+    (Seq("table", "scan"), Nil, Nil, Seq("qu"), Seq(Seq("hash", "join"))))
+
+  def qNegSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.booleanTopK(NegQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def negSearchOracleSql: String = {
+    val allTerms = NegGroups.flatMap(_._1)
+    var idx = -1
+    val groupExprs = NegGroups.map { case (g, phrases, negT, negP, negPh) =>
+      val parts = g.map { _ => idx += 1; idx }
+      val req = parts.map(i => s"tf$i > 0") ++ phrases.map(phraseCondSql)
+      val negs = negT.map(t => s"NOT list_contains(toks, '$t')") ++
+        negP.map(p => s"len(list_filter(toks, w -> w LIKE '$p%')) = 0") ++
+        negPh.map(ph => "NOT " + phraseCondSql(ph))
+      val cond = (req ++ negs).mkString(" AND ")
+      val sum = parts.map(termScoreSql).mkString(" + ")
+      s"CASE WHEN $cond THEN $sum ELSE NULL END"
+    }
+    val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
+    val names = NegGroups.indices.map(i => s"g$i")
+    val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
+    val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    s"""WITH ${bm25Ctes(allTerms, carryToks = true)},
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE $anyMatch
+       |         ORDER BY $best DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
+  /** q83: negation in FILTER context — `WHERE match(text, '... -x ...')`
+    * through the semi-join rewrite; the prohibition rides the
+    * distributed match-set walk (exclusion cursors advance alongside the
+    * intersection), and the oracle is the plain row predicate. */
+  val NegMatchQuery = "query -window, merge join -\"table scan\" -qu*"
+
+  def qNegMatchWhere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureMatchSupport(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_neg_docs")
+    spark.sql(
+      s"""SELECT doc_id, lang FROM graft_neg_docs
+         |WHERE match(text, '$NegMatchQuery')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def negMatchWhereOracleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks
+       |  FROM documents)
+       |WHERE (list_contains(toks, 'query')
+       |        AND NOT list_contains(toks, 'window'))
+       |   OR (list_contains(toks, 'merge') AND list_contains(toks, 'join')
+       |        AND NOT ${phraseCondSql(Seq("table", "scan"))}
+       |        AND len(list_filter(toks, w -> w LIKE 'qu%')) = 0)
+       |ORDER BY doc_id""".stripMargin
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

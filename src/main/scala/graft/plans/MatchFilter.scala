@@ -62,7 +62,10 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
         val tokSet = toks.toSet
         groups.exists(g => g.terms.forall(tokSet.contains) &&
           g.phrases.forall(ph => toks.sliding(ph.length).exists(_ == ph)) &&
-          g.prefixes.forall(p => toks.exists(_.startsWith(p))))
+          g.prefixes.forall(p => toks.exists(_.startsWith(p))) &&
+          !g.negTerms.exists(tokSet.contains) &&
+          !g.negPrefixes.exists(p => toks.exists(_.startsWith(p))) &&
+          !g.negPhrases.exists(ph => toks.sliding(ph.length).exists(_ == ph)))
       }
     }
   }

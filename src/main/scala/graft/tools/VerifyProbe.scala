@@ -43,6 +43,20 @@ object VerifyProbe {
       " hits (dead group dropped)")
     val (kept, total) = eng.expandPrefix("s", cap = 2)
     println(s"PROBE expansion cap -> kept=${kept.size} of total=$total: $kept")
+    // negation edges: live exclusion, dead-neg no-op, self-prohibition,
+    // pure-negative rejection (scored surface has no operators: '-x' == x)
+    println("PROBE neg bool -> " + eng.booleanTopK("posting -reader", 5).size +
+      " hits (anchor alone " + eng.booleanTopK("posting", 5).size + ")")
+    println("PROBE dead-neg no-op -> " +
+      eng.booleanTopK("posting -zzzznope -zzz* -\"zzz qqq\"", 5).size + " hits")
+    println("PROBE self-neg -> " + eng.booleanTopK("merge -merge", 5))
+    try {
+      eng.booleanTopK("-posting", 5)
+      println("PROBE pure-negative -> NO ERROR (BAD)")
+    } catch { case e: IllegalArgumentException =>
+      println("PROBE pure-negative -> rejected: " + e.getMessage.take(60)) }
+    println("PROBE scored '-x'==x -> " +
+      (eng.topK("-merge", 5) == eng.topK("merge", 5)))
     val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
     println("PROBE highlight -> " +
       eng.highlight("posting reader", hlDoc).map(h =>
@@ -189,6 +203,30 @@ object VerifyProbe {
       println("PROBE where-match bad-arg -> NO ERROR (BAD)")
     } catch { case e: Exception =>
       println("PROBE where-match bad-arg -> rejected: " + e.getMessage.take(60)) }
+    // negation through the semi-join rewrite: exclusion == exact
+    // complement of (anchor AND banned), and the row-eval fallback agrees
+    val nNegIdx = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'merge -join')")
+      .collect().head.getLong(0)
+    val nNegRow = sx.sql(
+      "SELECT count(*) AS n FROM pdocs " +
+        "WHERE match(text || '', 'merge -join')") // non-attr arg: row eval
+      .collect().head.getLong(0)
+    val nAnchor = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'merge')")
+      .collect().head.getLong(0)
+    val nBoth = sx.sql(
+      "SELECT count(*) AS n FROM pdocs WHERE match(text, 'merge join')")
+      .collect().head.getLong(0)
+    println(s"PROBE where-match negation -> $nNegIdx rows " +
+      s"(row-eval agree=${nNegIdx == nNegRow}, " +
+      s"complement-exact=${nNegIdx == nAnchor - nBoth})")
+    try {
+      sx.sql("SELECT count(*) FROM pdocs WHERE match(text, '-merge')").collect()
+      println("PROBE where-match pure-negative -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE where-match pure-negative -> rejected: " +
+        e.getMessage.take(60)) }
 
     // rebase lifecycle: ingest near the batch budget, rebase, keep going
     val rbRoot = "/root/repo/target/graftwork/probe-rebase"

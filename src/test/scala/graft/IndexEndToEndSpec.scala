@@ -160,6 +160,50 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(viaSet === viaBool && viaSet.nonEmpty)
   }
 
+  test("NEGATION PARITY: must_not queries match the oracle; pure-negative loud") {
+    // frozen set + sampled negations built from real doc content (so the
+    // prohibitions actually exclude hits), + dead-negation no-ops
+    val sampled = corpusDocs.take(8).flatMap { d =>
+      val toks = CodeAnalyzer.analyze(d.content)
+      if (toks.length >= 6)
+        Seq(s"posting -${toks(2)}",
+          "reader -\"" + toks.slice(3, 5).mkString(" ") + "\"")
+      else Nil
+    }.distinct.take(6)
+    val queries = ReferenceQueries.negQueries ++ sampled ++ Seq(
+      "posting -zzznope",        // dead neg term: a no-op, NOT a dead group
+      "posting -zzznope*",       // dead neg prefix: same
+      "reader -\"zzznope qqqnope\"", // dead neg phrase: same
+      "merge -merge")            // self-prohibition: matches nothing
+    queries.foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score doc ${g.docId}")
+      }
+    }
+    // a negation is strictly tighter than its positive anchor, and the
+    // excluded docs are EXACTLY the anchor hits containing the banned term
+    val loose = engine.booleanTopK("posting", 100000).map(_.docId).toSet
+    val tight = engine.booleanTopK("posting -reader", 100000).map(_.docId).toSet
+    val banned = engine.booleanTopK("posting reader", 100000).map(_.docId).toSet
+    assert(tight === loose -- banned, "exclusion must be the exact complement")
+    assert(tight.nonEmpty && banned.nonEmpty)
+    // matchingDocIds honors prohibitions (full-set filter path)
+    import spark.implicits._
+    val viaSet = engine.matchingDocIds("posting -reader").as[Long].collect().toSet
+    assert(viaSet === tight)
+    // a group with only prohibitions is rejected loudly (Lucene matches
+    // nothing on must_not-only; at scale the complement is a full walk)
+    val e1 = intercept[IllegalArgumentException] {
+      engine.booleanTopK("-posting", 10) }
+    assert(e1.getMessage.contains("pure-negative"))
+    val e2 = intercept[IllegalArgumentException] {
+      engine.matchingDocIds("reader, -\"posting list\"") }
+    assert(e2.getMessage.contains("pure-negative"))
+  }
+
   test("PHRASE: queries on a positions-less index fail loudly; plain queries fine") {
     val rootNp = s"$work/index-nopos"
     IndexBuilder.build(spark, CorpusGen.dataset(spark, 120, 42L, 4), rootNp,

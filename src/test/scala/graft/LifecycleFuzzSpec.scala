@@ -45,6 +45,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
     val phraseQueries = Seq("\"posting reader\" def",
       "\"merge sorted runs\", \"block max score\"")
     val prefixQueries = Seq("merge* runs", "var*")
+    val negQueries = Seq("posting -reader", "merge -\"sorted runs\" -var*")
 
     def checkParity(step: String): Unit = {
       val eng = new QueryEngine(spark, root)
@@ -87,6 +88,15 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         val gotB = eng.booleanTopK(q + ", post* reader", 10)
         val expB = oracle.booleanTopK(q + ", post* reader", 10)
         assert(gotB.map(_.docId) == expB.map(_.docId), s"$step: boolprefix '$q'")
+      }
+      // prohibitions: exclusion cursors (and negated-phrase positions)
+      // must survive merge re-blocking and rebase renumbering too
+      negQueries.foreach { q =>
+        val got = eng.booleanTopK(q, 10)
+        val exp = oracle.booleanTopK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: neg '$q'")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: neg '$q' scores") }
       }
     }
     checkParity("after bulk")

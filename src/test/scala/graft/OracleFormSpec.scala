@@ -47,4 +47,12 @@ class OracleFormSpec extends AnyFunSuite {
     assert(parsed.map(g => (g.terms, g.phrases)) ===
       graft.ops.SearchOps.PhraseGroups)
   }
+
+  test("NegGroups stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseGroups(graft.ops.SearchOps.NegQuery)
+    assert(parsed.map(g =>
+      (g.terms, g.phrases, g.negTerms, g.negPrefixes, g.negPhrases)) ===
+      graft.ops.SearchOps.NegGroups)
+  }
 }

@@ -273,6 +273,93 @@ class WandSpec extends AnyFunSuite {
     assert(effective > 30)
   }
 
+  test("NEGATION: conjunctive with prohibitions == exhaustive row check") {
+    val rnd = new Random(101)
+    var effective = 0
+    (1 to 60).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val group = Seq(vocab(rnd.nextInt(vocab.length)))
+        .filter(oracle.postings.contains)
+      // a negated term (sometimes the group term itself: must empty the
+      // result), a negated prefix, and a negated REAL bigram
+      val negT = Seq(vocab(rnd.nextInt(vocab.length)))
+        .filter(oracle.postings.contains)
+      val negPrefix = Seq("s", "b", "co", "me")(rnd.nextInt(4))
+      val negExp = oracle.postings.keys.filter(_.startsWith(negPrefix)).toSeq
+      val toks0 = graft.analyze.CodeAnalyzer
+        .analyze(corpus(rnd.nextInt(corpus.length))._2)
+      val negPhrase: Seq[String] =
+        if (toks0.length >= 3) toks0.slice(1, 3) else Seq("alpha", "beta")
+      if (group.nonEmpty && negPhrase.forall(oracle.postings.contains)) {
+        effective += 1
+        val negCursors =
+          cursorsFor(oracle, (negT ++ negExp).distinct).values.toSeq
+        val negPh = Seq(negPhrase -> cursorsFor(oracle, negPhrase, corpus))
+        val got = WandScorer.conjunctive(group,
+          cursorsFor(oracle, group, corpus), Nil, Nil, negCursors, negPh).toSeq
+        val exp = corpus.map { case (id, c) =>
+          (id, graft.analyze.CodeAnalyzer.analyze(c))
+        }.filter { case (_, toks) =>
+          group.forall(toks.contains) &&
+            !negT.exists(toks.contains) &&
+            !toks.exists(_.startsWith(negPrefix)) &&
+            !toks.sliding(negPhrase.length).exists(_ == negPhrase)
+        }.map(_._1).sorted
+        assert(got.map(_.docId) === exp,
+          s"round $round group=$group -$negT -$negPrefix* -\"$negPhrase\"")
+        // prohibitions never score: the sum is the positive terms' alone
+        got.foreach { sd =>
+          val tf = oracle.postings(group.head).find(_._1 == sd.docId).get._2
+          val s = oracle.bm25.score(
+            oracle.bm25.idf(oracle.df(group.head)), tf, oracle.docLen(sd.docId))
+          assert(sd.score === s, s"round $round doc ${sd.docId} score")
+        }
+      }
+    }
+    assert(effective > 35, s"too few effective negation rounds: $effective")
+  }
+
+  test("negation parse edges: degeneration, unbalanced quotes, markers") {
+    def one(q: String) = QueryParser.parseGroups(q) match {
+      case Seq(g) => g
+      case other => fail(s"'$q' parsed to ${other.length} groups")
+    }
+    // -"single" degrades to its bare neg term (mirrors the positive rule)
+    assert(one("alpha -\"beta\"") ===
+      MatchGroup(Seq("alpha"), Nil, Nil, Seq("beta"), Nil, Nil))
+    // negated camelCase word prohibits EVERY analyzed token (must_not
+    // + match semantics); negated wildcard bypasses the analyzer
+    assert(one("alpha -parseJson -Mer*") ===
+      MatchGroup(Seq("alpha"), Nil, Nil,
+        Seq("parse", "json", "parsejson"), Seq("mer"), Nil))
+    // unbalanced quote = whitespace: '-"beta' is NOT a negation of beta
+    // (the old pre-negation behavior, frozen: quote clears, '-' floats
+    // free and analyzes to nothing, beta stays a positive term)
+    assert(one("alpha -\"beta") ===
+      MatchGroup(Seq("alpha", "beta"), Nil, Nil, Nil, Nil, Nil))
+    // '-' mid-word is punctuation for the analyzer, not a negation
+    assert(one("alpha-beta").terms === Seq("alpha", "beta"))
+    // a lone '-' word contributes nothing
+    assert(one("alpha - beta").terms === Seq("alpha", "beta"))
+    // negated phrase next to a positive phrase, same group
+    assert(one("\"alpha beta\" -\"gamma delta\"") ===
+      MatchGroup(Seq("alpha", "beta"), Seq(Seq("alpha", "beta")), Nil,
+        Nil, Nil, Seq(Seq("gamma", "delta"))))
+    // pure-negative rejected loudly, in any group position
+    intercept[IllegalArgumentException] { QueryParser.parseGroups("-alpha") }
+    intercept[IllegalArgumentException] {
+      QueryParser.parseGroups("alpha, -beta") }
+    intercept[IllegalArgumentException] {
+      QueryParser.parseGroups("alpha, -\"beta gamma\"") }
+    // empty groups still silently dropped; all-empty still fine
+    assert(QueryParser.parseGroups("alpha, , ").length === 1)
+    assert(QueryParser.parseGroups(", ,") === Nil)
+    // scored surface has no operators: '-foo' analyzes to plain 'foo'
+    assert(QueryParser.parseScored("-alpha beta") ===
+      Seq(TermAtom("alpha"), TermAtom("beta")))
+  }
+
   test("tie-break: equal scores ordered by docId asc") {
     // identical docs => identical scores; top-k must pick lowest docIds
     val docs = (0 until 20).map(i => (100L - i, "alpha beta alpha"))
