@@ -99,6 +99,9 @@ object SparkEntry {
     "q81_highlight" -> (SearchOps.qHighlight _),
     "q82_neg_search" -> (SearchOps.qNegSearch _),
     "q83_neg_match_where" -> (SearchOps.qNegMatchWhere _),
+    "q84_fuzzy_search" -> (SearchOps.qFuzzySearch _),
+    "q85_fuzzy_match_where" -> (SearchOps.qFuzzyMatchWhere _),
+    "q86_fuzzy_cap_metrics" -> (SearchOps.qFuzzyCapMetrics _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -327,6 +330,9 @@ object SparkEntry {
     "q81_highlight" -> SearchOps.highlightOracleSql,
     "q82_neg_search" -> SearchOps.negSearchOracleSql,
     "q83_neg_match_where" -> SearchOps.negMatchWhereOracleSql,
+    "q84_fuzzy_search" -> SearchOps.fuzzySearchOracleSql,
+    "q85_fuzzy_match_where" -> SearchOps.fuzzyMatchWhereOracleSql,
+    "q86_fuzzy_cap_metrics" -> SearchOps.fuzzyCapMetricsOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -51,6 +51,19 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       postings.keysIterator.filter(_.startsWith(prefix))
         .map(t => t -> df(t)).toSeq, cap)
 
+  /** Fuzzy twin: vocabulary terms within `maxEd` edits, same ranking. */
+  def expandFuzzy(stem: String, maxEd: Int,
+                  cap: Int = QueryParser.MaxScoredExpansions): Seq[String] =
+    QueryParser.rankExpansions(
+      postings.keysIterator
+        .filter(t => QueryParser.editDistanceLe(t, stem, maxEd))
+        .map(t => t -> df(t)).toSeq, cap)
+
+  /** Exhaustive fuzzy check: any analyzed token within `maxEd` edits. */
+  def fuzzyInDoc(id: Long, stem: String, maxEd: Int): Boolean =
+    CodeAnalyzer.analyze(contentById(id))
+      .exists(t => QueryParser.editDistanceLe(t, stem, maxEd))
+
   val postings: Map[String, Array[(Long, Int)]] = {
     val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
     docs.sortBy(_._1).foreach { case (id, content) =>
@@ -76,7 +89,8 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     * ranked capped dictionary terms in place (scored like any term). */
   def topK(query: String, k: Int): Seq[ScoredDoc] = {
     val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query), expandPrefix(_))
+      .resolveScored(QueryParser.parseScored(query),
+        expandPrefix(_), expandFuzzy(_, _))
       .filter(postings.contains)
     scoreDisjunctive(terms, k)
   }
@@ -119,13 +133,15 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       val candidates: Iterable[Long] =
         if (perTerm.nonEmpty) perTerm.map(_._2.keySet).reduce(_ intersect _)
         else docLen.keys
-      // phrases and prefixes FILTER, never score; negations EXCLUDE
+      // phrases/prefixes/fuzzies FILTER, never score; negations EXCLUDE
       val common = candidates
         .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)) &&
                       group.prefixes.forall(p => prefixInDoc(id, p)) &&
+                      group.fuzzies.forall(f => fuzzyInDoc(id, f._1, f._2)) &&
                       !group.negTerms.exists(t => termInDoc(id, t)) &&
                       !group.negPrefixes.exists(p => prefixInDoc(id, p)) &&
-                      !group.negPhrases.exists(ph => phraseInDoc(id, ph)))
+                      !group.negPhrases.exists(ph => phraseInDoc(id, ph)) &&
+                      !group.negFuzzies.exists(f => fuzzyInDoc(id, f._1, f._2)))
       common.toSeq.sorted.foreach { id =>
         var s = 0.0
         val dl = docLen(id)
@@ -230,6 +246,63 @@ object QueryParser {
       Some(w.init.toLowerCase)
     else None
 
+  /** Lucene's fuzzy hard cap: edit distances above 2 are rejected (the
+    * Levenshtein-automaton blowup past ed 2 is the same reason our
+    * banded dict scan stops there). */
+  val MaxFuzzyEd = 2
+
+  /** Is this word a fuzzy term? (`stem~`, `stem~0..2`; non-empty stem,
+    * one `~`). Bare `~` defaults to distance 2 (the Lucene QueryParser
+    * default). Like wildcards, the stem BYPASSES the analyzer and is
+    * lowercased verbatim. A distance above 2 is rejected LOUDLY —
+    * silently clamping would diverge from what the user asked for. */
+  private def fuzzyStem(w: String): Option[(String, Int)] = {
+    val ti = w.indexOf('~')
+    if (ti <= 0 || ti != w.lastIndexOf('~')) return None
+    val stem = w.substring(0, ti).toLowerCase
+    if (stem.contains('*')) return None // no combined wildcard+fuzzy form
+    val suffix = w.substring(ti + 1)
+    if (suffix.isEmpty) Some((stem, MaxFuzzyEd))
+    else if (suffix.length == 1 && suffix.charAt(0).isDigit) {
+      val d = suffix.charAt(0) - '0'
+      require(d <= MaxFuzzyEd,
+        s"fuzzy distance in '$w' exceeds the maximum of $MaxFuzzyEd")
+      Some((stem, d))
+    } else None // 'a~xy' is not fuzzy syntax: fall through to the analyzer
+  }
+
+  /** Banded Levenshtein-distance-≤-max check (classic unit-cost edit
+    * distance, the same function Spark's and DuckDB's `levenshtein`
+    * compute): two rolling rows with a row-min early exit. Query stems
+    * and analyzed tokens are short, so this is effectively O(|b|·max). */
+  def editDistanceLe(a: String, b: String, max: Int): Boolean = {
+    if (a == b) return true
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > max) return false
+    var prev = Array.tabulate(lb + 1)(identity)
+    var curr = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      curr(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (curr(j - 1) + 1 < v) v = curr(j - 1) + 1
+        curr(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > max) return false
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(lb) <= max
+  }
+
   /** Is this word a negation? (`-` + at least one more char). The `-`
     * only negates at word START — `a-b` stays one positive word for the
     * analyzer (which strips the hyphen like any punctuation). */
@@ -267,25 +340,33 @@ object QueryParser {
       val (negWords, posWords) = words.partition(negStem(_).isDefined)
       val negStems = negWords.flatMap(negStem)
       val negPrefixes = negStems.flatMap(wildcardStem).distinct
-      val negTerms = (negStems.filter(wildcardStem(_).isEmpty)
+      val negFuzzies = negStems.filter(wildcardStem(_).isEmpty)
+        .flatMap(fuzzyStem).distinct
+      val negTerms = (negStems
+        .filter(w => wildcardStem(w).isEmpty && fuzzyStem(w).isEmpty)
         .flatMap(w => CodeAnalyzer.analyze(w)) ++ negPhraseTerms).distinct
       val prefixes = posWords.flatMap(wildcardStem).distinct
-      val terms = posWords.filter(wildcardStem(_).isEmpty)
+      val fuzzies = posWords.filter(wildcardStem(_).isEmpty)
+        .flatMap(fuzzyStem).distinct
+      val terms = posWords
+        .filter(w => wildcardStem(w).isEmpty && fuzzyStem(w).isEmpty)
         .flatMap(w => CodeAnalyzer.analyze(w)).distinct
       MatchGroup(terms, posPhrases.toSeq, prefixes,
-        negTerms, negPrefixes, negPhrases.toSeq)
+        negTerms, negPrefixes, negPhrases.toSeq, fuzzies, negFuzzies)
     }
     // a group with prohibitions but no positive requirement is rejected
     // LOUDLY: Lucene's BooleanQuery matches nothing on must_not-only
     // clauses, and silently walking the complement at corpus scale is an
     // accidental full scan — the user must supply a positive anchor
     out.foreach { g =>
-      require(g.terms.nonEmpty || g.prefixes.nonEmpty ||
-        (g.negTerms.isEmpty && g.negPrefixes.isEmpty && g.negPhrases.isEmpty),
+      require(g.terms.nonEmpty || g.prefixes.nonEmpty || g.fuzzies.nonEmpty ||
+        (g.negTerms.isEmpty && g.negPrefixes.isEmpty &&
+          g.negPhrases.isEmpty && g.negFuzzies.isEmpty),
         s"pure-negative group in query '$query': every OR-group with a " +
           "negation needs at least one required term/prefix/phrase")
     }
-    out.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty)
+    out.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty ||
+      g.fuzzies.nonEmpty)
   }
 
   /** Terms-only view (scoring order; used by paths with no positional
@@ -300,10 +381,16 @@ object QueryParser {
     if (query == null || query.isEmpty) return Nil
     val seen = mutable.HashSet.empty[String]
     val seenPre = mutable.HashSet.empty[String]
+    val seenFuz = mutable.HashSet.empty[(String, Int)]
     query.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
       wildcardStem(w) match {
         case Some(p) => if (seenPre.add(p)) Seq(PrefixAtom(p)) else Nil
-        case None => CodeAnalyzer.analyze(w).filter(seen.add).map(TermAtom.apply)
+        case None => fuzzyStem(w) match {
+          case Some(f) => if (seenFuz.add(f))
+            Seq(FuzzyAtom(f._1, f._2)) else Nil
+          case None =>
+            CodeAnalyzer.analyze(w).filter(seen.add).map(TermAtom.apply)
+        }
       }
     }
   }
@@ -315,16 +402,22 @@ object QueryParser {
     cands.sortBy { case (t, d) => (-d, t) }.take(cap).map(_._1)
 
   /** Resolve scored atoms to the final term order: atom order, each
-    * prefix replaced in place by its (ranked, capped) expansions, global
-    * first-occurrence dedup. `expand` is the dictionary hook — the real
-    * engine's dict, or NaiveIndex's postings keys. */
+    * prefix/fuzzy replaced in place by its (ranked, capped) expansions,
+    * global first-occurrence dedup. The expand hooks are the dictionary —
+    * the real engine's dict, or NaiveIndex's postings keys. */
   def resolveScored(atoms: Seq[QueryAtom],
-                    expand: String => Seq[String]): Seq[String] = {
+                    expand: String => Seq[String],
+                    expandFuzzy: (String, Int) => Seq[String] =
+                      (_, _) => throw new IllegalArgumentException(
+                        "fuzzy atoms are not supported on this path"))
+      : Seq[String] = {
     val out = Seq.newBuilder[String]
     val seen = mutable.HashSet.empty[String]
     atoms.foreach {
       case TermAtom(t) => if (seen.add(t)) out += t
       case PrefixAtom(p) => expand(p).foreach(t => if (seen.add(t)) out += t)
+      case FuzzyAtom(s, d) =>
+        expandFuzzy(s, d).foreach(t => if (seen.add(t)) out += t)
     }
     out.result()
   }

@@ -51,27 +51,46 @@ object QueryEngine {
         sorted.map(r => (r.blocks, r.skips, r.posBlocks)), bm)
     }
 
-  /** Per-shard prohibition cursors for one group: one exclusion cursor
-    * per negated term / negated-prefix expansion present in the shard,
-    * plus each negated phrase's OWN cursor map (tokens may overlap the
-    * group's required terms — sharing cursors would double-advance).
-    * Static: distributed closures must capture only (bm, dfs, exp). */
-  private[index] def negCursorSets(group: MatchGroup, rs: Seq[PostingRowPos],
-      expB: Map[String, Set[String]], bm: Bm25, dfsB: Map[String, Long])
-      : (Seq[PostingCursor], Seq[(Seq[String], Map[String, PostingCursor])]) = {
-    val exclTerms: Set[String] =
-      (group.negTerms ++ group.negPrefixes.flatMap(expB(_))).toSet
+  /** All of one prepared group's per-shard cursors: required-term map,
+    * one cursor set per required union (prefix/fuzzy expansion), one
+    * exclusion cursor per prohibited term, and each negated phrase's OWN
+    * cursor map (tokens may overlap the required terms — sharing cursors
+    * would double-advance). Static: distributed closures must capture
+    * only (bm, dfs) and the prepared groups. */
+  private[index] def groupCursorSets(group: PreparedGroup,
+      rs: Seq[PostingRowPos], bm: Bm25, dfsB: Map[String, Long])
+      : (Map[String, PostingCursor], Seq[Seq[PostingCursor]],
+         Seq[PostingCursor], Seq[(Seq[String], Map[String, PostingCursor])]) = {
+    val cur = termCursorsPos(
+      rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
+    // one cursor set per required union: this shard's posting rows of
+    // the expansion terms (an empty set kills the group in this shard)
+    val preSets = group.reqSets.map(s =>
+      termCursorsPos(rs.filter(r => s.contains(r.term)), bm, dfsB)
+        .values.toSeq)
     val negCur =
-      if (exclTerms.isEmpty) Nil
+      if (group.exclTerms.isEmpty) Nil
       else termCursorsPos(
-        rs.filter(r => exclTerms.contains(r.term)), bm, dfsB).values.toSeq
+        rs.filter(r => group.exclTerms.contains(r.term)), bm, dfsB)
+        .values.toSeq
     val negPh = group.negPhrases.map { ph =>
       val phSet = ph.toSet
       ph -> termCursorsPos(rs.filter(r => phSet.contains(r.term)), bm, dfsB)
     }
-    (negCur, negPh)
+    (cur, preSets, negCur, negPh)
   }
 }
+
+/** One OR-group with its filter-context expansions RESOLVED against the
+  * dictionary: each required union (a `prefix*` or `stem~n`) as a
+  * concrete term set, all prohibitions (negated terms + negated
+  * prefix/fuzzy expansions) folded into one exclusion set. What the
+  * distributed scoring closures ship — never the engine itself. */
+final case class PreparedGroup(terms: Seq[String], phrases: Seq[Seq[String]],
+                               reqSets: Seq[Set[String]],
+                               exclTerms: Set[String],
+                               negPhrases: Seq[Seq[String]])
+  extends Serializable
 
 final class QueryEngine(spark: SparkSession, val root: String,
                         driverPathMaxPostings: Long = 500000L) extends Serializable {
@@ -161,6 +180,33 @@ final class QueryEngine(spark: SparkSession, val root: String,
     (QueryParser.rankExpansions(all.toSeq, cap), all.size.toLong)
   }
 
+  /** ALL dictionary terms within `maxEd` edits of `stem`, with global
+    * dfs — the FILTER-context fuzzy expansion (uncapped, same reasoning
+    * as expandPrefixAll). The non-resident path is a length-banded dict
+    * scan with Spark's thresholded `levenshtein` (returns -1 above the
+    * threshold, so the DP exits early per term) — the vocabulary is the
+    * small table here; without an FST automaton a banded scan is the
+    * honest cost, parallelized over the dict's partitions. */
+  def expandFuzzyAll(stem: String, maxEd: Int): Map[String, Long] =
+    if (stem.isEmpty) Map.empty
+    else residentDict match {
+      case Some(m) => m.filter { case (t, _) =>
+        QueryParser.editDistanceLe(t, stem, maxEd) }
+      case None => dict.where(
+          length(col("term")).between(stem.length - maxEd, stem.length + maxEd) &&
+          levenshtein(lit(stem), col("term"), maxEd) >= 0)
+        .select("term", "df").as[(String, Long)].collect().toMap
+    }
+
+  /** SCORED-context fuzzy expansion: ranked df-desc/term-asc, capped,
+    * plus the uncapped total (the q79 cap-metrics pattern). */
+  def expandFuzzy(stem: String, maxEd: Int,
+                  cap: Int = QueryParser.MaxScoredExpansions)
+      : (Seq[String], Long) = {
+    val all = expandFuzzyAll(stem, maxEd)
+    (QueryParser.rankExpansions(all.toSeq, cap), all.size.toLong)
+  }
+
   private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
       : Map[String, PostingCursor] = QueryEngine.termCursors(rows, bm25, dfs)
 
@@ -169,7 +215,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
     * (each scored like any term — the Lucene top-terms rewrite). */
   def topK(query: String, k: Int): Seq[ScoredDoc] = {
     val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1)
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1,
+        expandFuzzy(_, _)._1)
     val dfs = termDfs(terms)
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
@@ -209,42 +256,49 @@ final class QueryEngine(spark: SparkSession, val root: String,
         "has segments built without them (positions=false) — rebuild or " +
         "compact with positions on")
 
-  /** Shared boolean-path prep: filter-context prefix expansion (uncapped)
-    * plus group validity — a group is dead if any concrete term is absent
-    * from the dict OR any of its prefixes expands to nothing. Returns
-    * (valid groups, dfs incl. expansions, prefix -> expansion terms).
+  /** Shared boolean-path prep: filter-context prefix/fuzzy expansion
+    * (uncapped) plus group validity — a group is dead if any concrete
+    * term is absent from the dict OR any required expansion is empty.
+    * Returns (prepared groups, dfs incl. expansions).
     *
-    * Prohibitions prune the other way: a negated term/prefix/phrase that
-    * cannot occur anywhere (absent from the dict, empty expansion) is a
-    * no-op and is DROPPED from the group — never a reason to kill it. */
+    * Prohibitions prune the other way: a negated term/prefix/fuzzy/
+    * phrase that cannot occur anywhere (absent from the dict, empty
+    * expansion) is a no-op and is DROPPED — never a group-killer. */
   private def prepGroups(groups: Seq[MatchGroup])
-      : (Seq[MatchGroup], Map[String, Long], Map[String, Set[String]]) = {
-    val exp: Map[String, Map[String, Long]] =
+      : (Seq[PreparedGroup], Map[String, Long]) = {
+    val expP: Map[String, Map[String, Long]] =
       (groups.flatMap(_.prefixes) ++ groups.flatMap(_.negPrefixes)).distinct
         .map(p => p -> expandPrefixAll(p)).toMap
+    val expF: Map[(String, Int), Map[String, Long]] =
+      (groups.flatMap(_.fuzzies) ++ groups.flatMap(_.negFuzzies)).distinct
+        .map(f => f -> expandFuzzyAll(f._1, f._2)).toMap
     val dfs = termDfs((groups.flatMap(_.terms) ++ groups.flatMap(_.negTerms) ++
-      groups.flatMap(_.negPhrases).flatten).distinct) ++ exp.values.flatten
+      groups.flatMap(_.negPhrases).flatten).distinct) ++
+      expP.values.flatten ++ expF.values.flatten
     val valid = groups
-      .map(g => g.copy(
-        negTerms = g.negTerms.filter(dfs.contains),
-        negPrefixes = g.negPrefixes.filter(p => exp(p).nonEmpty),
-        negPhrases = g.negPhrases.filter(_.forall(dfs.contains))))
       .filter(g => g.terms.forall(dfs.contains) &&
-        g.prefixes.forall(p => exp(p).nonEmpty))
-    (valid, dfs, exp.view.mapValues(_.keySet).toMap)
+        g.prefixes.forall(p => expP(p).nonEmpty) &&
+        g.fuzzies.forall(f => expF(f).nonEmpty))
+      .map(g => PreparedGroup(
+        terms = g.terms,
+        phrases = g.phrases,
+        reqSets = g.prefixes.map(expP(_).keySet) ++
+          g.fuzzies.map(expF(_).keySet),
+        exclTerms = (g.negTerms.filter(dfs.contains) ++
+          g.negPrefixes.flatMap(expP(_).keys) ++
+          g.negFuzzies.flatMap(expF(_).keys)).toSet,
+        negPhrases = g.negPhrases.filter(_.forall(dfs.contains))))
+    (valid, dfs)
   }
 
   /** The postings the boolean paths must read for these (prepped) groups:
     * required terms, filter-context expansions, and every surviving
     * prohibition's lists (exclusion advances pay their posting volume —
     * the Lucene must_not cost model). */
-  private def groupReadSet(valid: Seq[MatchGroup],
-                           expSets: Map[String, Set[String]]): Seq[String] =
-    (valid.flatMap(_.terms) ++
-      valid.flatMap(_.prefixes).flatMap(expSets(_)) ++
-      valid.flatMap(_.negTerms) ++
-      valid.flatMap(_.negPrefixes).flatMap(expSets(_)) ++
-      valid.flatMap(_.negPhrases).flatten).distinct
+  private def groupReadSet(valid: Seq[PreparedGroup]): Seq[String] =
+    (valid.flatMap(_.terms) ++ valid.flatMap(_.reqSets).flatten ++
+      valid.flatMap(_.exclTerms) ++ valid.flatMap(_.negPhrases).flatten)
+      .distinct
 
 
   /** Boolean keyword query: "spaces are ANDs commas are ORs"
@@ -256,13 +310,13 @@ final class QueryEngine(spark: SparkSession, val root: String,
   def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
     val groups = QueryParser.parseGroups(query)
     if (groups.isEmpty) return Nil
-    val (valid, dfs, expSets) = prepGroups(groups)
+    val (valid, dfs) = prepGroups(groups)
     if (valid.isEmpty) return Nil
     val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = groupReadSet(valid, expSets)
+    val validTerms = groupReadSet(valid)
     val rows = postingRowsFor(validTerms, needPos)
-    val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
+    val (bm, dfsB, validB) = (bm25, dfs, valid)
 
     // Memory-bounded EXACT scoring: each AND-group keeps only its own
     // TopK(k) while streaming its intersection (never the full match set —
@@ -275,15 +329,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
     // O(groups * k).
     def scoreShard(rs: Seq[PostingRowPos], k: Int): Seq[ScoredDoc] = {
       val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
-        val cur = QueryEngine.termCursorsPos(
-          rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
-        // one cursor set per prefix: this shard's posting rows of the
-        // expansion terms (an empty set kills the group in this shard)
-        val preSets = group.prefixes.map { p =>
-          QueryEngine.termCursorsPos(
-            rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
-        }
-        val (negCur, negPh) = QueryEngine.negCursorSets(group, rs, expB, bm, dfsB)
+        val (cur, preSets, negCur, negPh) =
+          QueryEngine.groupCursorSets(group, rs, bm, dfsB)
         val groupTop = new ScoredDoc.TopK(k)
         WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
             negCur, negPh)
@@ -383,7 +430,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
   def highlight(query: String, docId: Long): Seq[HighlightTerm] = {
     requirePositions()
     val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1)
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1,
+        expandFuzzy(_, _)._1)
     val dfs = termDfs(terms)
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
@@ -434,23 +482,18 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val groups = QueryParser.parseGroups(query)
     val empty = spark.createDataset(Seq.empty[Long]).toDF("docId")
     if (groups.isEmpty) return empty
-    val (valid, dfs, expSets) = prepGroups(groups)
+    val (valid, dfs) = prepGroups(groups)
     if (valid.isEmpty) return empty
     val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
     if (needPos) requirePositions()
-    val validTerms = groupReadSet(valid, expSets)
+    val validTerms = groupReadSet(valid)
     val rows = postingRowsFor(validTerms, needPos)
-    val (bm, dfsB, validB, expB) = (bm25, dfs, valid, expSets)
+    val (bm, dfsB, validB) = (bm25, dfs, valid)
     def shardIds(rs: Seq[PostingRowPos]): Iterator[Long] = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       validB.foreach { group =>
-        val cur = QueryEngine.termCursorsPos(
-          rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
-        val preSets = group.prefixes.map { p =>
-          QueryEngine.termCursorsPos(
-            rs.filter(r => expB(p).contains(r.term)), bm, dfsB).values.toSeq
-        }
-        val (negCur, negPh) = QueryEngine.negCursorSets(group, rs, expB, bm, dfsB)
+        val (cur, preSets, negCur, negPh) =
+          QueryEngine.groupCursorSets(group, rs, bm, dfsB)
         WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
             negCur, negPh)
           .foreach(sd => seen += sd.docId)

@@ -36,5 +36,12 @@ object ReferenceQueries {
     * boolean path; prohibited terms/prefixes/phrases EXCLUDE docs,
     * never score. Own kind, same reason as above. */
   val negQueries: Seq[String] = entries.filter(_._4 == "boolneg").map(_._2)
+  /** Fuzzy queries (`term~n`, the ES query_string fuzzy operator):
+    * `fuzzy` kind runs the SCORED path (capped ranked expansion),
+    * `boolfuzzy` the boolean path (uncapped filter-context expansion,
+    * incl. negated fuzzies). Own kinds, same reason as above. */
+  val fuzzyQueries: Seq[String] = entries.filter(_._4 == "fuzzy").map(_._2)
+  val boolFuzzyQueries: Seq[String] =
+    entries.filter(_._4 == "boolfuzzy").map(_._2)
   val topK = 10
 }

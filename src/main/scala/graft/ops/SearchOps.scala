@@ -419,6 +419,122 @@ object SearchOps {
        |        AND len(list_filter(toks, w -> w LIKE 'qu%')) = 0)
        |ORDER BY doc_id""".stripMargin
 
+  /** q84: FUZZY search (the ES query_string `term~n` operator) through
+    * the real engine — each fuzzy word expands against the index
+    * dictionary to terms within its Levenshtein distance (banded dict
+    * scan; Spark/DuckDB/our DP all compute the same classic unit-cost
+    * distance), ranked df-desc/term-asc and capped like wildcards, each
+    * expansion scored like any query term in rank order. 'sort~2'
+    * expands to BOTH sort and part on this corpus — the oracle
+    * re-derives the expansion with SQL levenshtein and folds
+    * contributions in the same rank order. */
+  val FuzzyQuery = "sort~2 marge~1"
+  /** (stem, maxEd) atoms in query order — lockstep-pinned. */
+  val FuzzyAtoms: Seq[(String, Int)] = Seq(("sort", 2), ("marge", 1))
+
+  def qFuzzySearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topK(FuzzyQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+  }
+
+  def fuzzySearchOracleSql: String = {
+    val tf = "CAST(len(list_filter(d.toks, w -> w = s.token)) AS DOUBLE)"
+    val expCtes = FuzzyAtoms.zipWithIndex.map { case ((stem, ed), i) =>
+      s"""exp$i AS (
+         |  SELECT token, CAST(count(*) AS DOUBLE) AS df,
+         |         $i * 1000000 + row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+         |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM docs)
+         |  WHERE levenshtein(token, '$stem') <= $ed GROUP BY token
+         |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, token)
+         |    <= ${graft.index.QueryParser.MaxScoredExpansions})""".stripMargin
+    }.mkString(",\n")
+    val selUnion = FuzzyAtoms.indices
+      .map(i => s"SELECT token, df, rnk FROM exp$i").mkString(" UNION ALL ")
+    s"""WITH ${bm25CtesTokensOnly()},
+       |$expCtes,
+       |selraw AS ($selUnion),
+       |sel AS (  -- first-occurrence dedup across atoms, engine order
+       |  SELECT token, df, min(rnk) AS rnk FROM selraw GROUP BY token, df),
+       |contrib AS (
+       |  SELECT d.doc_id, s.rnk,
+       |    CASE WHEN $tf > 0 THEN
+       |      ln(1.0 + (n - s.df + 0.5) / (s.df + 0.5)) * ($tf * ${K1 + 1.0}) /
+       |      ($tf + $K1 * (1.0 - $B + $B * CAST(len(d.toks) AS DOUBLE) / avgdl))
+       |    ELSE 0.0 END AS c
+       |  FROM docs d, sel s, stats),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY rnk)), (a, b) -> a + b)
+       |      AS score_raw
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT 'doc_' || doc_id AS path,
+       |       floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM scored WHERE score_raw > 0.0
+       |ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q85: fuzzy in FILTER context (+ negated fuzzy) — `WHERE match()`
+    * through the semi-join rewrite; expansion is UNCAPPED there
+    * (constant-score), so the oracle is the plain row predicate. */
+  val FuzzyMatchQuery = "quer~1 -jion~2, marge~1 scan"
+
+  def qFuzzyMatchWhere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureMatchSupport(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_fuzzy_docs")
+    spark.sql(
+      s"""SELECT doc_id, lang FROM graft_fuzzy_docs
+         |WHERE match(text, '$FuzzyMatchQuery')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def fuzzyMatchWhereOracleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks
+       |  FROM documents)
+       |WHERE (len(list_filter(toks, w -> levenshtein(w, 'quer') <= 1)) > 0
+       |        AND len(list_filter(toks, w -> levenshtein(w, 'jion') <= 2)) = 0)
+       |   OR (len(list_filter(toks, w -> levenshtein(w, 'marge') <= 1)) > 0
+       |        AND list_contains(toks, 'scan'))
+       |ORDER BY doc_id""".stripMargin
+
+  /** q86: the fuzzy-expansion CAP as an oracled output (the q79/q47/q49
+    * pattern) — cap 1 over 'sort~2' (which matches sort AND part here)
+    * pins the frozen df-desc/term-asc ranking cross-engine. */
+  val FuzzyCapStem = "sort"
+  val FuzzyCapEd = 2
+  val FuzzyCapCap = 1
+
+  def qFuzzyCapMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = docEngine(spark, dir)
+    val (kept, total) = eng.expandFuzzy(FuzzyCapStem, FuzzyCapEd, FuzzyCapCap)
+    Seq((FuzzyCapStem, total, kept.length.toLong,
+      total - kept.length, kept.mkString(",")))
+      .toDF("stem", "total_terms", "kept_n", "dropped_n", "kept_list")
+  }
+
+  def fuzzyCapMetricsOracleSql: String =
+    s"""WITH ${bm25CtesTokensOnly()},
+       |exp AS (
+       |  SELECT token, count(*) AS df,
+       |         row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+       |  FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM docs)
+       |  WHERE levenshtein(token, '$FuzzyCapStem') <= $FuzzyCapEd
+       |  GROUP BY token)
+       |SELECT '$FuzzyCapStem' AS stem,
+       |  (SELECT count(*) FROM exp) AS total_terms,
+       |  CAST(count(*) AS BIGINT) AS kept_n,
+       |  (SELECT count(*) FROM exp) - count(*) AS dropped_n,
+       |  string_agg(token, ',' ORDER BY rnk) AS kept_list
+       |FROM exp WHERE rnk <= $FuzzyCapCap""".stripMargin
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

@@ -63,9 +63,13 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
         groups.exists(g => g.terms.forall(tokSet.contains) &&
           g.phrases.forall(ph => toks.sliding(ph.length).exists(_ == ph)) &&
           g.prefixes.forall(p => toks.exists(_.startsWith(p))) &&
+          g.fuzzies.forall(f =>
+            toks.exists(QueryParser.editDistanceLe(_, f._1, f._2))) &&
           !g.negTerms.exists(tokSet.contains) &&
           !g.negPrefixes.exists(p => toks.exists(_.startsWith(p))) &&
-          !g.negPhrases.exists(ph => toks.sliding(ph.length).exists(_ == ph)))
+          !g.negPhrases.exists(ph => toks.sliding(ph.length).exists(_ == ph)) &&
+          !g.negFuzzies.exists(f =>
+            toks.exists(QueryParser.editDistanceLe(_, f._1, f._2))))
       }
     }
   }

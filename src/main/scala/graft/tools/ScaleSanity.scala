@@ -79,6 +79,34 @@ object ScaleSanity {
     val blats = (1 to 2).flatMap(_ => ReferenceQueries.boolQueries.map { q =>
       val t0 = System.nanoTime(); eng1.booleanTopK(q, 10); (System.nanoTime()-t0)/1e9 })
     println(f"[scale] bool p50=${blats.sorted.apply(blats.size/2)}%.3f p95=${blats.sorted.apply((blats.size*95)/100 min (blats.size-1))}%.3f")
+    // negation at scale: the must_not cost model says exclusion pays the
+    // banned list's posting volume — a DENSE ban ('def' matches ~every
+    // doc) is the worst case, a selective ban ~free; both vs the anchor
+    Seq("posting reader", "posting reader -checkpoint",
+        "posting reader -def").foreach { q =>
+      val t0 = System.nanoTime()
+      val n = eng1.booleanTopK(q, 10).size
+      println(f"[scale] neg '$q%-28s' -> $n hits in ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    // complement-exactness over the FULL distributed match set
+    val nAll = eng1.matchingDocIds("posting").count()
+    val nBan = eng1.matchingDocIds("posting def").count()
+    val t0n = System.nanoTime()
+    val nNeg = eng1.matchingDocIds("posting -def").count()
+    println(f"[scale] neg match-set 'posting -def' -> $nNeg docs in " +
+      f"${(System.nanoTime()-t0n)/1e9}%.2f s " +
+      s"(complement-exact=${nNeg == nAll - nBan}: $nAll-$nBan)")
+    // fuzzy at scale: the banded dict scan is the expansion cost (the
+    // vocabulary is the small table — report it separately from scoring)
+    Seq(("raeder", 2), ("postin", 1)).foreach { case (s, d) =>
+      val t0 = System.nanoTime()
+      val (kept, total) = eng1.expandFuzzy(s, d)
+      val tExp = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = eng1.topK(s"$s~$d", 10).size
+      println(f"[scale] fuzzy '$s~$d' expand=${tExp}%.3f s " +
+        f"(kept=${kept.size}/$total) query=${(System.nanoTime()-t1)/1e9}%.3f s $n hits")
+    }
     // phrase queries at scale: positional decode rides the same pruned
     // postings read (positions column read ONLY here)
     if (eng1.hasPositions) {

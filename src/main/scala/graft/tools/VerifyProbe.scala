@@ -57,6 +57,21 @@ object VerifyProbe {
       println("PROBE pure-negative -> rejected: " + e.getMessage.take(60)) }
     println("PROBE scored '-x'==x -> " +
       (eng.topK("-merge", 5) == eng.topK("merge", 5)))
+    // fuzzy edges: expansion hit, exact ~0, dead stem, loud distance cap,
+    // fuzzy-only boolean group, negated fuzzy
+    println("PROBE fuzzy topK -> " + eng.topK("raeder~2", 5).size + " hits")
+    println("PROBE fuzzy ~0 == exact -> " +
+      (eng.topK("reader~0", 5) == eng.topK("reader", 5)))
+    println("PROBE dead-fuzzy topK -> " + eng.topK("zzzznope~1", 5))
+    try {
+      eng.topK("reader~3", 5)
+      println("PROBE fuzzy ed>2 -> NO ERROR (BAD)")
+    } catch { case e: IllegalArgumentException =>
+      println("PROBE fuzzy ed>2 -> rejected: " + e.getMessage.take(60)) }
+    println("PROBE fuzzy-only bool -> " + eng.booleanTopK("tokn~1", 5).size +
+      " hits (constant score " + eng.booleanTopK("tokn~1", 1).map(_.score) + ")")
+    println("PROBE neg-fuzzy bool -> " +
+      eng.booleanTopK("posting -raeder~1", 5).size + " hits")
     val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
     println("PROBE highlight -> " +
       eng.highlight("posting reader", hlDoc).map(h =>

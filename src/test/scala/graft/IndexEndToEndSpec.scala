@@ -160,6 +160,45 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(viaSet === viaBool && viaSet.nonEmpty)
   }
 
+  test("FUZZY PARITY: edit-distance queries match the oracle (scored + boolean)") {
+    // the engine expands via the global dict (banded levenshtein scan),
+    // the oracle via its postings keys — same distance function, same
+    // ranking rule, so expansions and with them docIds/scores must match
+    ReferenceQueries.fuzzyQueries.foreach { q =>
+      val expected = parityOracle.topK(q, 10)
+      val got = engine.topK(q, 10)
+      assert(expected.nonEmpty, s"fuzzy query '$q' should hit on this corpus")
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"query '$q' score doc ${g.docId}")
+      }
+    }
+    (ReferenceQueries.boolFuzzyQueries ++ Seq(
+      "raeder~2",                 // fuzzy-only group (constant score)
+      "zzznope~1 reader",         // dead fuzzy kills its group
+      "posting zzznope~2, tokn~1" // dead group 1, fuzzy group 2 lives
+    )).foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"bool '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"bool '$q' score doc ${g.docId}")
+      }
+    }
+    // expansion selection is frozen and shared: dict == oracle vocabulary
+    assert(engine.expandFuzzy("raeder", 2)._1 ===
+      parityOracle.expandFuzzy("raeder", 2))
+    assert(engine.expandFuzzy("postin", 1)._1 ===
+      parityOracle.expandFuzzy("postin", 1))
+    // ~0 is the exact term (post-lowercase), nothing else
+    assert(engine.expandFuzzy("reader", 0)._1 === Seq("reader"))
+    // matchingDocIds honors fuzzies (filter-context, uncapped)
+    import spark.implicits._
+    val viaSet = engine.matchingDocIds("tokn~1").as[Long].collect().toSet
+    val viaBool = engine.booleanTopK("tokn~1", 100000).map(_.docId).toSet
+    assert(viaSet === viaBool && viaSet.nonEmpty)
+  }
+
   test("NEGATION PARITY: must_not queries match the oracle; pure-negative loud") {
     // frozen set + sampled negations built from real doc content (so the
     // prohibitions actually exclude hits), + dead-negation no-ops

@@ -46,6 +46,7 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
       "\"merge sorted runs\", \"block max score\"")
     val prefixQueries = Seq("merge* runs", "var*")
     val negQueries = Seq("posting -reader", "merge -\"sorted runs\" -var*")
+    val fuzzyQueries = Seq("raeder~2 posting", "tokn~1, merge -postin~1")
 
     def checkParity(step: String): Unit = {
       val eng = new QueryEngine(spark, root)
@@ -97,6 +98,14 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         assert(got.map(_.docId) == exp.map(_.docId), s"$step: neg '$q'")
         got.zip(exp).foreach { case (g, e) =>
           assert(g.score == e.score, s"$step: neg '$q' scores") }
+      }
+      // fuzzy expansions re-resolve against the CURRENT dict every step
+      fuzzyQueries.foreach { q =>
+        val got = eng.booleanTopK(q, 10)
+        val exp = oracle.booleanTopK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: fuzzy '$q'")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: fuzzy '$q' scores") }
       }
     }
     checkParity("after bulk")

@@ -48,6 +48,13 @@ class OracleFormSpec extends AnyFunSuite {
       graft.ops.SearchOps.PhraseGroups)
   }
 
+  test("FuzzyAtoms stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseScored(graft.ops.SearchOps.FuzzyQuery)
+    assert(parsed === graft.ops.SearchOps.FuzzyAtoms.map(f =>
+      graft.index.FuzzyAtom(f._1, f._2)))
+  }
+
   test("NegGroups stays in lockstep with the query parser") {
     val parsed = graft.index.QueryParser
       .parseGroups(graft.ops.SearchOps.NegQuery)

@@ -320,6 +320,120 @@ class WandSpec extends AnyFunSuite {
     assert(effective > 35, s"too few effective negation rounds: $effective")
   }
 
+  test("editDistanceLe == classic DP on random string pairs") {
+    val rnd = new Random(7)
+    def classic(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val alpha = "abcde"
+    (1 to 2000).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+      val b = Seq.fill(rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+      val d = classic(a, b)
+      (0 to 3).foreach { m =>
+        assert(QueryParser.editDistanceLe(a, b, m) === (d <= m),
+          s"'$a' vs '$b' max $m (classic $d)")
+      }
+    }
+  }
+
+  test("FUZZY (scored): edit-distance expansion WAND == exhaustive") {
+    val rnd = new Random(113)
+    var effective = 0
+    (1 to 50).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(250))
+      val oracle = new NaiveIndex(corpus)
+      // misspellings of real vocab words, mixed distances
+      val query = Seq("marge~1 block", "quary~2", "shrd~1 skip~0",
+        "hash~ term")(round % 4)
+      val k = 1 + rnd.nextInt(10)
+      val expected = oracle.topK(query, k)
+      val terms = QueryParser.resolveScored(
+        QueryParser.parseScored(query),
+        oracle.expandPrefix(_), oracle.expandFuzzy(_, _))
+        .filter(oracle.postings.contains)
+      if (terms.nonEmpty) effective += 1
+      val got = WandScorer.topK(terms, cursorsFor(oracle, terms), k)
+      assert(got.map(_.docId) === expected.map(_.docId), s"round $round docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"round $round score doc ${g.docId}")
+      }
+    }
+    assert(effective > 40)
+  }
+
+  test("FUZZY (filter): conjunctive with fuzzy sets == exhaustive row check") {
+    val rnd = new Random(131)
+    var effective = 0
+    (1 to 40).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val (stem, ed) = Seq(("marge", 1), ("blok", 2), ("skip", 0),
+        ("qury", 2))(rnd.nextInt(4))
+      val exps = oracle.postings.keys
+        .filter(t => QueryParser.editDistanceLe(t, stem, ed)).toSeq
+      val group = Seq("query").filter(oracle.postings.contains)
+      if (group.nonEmpty && exps.nonEmpty) {
+        effective += 1
+        val reqCursors = cursorsFor(oracle, exps).values.toSeq
+        val got = WandScorer.conjunctive(group, cursorsFor(oracle, group),
+          Nil, Seq(reqCursors)).toSeq
+        val exp = corpus.collect {
+          case (id, c) =>
+            (id, graft.analyze.CodeAnalyzer.analyze(c))
+        }.filter { case (_, toks) =>
+          group.forall(toks.contains) &&
+            toks.exists(QueryParser.editDistanceLe(_, stem, ed))
+        }.map(_._1).sorted
+        assert(got.map(_.docId) === exp, s"round $round fuzzy '$stem'~$ed")
+        // fuzzies filter, never score
+        got.foreach { sd =>
+          val tf = oracle.postings("query").find(_._1 == sd.docId).get._2
+          val s = oracle.bm25.score(
+            oracle.bm25.idf(oracle.df("query")), tf, oracle.docLen(sd.docId))
+          assert(sd.score === s, s"round $round doc ${sd.docId}")
+        }
+      }
+    }
+    assert(effective > 25, s"too few effective fuzzy rounds: $effective")
+  }
+
+  test("fuzzy parse edges: defaults, caps, negation, non-fuzzy tildes") {
+    def one(q: String) = QueryParser.parseGroups(q) match {
+      case Seq(g) => g
+      case other => fail(s"'$q' parsed to ${other.length} groups")
+    }
+    // bare '~' defaults to the Lucene max of 2; explicit 0/1/2 honored
+    assert(one("alpha merge~").fuzzies === Seq(("merge", 2)))
+    assert(one("alpha merge~1 skip~0").fuzzies ===
+      Seq(("merge", 1), ("skip", 0)))
+    // stems bypass the analyzer but lowercase (the Lucene contract)
+    assert(one("alpha MerGe~1").fuzzies === Seq(("merge", 1)))
+    // negated fuzzy is a prohibition
+    assert(one("alpha -merge~1") ===
+      MatchGroup(Seq("alpha"), Nil, Nil, Nil, Nil, Nil,
+        Nil, Seq(("merge", 1))))
+    // distance above 2 is rejected loudly
+    intercept[IllegalArgumentException] { QueryParser.parseGroups("a merge~3") }
+    // pure-negative fuzzy rejected; fuzzy counts as a positive anchor
+    intercept[IllegalArgumentException] { QueryParser.parseGroups("-merge~1") }
+    assert(one("merge~1 -alpha").negTerms === Seq("alpha"))
+    // NOT fuzzy syntax: leading '~', two '~', multi-char suffix, '*~'
+    // mix — all fall through to the analyzer (which strips punctuation)
+    assert(one("~alpha beta").terms === Seq("alpha", "beta"))
+    assert(one("al~pha~ beta").terms === Seq("al", "pha", "beta"))
+    assert(one("alpha~12 beta").terms === Seq("alpha", "beta"))
+    assert(one("alpha~xy beta").terms === Seq("alpha", "xy", "beta"))
+    // scored surface: FuzzyAtom in atom order, deduped
+    assert(QueryParser.parseScored("merge~1 alpha merge~1 merge~2") ===
+      Seq(FuzzyAtom("merge", 1), TermAtom("alpha"), FuzzyAtom("merge", 2)))
+  }
+
   test("negation parse edges: degeneration, unbalanced quotes, markers") {
     def one(q: String) = QueryParser.parseGroups(q) match {
       case Seq(g) => g
