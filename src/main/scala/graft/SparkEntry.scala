@@ -102,6 +102,7 @@ object SparkEntry {
     "q84_fuzzy_search" -> (SearchOps.qFuzzySearch _),
     "q85_fuzzy_match_where" -> (SearchOps.qFuzzyMatchWhere _),
     "q86_fuzzy_cap_metrics" -> (SearchOps.qFuzzyCapMetrics _),
+    "q87_filtered_search" -> (SearchOps.qFilteredSearch _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -333,6 +334,7 @@ object SparkEntry {
     "q84_fuzzy_search" -> SearchOps.fuzzySearchOracleSql,
     "q85_fuzzy_match_where" -> SearchOps.fuzzyMatchWhereOracleSql,
     "q86_fuzzy_cap_metrics" -> SearchOps.fuzzyCapMetricsOracleSql,
+    "q87_filtered_search" -> SearchOps.filteredSearchOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -95,8 +95,21 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     scoreDisjunctive(terms, k)
   }
 
-  private def scoreDisjunctive(terms: Seq[String], k: Int): Seq[ScoredDoc] = {
-    val acc = mutable.LinkedHashMap.empty[Long, Double] // insertion-ordered; re-summed below
+  /** Metadata-filtered disjunctive top-k: scores are IDENTICAL to
+    * topK's (global stats — a filter gates candidates, never changes
+    * idf/avgdl), only docs passing `allowed` compete. */
+  def topKFiltered(query: String, k: Int,
+                   allowed: Long => Boolean): Seq[ScoredDoc] = {
+    val terms = QueryParser
+      .resolveScored(QueryParser.parseScored(query),
+        expandPrefix(_), expandFuzzy(_, _))
+      .filter(postings.contains)
+    scoreDisjunctive(terms, k, allowed)
+  }
+
+  private def scoreDisjunctive(terms: Seq[String], k: Int,
+                               allowed: Long => Boolean = _ => true)
+      : Seq[ScoredDoc] = {
     // accumulate per doc in query-term order: gather candidate docs first,
     // then sum explicitly term-by-term per doc so float order is frozen
     val perTerm: Seq[(Double, Map[Long, Int])] = terms.map { t =>
@@ -104,7 +117,7 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       (bm25.idf(pl.length.toLong), pl.toMap)
     }
     val cand = mutable.SortedSet.empty[Long]
-    perTerm.foreach { case (_, m) => cand ++= m.keys }
+    perTerm.foreach { case (_, m) => cand ++= m.keys.filter(allowed) }
     val top = new ScoredDoc.TopK(k)
     cand.foreach { id =>
       var s = 0.0

@@ -238,6 +238,78 @@ final class QueryEngine(spark: SparkSession, val root: String,
     shardTop.sorted(ScoredDoc.betterOrdering).take(k)
   }
 
+  /** Metadata-FILTERED scored search — the ES bool query's
+    * query + filter-context combination ("top matches in THIS language /
+    * repo / date range", the reference dashboards' primary query shape:
+    * every Kibana panel carries the time-range filter next to the query,
+    * /root/reference/export.json). `metaPredicate` is a SQL boolean
+    * expression over docmeta columns. Scoring statistics stay GLOBAL
+    * (the ES contract: a filter gates candidates, it never changes
+    * idf/avgdl), so a doc's score is identical with or without the
+    * filter — only the candidate set shrinks.
+    *
+    * Scale shape: the filtered docmeta scan (predicate pushed to
+    * parquet) becomes a per-shard sorted allowed set that joins the WAND
+    * walk as a required cursor — candidates outside it are leapfrogged
+    * WITHOUT scoring, and the walk hops to the filter's next allowed
+    * doc, so a selective filter prunes like a rare term. The distributed
+    * path COGROUPS postings with the filtered docmeta by shard; the
+    * allowed set is never collected to the driver (driver fast path only
+    * when BOTH volumes are small). */
+  def topKFiltered(query: String, k: Int,
+                   metaPredicate: String): Seq[ScoredDoc] = {
+    val terms = QueryParser
+      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1,
+        expandFuzzy(_, _)._1)
+    val dfs = termDfs(terms)
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return Nil
+    val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
+    val allowed = docmeta.where(expr(metaPredicate))
+      .select(col("docId")).as[Long]
+    val totalPostings = dfs.values.sum
+    val (bm, pr, dfsB) = (bm25, present, dfs)
+    val shardTop: Seq[ScoredDoc] =
+      if (totalPostings <= driverPathMaxPostings &&
+          allowed.limit((driverPathMaxPostings + 1).toInt).count()
+            <= driverPathMaxPostings) {
+        val byShard = allowed.collect().groupBy(IndexBuilder.shardOf)
+        rows.collect().groupBy(_.shard).toSeq.flatMap { case (shard, rs) =>
+          byShard.get(shard).toSeq.flatMap { arr =>
+            java.util.Arrays.sort(arr)
+            WandScorer.topK(present, cursors(rs.toSeq, dfs), k,
+              Seq(new ArrayDocCursor(arr)))
+          }
+        }
+      } else {
+        rows.groupByKey(_.shard)
+          .cogroup(allowed.groupByKey(IndexBuilder.shardOf)) {
+            (_, rIt, aIt) =>
+              val arr = aIt.toArray
+              if (arr.isEmpty) Iterator.empty
+              else {
+                java.util.Arrays.sort(arr)
+                WandScorer.topK(pr,
+                  QueryEngine.termCursors(rIt.toSeq, bm, dfsB), k,
+                  Seq(new ArrayDocCursor(arr))).iterator
+              }
+          }.collect().toSeq
+      }
+    shardTop.sorted(ScoredDoc.betterOrdering).take(k)
+  }
+
+  /** topKFiltered joined with document metadata, display-ordered. */
+  def searchFiltered(query: String, k: Int,
+                     metaPredicate: String): DataFrame = {
+    val hits = topKFiltered(query, k, metaPredicate)
+    if (hits.isEmpty)
+      return docmeta.withColumn("score", lit(0.0)).where(lit(false))
+    val ids = hits.map(_.docId)
+    val meta = docmeta.where(col("docId").isin(ids: _*))
+    meta.join(broadcast(hits.toDF("docId", "score")), Seq("docId"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+
   /** Read the query's posting rows as FULL rows; when no phrase needs
     * positions, the scan takes the scoring projection (posBlocks never
     * read) and the rows get empty position streams. */

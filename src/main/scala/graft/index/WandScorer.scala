@@ -20,6 +20,26 @@ sealed trait DocCursor {
   def nextDoc(): Unit
 }
 
+/** Sorted-docId-array cursor — the ALLOWED set of a metadata-filtered
+  * search (the ES filter-context bitset analogue). advanceTo
+  * binary-searches forward, so a selective filter leapfrogs the scored
+  * walk the way a rare term would. Dense post-rebase docIds would pack
+  * into a bitmap (roaring-style) at a fraction of the memory — a
+  * documented upgrade behind this same interface; the sorted array is
+  * the format-free baseline. */
+final class ArrayDocCursor(docs: Array[Long]) extends DocCursor {
+  private var i = 0
+  def exhausted: Boolean = i >= docs.length
+  def curDoc: Long = docs(i)
+  def advanceTo(target: Long): Unit =
+    if (!exhausted && docs(i) < target) {
+      var pos = java.util.Arrays.binarySearch(docs, i + 1, docs.length, target)
+      if (pos < 0) pos = -pos - 1
+      i = pos
+    }
+  def nextDoc(): Unit = i += 1
+}
+
 /** Union-of-cursors (the `term*` expansion in FILTER context): positioned
   * at the minimum current doc of its live members — "the doc contains at
   * least one expansion term". Never scores (constant-score semantics, the
@@ -209,8 +229,14 @@ object WandScorer {
     * STRICTLY-below bounds are omitted) is property-tested against
     * exhaustive scoring in WandSpec. */
   def topK(queryOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
-           k: Int): Seq[ScoredDoc] = {
+           k: Int, required: Seq[DocCursor] = Nil): Seq[ScoredDoc] = {
     val top = new ScoredDoc.TopK(k)
+    // `required` cursors are FILTER-context gates (a metadata-filtered
+    // search's allowed set): a pivot they don't contain is leapfrogged
+    // to their next allowed doc without scoring; they never contribute
+    // to bounds (which only err safe — larger — without them).
+    val reqArr = required.toArray
+    if (reqArr.exists(_.exhausted)) return Nil
     val live = mutable.ArrayBuffer.empty[PostingCursor]
     queryOrder.foreach(t => cursorsByTerm.get(t).foreach { c =>
       if (!c.exhausted) live += c
@@ -265,7 +291,27 @@ object WandScorer {
       }
       if (p < 0) return top.result() // no doc can make the heap
       val pivotDoc = sorted(p).curDoc
-      if (sorted.head.curDoc == pivotDoc) {
+      // filter gate: a pivot outside the allowed set can never score —
+      // hop the aligned prefix straight to the filter's next allowed doc
+      var filteredOut = false
+      if (reqArr.nonEmpty && sorted.head.curDoc == pivotDoc) {
+        var f = 0
+        while (!filteredOut && f < reqArr.length) {
+          val rc = reqArr(f)
+          rc.advanceTo(pivotDoc)
+          if (rc.exhausted) return top.result() // no allowed docs remain
+          if (rc.curDoc != pivotDoc) {
+            val next = rc.curDoc
+            var j3 = 0
+            while (j3 <= p) { sorted(j3).advanceTo(next); j3 += 1 }
+            filteredOut = true
+          }
+          f += 1
+        }
+      }
+      if (filteredOut) {
+        // fall through to the live-cursor prune at the loop bottom
+      } else if (sorted.head.curDoc == pivotDoc) {
         // block-max refinement: bound using current blocks of essential
         // cursors at or before the pivot (plus the non-essential global
         // bound); strictly below a full heap's theta => the pivot doc

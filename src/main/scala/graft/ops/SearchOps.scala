@@ -535,6 +535,42 @@ object SearchOps {
        |  string_agg(token, ',' ORDER BY rnk) AS kept_list
        |FROM exp WHERE rnk <= $FuzzyCapCap""".stripMargin
 
+  /** q87: metadata-FILTERED scored search (the ES bool query+filter
+    * combination — every reference dashboard panel pairs its query with
+    * a filter, /root/reference/export.json). Scoring statistics stay
+    * GLOBAL (filters gate candidates, never change idf/avgdl), so the
+    * oracle scores ALL docs with the corpus-wide CTEs and only then
+    * applies the filter — any stats leakage diverges the hash. */
+  val FilteredQuery = "spark query join"
+  val FilteredPredicate = "lang IN ('en', 'fr')"
+
+  def qFilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topKFiltered(FilteredQuery, 10 + TieMargin,
+      FilteredPredicate)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def filteredSearchOracleSql: String = {
+    val terms = Seq("spark", "query", "join")
+    val scoreExpr = terms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(terms)},
+       |langs AS (SELECT doc_id, lang FROM documents),
+       |scored AS (SELECT t.doc_id, $scoreExpr AS score_raw
+       |           FROM tf t JOIN langs l ON t.doc_id = l.doc_id,
+       |                stats, dfs
+       |           WHERE l.lang IN ('en', 'fr')),
+       |topk AS (SELECT 'doc_' || doc_id AS path,
+       |                floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE score_raw > 0.0
+       |         ORDER BY score_raw DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

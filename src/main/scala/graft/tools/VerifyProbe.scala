@@ -72,6 +72,20 @@ object VerifyProbe {
       " hits (constant score " + eng.booleanTopK("tokn~1", 1).map(_.score) + ")")
     println("PROBE neg-fuzzy bool -> " +
       eng.booleanTopK("posting -raeder~1", 5).size + " hits")
+    // filtered search edges: real filter, empty filter, always-true
+    // filter == unfiltered, bad predicate loud
+    println("PROBE filtered topK -> " +
+      eng.topKFiltered("posting reader", 5, "lang = 'scala'").size + " hits")
+    println("PROBE filtered empty-filter -> " +
+      eng.topKFiltered("posting reader", 5, "lang = 'nope'"))
+    println("PROBE filtered always-true == plain -> " +
+      (eng.topKFiltered("posting reader", 5, "docId >= 0") ==
+        eng.topK("posting reader", 5)))
+    try {
+      eng.topKFiltered("posting", 5, "no_such_column = 1")
+      println("PROBE filtered bad-pred -> NO ERROR (BAD)")
+    } catch { case e: Exception =>
+      println("PROBE filtered bad-pred -> rejected: " + e.getMessage.take(60)) }
     val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
     println("PROBE highlight -> " +
       eng.highlight("posting reader", hlDoc).map(h =>

@@ -199,6 +199,41 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(viaSet === viaBool && viaSet.nonEmpty)
   }
 
+  test("FILTERED PARITY: metadata-filtered scored search matches the oracle") {
+    import spark.implicits._
+    val langById = engine.docmeta.select("docId", "lang")
+      .as[(Long, String)].collect().toMap
+    val scalaIds = langById.filter(_._2 == "scala").keySet
+    assert(scalaIds.nonEmpty && scalaIds.size < langById.size,
+      "filter must be a strict non-empty subset for this test to bite")
+    (refQueries.take(6) ++ ReferenceQueries.prefixQueries.take(1) ++
+      ReferenceQueries.fuzzyQueries.take(1)).foreach { q =>
+      val expected = parityOracle.topKFiltered(q, 10, scalaIds.contains)
+      val got = engine.topKFiltered(q, 10, "lang = 'scala'")
+      assert(got.map(_.docId) === expected.map(_.docId), s"query '$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"'$q' score doc ${g.docId}") }
+      // the ES contract: the filter GATES, statistics stay global — a
+      // filtered hit's score is bit-identical to its unfiltered score
+      val unfiltered = engine.topK(q, 100000).map(s => s.docId -> s.score).toMap
+      got.foreach { sd =>
+        assert(unfiltered(sd.docId) === sd.score, s"'$q' stats leaked")
+        assert(scalaIds.contains(sd.docId), s"'$q' filter violated")
+      }
+    }
+    // edge filters: empty set, everything, and the distributed path
+    assert(engine.topKFiltered("posting reader", 10, "lang = 'zzz'") === Nil)
+    assert(engine.topKFiltered("posting reader", 10, "docId >= 0") ===
+      engine.topK("posting reader", 10))
+    val engDist = new QueryEngine(spark, indexRoot, driverPathMaxPostings = 1)
+    assert(engDist.topKFiltered("posting reader", 10, "lang = 'scala'") ===
+      engine.topKFiltered("posting reader", 10, "lang = 'scala'"))
+    // searchFiltered attaches the right metadata
+    val sf = engine.searchFiltered("posting reader", 5, "lang = 'scala'")
+      .select("lang").as[String].collect()
+    assert(sf.nonEmpty && sf.forall(_ == "scala"))
+  }
+
   test("NEGATION PARITY: must_not queries match the oracle; pure-negative loud") {
     // frozen set + sampled negations built from real doc content (so the
     // prohibitions actually exclude hits), + dead-negation no-ops

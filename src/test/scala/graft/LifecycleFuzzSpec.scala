@@ -107,6 +107,13 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         got.zip(exp).foreach { case (g, e) =>
           assert(g.score == e.score, s"$step: fuzzy '$q' scores") }
       }
+      // filtered search must track renumbering too (rebase rewrites the
+      // docIds the filter set is built from)
+      val gotF = eng.topKFiltered("posting reader", 10, "docId % 2 = 0")
+      val expF = oracle.topKFiltered("posting reader", 10, _ % 2 == 0)
+      assert(gotF.map(_.docId) == expF.map(_.docId), s"$step: filtered")
+      gotF.zip(expF).foreach { case (g, e) =>
+        assert(g.score == e.score, s"$step: filtered scores") }
     }
     checkParity("after bulk")
 

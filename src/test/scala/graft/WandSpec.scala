@@ -403,6 +403,37 @@ class WandSpec extends AnyFunSuite {
     assert(effective > 25, s"too few effective fuzzy rounds: $effective")
   }
 
+  test("FILTERED: WAND with a required cursor == exhaustive over the subset") {
+    val rnd = new Random(149)
+    var effective = 0
+    (1 to 50).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val nTerms = 1 + rnd.nextInt(3)
+      val terms = Seq.fill(nTerms)(vocab(rnd.nextInt(vocab.length)))
+        .distinct.filter(oracle.postings.contains)
+      // random allowed subset at varying selectivity (incl. tiny)
+      val p = Seq(0.05, 0.3, 0.8)(rnd.nextInt(3))
+      val allowed = corpus.map(_._1).filter(_ => rnd.nextDouble() < p).toSet
+      if (terms.nonEmpty) {
+        effective += 1
+        val k = 1 + rnd.nextInt(10)
+        val arr = allowed.toArray.sorted
+        val got = WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+          Seq(new ArrayDocCursor(arr)))
+        val exp = oracle.topKFiltered(terms.mkString(" "), k, allowed.contains)
+        assert(got.map(_.docId) === exp.map(_.docId),
+          s"round $round p=$p docIds")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score === e.score, s"round $round doc ${g.docId}") }
+        // empty allowed set -> nothing, exhausted cleanly
+        assert(WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+          Seq(new ArrayDocCursor(Array.empty[Long]))) === Nil)
+      }
+    }
+    assert(effective > 40)
+  }
+
   test("fuzzy parse edges: defaults, caps, negation, non-fuzzy tildes") {
     def one(q: String) = QueryParser.parseGroups(q) match {
       case Seq(g) => g
