@@ -103,6 +103,8 @@ object SparkEntry {
     "q85_fuzzy_match_where" -> (SearchOps.qFuzzyMatchWhere _),
     "q86_fuzzy_cap_metrics" -> (SearchOps.qFuzzyCapMetrics _),
     "q87_filtered_search" -> (SearchOps.qFilteredSearch _),
+    "q88_boosted_search" -> (SearchOps.qBoostedSearch _),
+    "q89_search_after" -> (SearchOps.qSearchAfter _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -335,6 +337,8 @@ object SparkEntry {
     "q85_fuzzy_match_where" -> SearchOps.fuzzyMatchWhereOracleSql,
     "q86_fuzzy_cap_metrics" -> SearchOps.fuzzyCapMetricsOracleSql,
     "q87_filtered_search" -> SearchOps.filteredSearchOracleSql,
+    "q88_boosted_search" -> SearchOps.boostedSearchOracleSql,
+    "q89_search_after" -> SearchOps.searchAfterOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -87,34 +87,40 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
 
   /** Disjunctive BM25 top-k (exhaustive); `word*` words expand to their
     * ranked capped dictionary terms in place (scored like any term). */
-  def topK(query: String, k: Int): Seq[ScoredDoc] = {
-    val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query),
-        expandPrefix(_), expandFuzzy(_, _))
-      .filter(postings.contains)
-    scoreDisjunctive(terms, k)
-  }
+  private def resolvedW(query: String): Seq[(String, Double)] =
+    QueryParser.resolveScoredW(QueryParser.parseScored(query),
+      expandPrefix(_), expandFuzzy(_, _))
+      .filter(t => postings.contains(t._1))
+
+  def topK(query: String, k: Int): Seq[ScoredDoc] =
+    scoreDisjunctive(resolvedW(query), k)
 
   /** Metadata-filtered disjunctive top-k: scores are IDENTICAL to
     * topK's (global stats — a filter gates candidates, never changes
     * idf/avgdl), only docs passing `allowed` compete. */
   def topKFiltered(query: String, k: Int,
-                   allowed: Long => Boolean): Seq[ScoredDoc] = {
-    val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query),
-        expandPrefix(_), expandFuzzy(_, _))
-      .filter(postings.contains)
-    scoreDisjunctive(terms, k, allowed)
-  }
+                   allowed: Long => Boolean): Seq[ScoredDoc] =
+    scoreDisjunctive(resolvedW(query), k, allowed)
 
-  private def scoreDisjunctive(terms: Seq[String], k: Int,
-                               allowed: Long => Boolean = _ => true)
+  /** Deep pagination: top-k strictly after (afterScore, afterDocId) in
+    * the global (score desc, docId asc) order. */
+  def topKAfter(query: String, k: Int, afterScore: Double,
+                afterDocId: Long): Seq[ScoredDoc] =
+    scoreDisjunctive(resolvedW(query), k,
+      after = Some((afterScore, afterDocId)))
+
+  private def scoreDisjunctive(terms: Seq[(String, Double)], k: Int,
+                               allowed: Long => Boolean = _ => true,
+                               after: Option[(Double, Long)] = None)
       : Seq[ScoredDoc] = {
+    val (afScore, afDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     // accumulate per doc in query-term order: gather candidate docs first,
-    // then sum explicitly term-by-term per doc so float order is frozen
-    val perTerm: Seq[(Double, Map[Long, Int])] = terms.map { t =>
+    // then sum explicitly term-by-term per doc so float order is frozen;
+    // the boost PRE-multiplies the idf (same association as the engine's
+    // boosted cursor, so sums stay bit-identical)
+    val perTerm: Seq[(Double, Map[Long, Int])] = terms.map { case (t, w) =>
       val pl = postings(t)
-      (bm25.idf(pl.length.toLong), pl.toMap)
+      (bm25.idf(pl.length.toLong) * w, pl.toMap)
     }
     val cand = mutable.SortedSet.empty[Long]
     perTerm.foreach { case (_, m) => cand ++= m.keys.filter(allowed) }
@@ -125,7 +131,8 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       perTerm.foreach { case (idf, m) =>
         m.get(id).foreach(tf => s += bm25.score(idf, tf, dl))
       }
-      top.offer(ScoredDoc(id, s))
+      if (s < afScore || (s == afScore && id > afDoc))
+        top.offer(ScoredDoc(id, s))
     }
     top.result()
   }
@@ -211,13 +218,20 @@ final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
   * Wildcard words BYPASS the analyzer (the Lucene query_string contract:
   * `mergeSort*` lowercases to the prefix `mergesort`, which matches the
   * preserveOriginal combined token of camelCase identifiers). */
-sealed trait QueryAtom extends Serializable
-final case class TermAtom(term: String) extends QueryAtom
-final case class PrefixAtom(prefix: String) extends QueryAtom
+sealed trait QueryAtom extends Serializable {
+  /** `word^2.5` multiplies every BM25 contribution of the word (and of
+    * its expansions, for wildcard/fuzzy atoms) — the Lucene query_string
+    * boost. 1.0 = unboosted. */
+  def boost: Double
+}
+final case class TermAtom(term: String, boost: Double = 1.0) extends QueryAtom
+final case class PrefixAtom(prefix: String, boost: Double = 1.0)
+  extends QueryAtom
 /** `word~n` — expands to dictionary terms within Levenshtein distance
   * `maxEd` of the stem. Like wildcards, fuzzy words BYPASS the analyzer
   * (lowercased verbatim — the Lucene FuzzyQuery contract). */
-final case class FuzzyAtom(stem: String, maxEd: Int) extends QueryAtom
+final case class FuzzyAtom(stem: String, maxEd: Int, boost: Double = 1.0)
+  extends QueryAtom
 
 /** "spaces are ANDs commas are ORs" (/root/reference/sentiment.py:638-641):
   * OR groups split on ',', AND terms split on whitespace, every word run
@@ -390,19 +404,38 @@ object QueryParser {
     * atoms in word order — the frozen float-sum order — plain words
     * analyzed as before (dedup first-occurrence, same stream
     * CodeAnalyzer.analyzeQuery yields), `word*` words as PrefixAtoms. */
+  /** Strip a trailing `^<positive number>` boost (the Lucene
+    * query_string boost operator). Returns (word without the boost
+    * suffix, boost). A malformed suffix (`^`, `^x`, `^-2`, second `^`)
+    * is NOT boost syntax — the word falls through whole to the analyzer
+    * (which strips `^` like any punctuation). */
+  private def boostSuffix(w: String): (String, Double) = {
+    val ci = w.lastIndexOf('^')
+    if (ci <= 0 || ci == w.length - 1 || w.indexOf('^') != ci) return (w, 1.0)
+    val numS = w.substring(ci + 1)
+    try {
+      val b = numS.toDouble
+      if (b > 0.0 && !b.isInfinite) (w.substring(0, ci), b) else (w, 1.0)
+    } catch { case _: NumberFormatException => (w, 1.0) }
+  }
+
   def parseScored(query: String): Seq[QueryAtom] = {
     if (query == null || query.isEmpty) return Nil
     val seen = mutable.HashSet.empty[String]
     val seenPre = mutable.HashSet.empty[String]
     val seenFuz = mutable.HashSet.empty[(String, Int)]
-    query.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+    query.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w0 =>
+      // boost binds LAST: 'mer*^2' boosts the wildcard, 'a~1^2' the
+      // fuzzy; first occurrence of an atom keeps its boost (dedup rule)
+      val (w, boost) = boostSuffix(w0)
       wildcardStem(w) match {
-        case Some(p) => if (seenPre.add(p)) Seq(PrefixAtom(p)) else Nil
+        case Some(p) => if (seenPre.add(p)) Seq(PrefixAtom(p, boost)) else Nil
         case None => fuzzyStem(w) match {
           case Some(f) => if (seenFuz.add(f))
-            Seq(FuzzyAtom(f._1, f._2)) else Nil
+            Seq(FuzzyAtom(f._1, f._2, boost)) else Nil
           case None =>
-            CodeAnalyzer.analyze(w).filter(seen.add).map(TermAtom.apply)
+            CodeAnalyzer.analyze(w).filter(seen.add)
+              .map(t => TermAtom(t, boost))
         }
       }
     }
@@ -414,24 +447,36 @@ object QueryParser {
   def rankExpansions(cands: Seq[(String, Long)], cap: Int): Seq[String] =
     cands.sortBy { case (t, d) => (-d, t) }.take(cap).map(_._1)
 
-  /** Resolve scored atoms to the final term order: atom order, each
-    * prefix/fuzzy replaced in place by its (ranked, capped) expansions,
-    * global first-occurrence dedup. The expand hooks are the dictionary —
-    * the real engine's dict, or NaiveIndex's postings keys. */
+  /** Resolve scored atoms to the final WEIGHTED term order: atom order,
+    * each prefix/fuzzy replaced in place by its (ranked, capped)
+    * expansions, global first-occurrence dedup (first occurrence keeps
+    * its boost; expansions inherit their atom's). The expand hooks are
+    * the dictionary — the real engine's dict, or NaiveIndex's postings
+    * keys. */
+  def resolveScoredW(atoms: Seq[QueryAtom],
+                     expand: String => Seq[String],
+                     expandFuzzy: (String, Int) => Seq[String] =
+                       (_, _) => throw new IllegalArgumentException(
+                         "fuzzy atoms are not supported on this path"))
+      : Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    val seen = mutable.HashSet.empty[String]
+    atoms.foreach { a =>
+      val terms = a match {
+        case TermAtom(t, _) => Seq(t)
+        case PrefixAtom(p, _) => expand(p)
+        case FuzzyAtom(s, d, _) => expandFuzzy(s, d)
+      }
+      terms.foreach(t => if (seen.add(t)) out += (t -> a.boost))
+    }
+    out.result()
+  }
+
+  /** Terms-only view of resolveScoredW (paths that don't score). */
   def resolveScored(atoms: Seq[QueryAtom],
                     expand: String => Seq[String],
                     expandFuzzy: (String, Int) => Seq[String] =
                       (_, _) => throw new IllegalArgumentException(
                         "fuzzy atoms are not supported on this path"))
-      : Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val seen = mutable.HashSet.empty[String]
-    atoms.foreach {
-      case TermAtom(t) => if (seen.add(t)) out += t
-      case PrefixAtom(p) => expand(p).foreach(t => if (seen.add(t)) out += t)
-      case FuzzyAtom(s, d) =>
-        expandFuzzy(s, d).foreach(t => if (seen.add(t)) out += t)
-    }
-    out.result()
-  }
+      : Seq[String] = resolveScoredW(atoms, expand, expandFuzzy).map(_._1)
 }

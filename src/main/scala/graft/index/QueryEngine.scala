@@ -31,13 +31,18 @@ import org.apache.spark.sql.functions._
 object QueryEngine {
   /** The ONE place per-term cursors are built from posting rows (driver
     * fast path, distributed topK, boolean groups, match sets): sub-lists
-    * of a term sorted by first docId, wrapped with the term's idf. Kept
-    * static so distributed closures capture only (bm, dfs). */
+    * of a term sorted by first docId, wrapped with the term's idf —
+    * PRE-MULTIPLIED by its query boost (`word^2`), which scales scores
+    * AND every WAND bound consistently (both derive from the cursor's
+    * idf). Kept static so distributed closures capture only
+    * (bm, dfs, weights). */
   private[index] def termCursors(rs: Seq[PostingRow], bm: Bm25,
-      dfs: Map[String, Long]): Map[String, PostingCursor] =
+      dfs: Map[String, Long],
+      weights: Map[String, Double] = Map.empty)
+      : Map[String, PostingCursor] =
     rs.groupBy(_.term).map { case (t, subs) =>
       val sorted = subs.sortBy(_.skips.head.firstDoc)
-      t -> new PostingCursor(t, bm.idf(dfs(t)),
+      t -> new PostingCursor(t, bm.idf(dfs(t)) * weights.getOrElse(t, 1.0),
         sorted.map(r => (r.blocks, r.skips, Seq.empty[Array[Byte]])), bm)
     }
 
@@ -212,26 +217,50 @@ final class QueryEngine(spark: SparkSession, val root: String,
 
   /** Disjunctive BM25 top-k; returns (docId, score) best-first. `word*`
     * words expand to their ranked, capped dictionary terms in place
-    * (each scored like any term — the Lucene top-terms rewrite). */
-  def topK(query: String, k: Int): Seq[ScoredDoc] = {
-    val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1,
+    * (each scored like any term — the Lucene top-terms rewrite);
+    * `word~n` likewise; `word^2.5` multiplies the word's contributions
+    * (boost pre-multiplies the cursor idf, so WAND bounds scale with
+    * the scores). */
+  def topK(query: String, k: Int): Seq[ScoredDoc] =
+    scoredTopK(query, k, None)
+
+  /** Deep pagination (the ES search_after primitive): the top-k docs
+    * STRICTLY AFTER `(afterScore, afterDocId)` in the global
+    * (score desc, docId asc) order — the previous page's last hit is
+    * the cursor. Unlike from+size, per-shard state stays O(k) at any
+    * page depth: each shard runs the same WAND walk and just refuses to
+    * heap docs at-or-before the cursor, so page 1000 costs what page 1
+    * costs. Scores are bit-stable across pages (same fixed-order sums),
+    * so the cursor is exact, never approximate. */
+  def topKAfter(query: String, k: Int, afterScore: Double,
+                afterDocId: Long): Seq[ScoredDoc] =
+    scoredTopK(query, k, Some((afterScore, afterDocId)))
+
+  private def scoredTopK(query: String, k: Int,
+                         after: Option[(Double, Long)]): Seq[ScoredDoc] = {
+    val weighted = QueryParser
+      .resolveScoredW(QueryParser.parseScored(query), expandPrefix(_)._1,
         expandFuzzy(_, _)._1)
-    val dfs = termDfs(terms)
-    val present = terms.filter(dfs.contains)
+    val dfs = termDfs(weighted.map(_._1))
+    val present = weighted.map(_._1).filter(dfs.contains)
     if (present.isEmpty) return Nil
+    val wMap: Map[String, Double] =
+      weighted.filter(_._2 != 1.0).toMap // only boosted terms ship
     val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
     val totalPostings = dfs.values.sum
     val shardTop: Seq[ScoredDoc] =
       if (totalPostings <= driverPathMaxPostings) {
         // driver fast path: postings for these terms are small; single job
         rows.collect().groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
-          WandScorer.topK(present, cursors(rs.toSeq, dfs), k)
+          WandScorer.topK(present,
+            QueryEngine.termCursors(rs.toSeq, bm25, dfs, wMap), k,
+            after = after)
         }
       } else {
-        val (bm, pr, dfsB) = (bm25, present, dfs)
+        val (bm, pr, dfsB, wB, aB) = (bm25, present, dfs, wMap, after)
         rows.groupByKey(_.shard).flatMapGroups { (_, it) =>
-          WandScorer.topK(pr, QueryEngine.termCursors(it.toSeq, bm, dfsB), k)
+          WandScorer.topK(pr,
+            QueryEngine.termCursors(it.toSeq, bm, dfsB, wB), k, after = aB)
             .iterator
         }.collect().toSeq
       }
@@ -258,17 +287,18 @@ final class QueryEngine(spark: SparkSession, val root: String,
     * when BOTH volumes are small). */
   def topKFiltered(query: String, k: Int,
                    metaPredicate: String): Seq[ScoredDoc] = {
-    val terms = QueryParser
-      .resolveScored(QueryParser.parseScored(query), expandPrefix(_)._1,
+    val weighted = QueryParser
+      .resolveScoredW(QueryParser.parseScored(query), expandPrefix(_)._1,
         expandFuzzy(_, _)._1)
-    val dfs = termDfs(terms)
-    val present = terms.filter(dfs.contains)
+    val dfs = termDfs(weighted.map(_._1))
+    val present = weighted.map(_._1).filter(dfs.contains)
     if (present.isEmpty) return Nil
+    val wMap: Map[String, Double] = weighted.filter(_._2 != 1.0).toMap
     val rows = postings.where(col("term").isin(present: _*)).as[PostingRow]
     val allowed = docmeta.where(expr(metaPredicate))
       .select(col("docId")).as[Long]
     val totalPostings = dfs.values.sum
-    val (bm, pr, dfsB) = (bm25, present, dfs)
+    val (bm, pr, dfsB, wB) = (bm25, present, dfs, wMap)
     val shardTop: Seq[ScoredDoc] =
       if (totalPostings <= driverPathMaxPostings &&
           allowed.limit((driverPathMaxPostings + 1).toInt).count()
@@ -277,7 +307,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
         rows.collect().groupBy(_.shard).toSeq.flatMap { case (shard, rs) =>
           byShard.get(shard).toSeq.flatMap { arr =>
             java.util.Arrays.sort(arr)
-            WandScorer.topK(present, cursors(rs.toSeq, dfs), k,
+            WandScorer.topK(present,
+              QueryEngine.termCursors(rs.toSeq, bm25, dfs, wMap), k,
               Seq(new ArrayDocCursor(arr)))
           }
         }
@@ -290,7 +321,7 @@ final class QueryEngine(spark: SparkSession, val root: String,
               else {
                 java.util.Arrays.sort(arr)
                 WandScorer.topK(pr,
-                  QueryEngine.termCursors(rIt.toSeq, bm, dfsB), k,
+                  QueryEngine.termCursors(rIt.toSeq, bm, dfsB, wB), k,
                   Seq(new ArrayDocCursor(arr))).iterator
               }
           }.collect().toSeq

@@ -229,8 +229,16 @@ object WandScorer {
     * STRICTLY-below bounds are omitted) is property-tested against
     * exhaustive scoring in WandSpec. */
   def topK(queryOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
-           k: Int, required: Seq[DocCursor] = Nil): Seq[ScoredDoc] = {
+           k: Int, required: Seq[DocCursor] = Nil,
+           after: Option[(Double, Long)] = None): Seq[ScoredDoc] = {
     val top = new ScoredDoc.TopK(k)
+    // search_after cursor: only docs STRICTLY after (score, docId) in
+    // the global (score desc, docId asc) order may heap. Scores are
+    // bit-stable across calls (fixed-order sums), so the strict
+    // comparison is exact. Bounds/θ logic is untouched — a doc may be
+    // fully evaluated and then refused here; the heap only ever holds
+    // eligible docs, so its threshold stays a valid pruning bound.
+    val (afScore, afDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     // `required` cursors are FILTER-context gates (a metadata-filtered
     // search's allowed set): a pivot they don't contain is leapfrogged
     // to their next allowed doc without scoring; they never contribute
@@ -338,7 +346,8 @@ object WandScorer {
             if (!c.exhausted && c.curDoc == pivotDoc) s += c.curScore
             q += 1
           }
-          top.offer(ScoredDoc(pivotDoc, s))
+          if (s < afScore || (s == afScore && pivotDoc > afDoc))
+            top.offer(ScoredDoc(pivotDoc, s))
           // move EVERY cursor off the evaluated doc (a non-essential
           // cursor left sitting on it could become essential later and
           // re-emit the doc)

@@ -571,6 +571,82 @@ object SearchOps {
        |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
   }
 
+  /** q88: BOOSTED scored search (the Lucene query_string `term^n`
+    * boost) — each boost PRE-multiplies the term's idf (so WAND bounds
+    * scale with the scores), contributions sum in the same frozen
+    * order. The oracle mirrors the association exactly:
+    * ((ln(...) * boost) * tf-part) / norm. */
+  val BoostedQuery = "spark^2 query join^0.5"
+  /** (term, boost) in scoring order — lockstep-pinned. */
+  val BoostedTerms: Seq[(String, Double)] =
+    Seq(("spark", 2.0), ("query", 1.0), ("join", 0.5))
+
+  def qBoostedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topK(BoostedQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+  }
+
+  /** Per-term boosted BM25 contribution — the boost multiplies the idf
+    * FIRST (the engine's cursor association), then the tf part. */
+  private def boostedScoreSql(i: Int, boost: Double): String =
+    s"(CASE WHEN tf$i > 0 THEN ((ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) " +
+    s"* $boost) * (CAST(tf$i AS DOUBLE) * ${K1 + 1.0})) / " +
+    s"(CAST(tf$i AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl AS DOUBLE) " +
+    s"/ avgdl)) ELSE 0.0 END)"
+
+  def boostedSearchOracleSql: String = {
+    val scoreExpr = BoostedTerms.zipWithIndex
+      .map { case ((_, b), i) => boostedScoreSql(i, b) }.mkString(" + ")
+    s"""WITH ${bm25Ctes(BoostedTerms.map(_._1))},
+       |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs)
+       |SELECT 'doc_' || doc_id AS path,
+       |       floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM scored WHERE score_raw > 0.0
+       |ORDER BY score_raw DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q89: SEARCH_AFTER deep pagination — page 2 of the frozen demo
+    * query, fetched through the real cursor flow: page 1's last hit
+    * (lowest score, highest docId among its ties) becomes the
+    * (afterScore, afterDocId) cursor, and the engine returns the top-10
+    * STRICTLY after it. Unlike from+size, per-shard state stays O(k) at
+    * any depth. The oracle derives the same cursor in SQL and applies
+    * the same strict (score, doc_id) cut — scores are bit-stable across
+    * pages, so the comparison is exact. */
+  def qSearchAfter(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val q = QueryTerms.mkString(" ")
+    val page1 = eng.topK(q, 10)
+    require(page1.size == 10, s"page 1 must be full, got ${page1.size}")
+    val cur = page1.last
+    val hits = eng.topKAfter(q, 10 + TieMargin, cur.score, cur.docId)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+  }
+
+  def searchAfterOracleSql: String = {
+    val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |scored AS (SELECT doc_id, $scoreExpr AS score_raw FROM tf, stats, dfs),
+       |hits AS (SELECT doc_id, score_raw FROM scored WHERE score_raw > 0.0),
+       |page1 AS (SELECT doc_id, score_raw FROM hits
+       |          ORDER BY score_raw DESC, doc_id LIMIT 10),
+       |cur AS (SELECT score_raw AS cs, doc_id AS cd FROM page1
+       |        ORDER BY score_raw ASC, doc_id DESC LIMIT 1)
+       |SELECT 'doc_' || h.doc_id AS path,
+       |       floor((h.score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |FROM hits h, cur
+       |WHERE h.score_raw < cur.cs
+       |   OR (h.score_raw = cur.cs AND h.doc_id > cur.cd)
+       |ORDER BY h.score_raw DESC, h.doc_id LIMIT 10""".stripMargin
+  }
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

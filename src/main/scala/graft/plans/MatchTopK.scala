@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class MatchTopK(indexRoot: String, query: String, k: Int,
                      boolMode: Boolean,
+                     filter: Option[String] = None,
                      override val output: Seq[Attribute] = MatchTopK.freshOutput())
     extends LeafNode
 
@@ -48,9 +49,11 @@ case class MatchTopKExec(plan: MatchTopK) extends LeafExecNode {
     // one-partition RDD.
     val spark = SparkSession.active
     val eng = MatchTopKExec.engineFor(spark, plan.indexRoot)
-    val hits =
-      if (plan.boolMode) eng.booleanTopK(plan.query, plan.k)
-      else eng.topK(plan.query, plan.k)
+    val hits = plan.filter match {
+      case Some(pred) => eng.topKFiltered(plan.query, plan.k, pred)
+      case None if plan.boolMode => eng.booleanTopK(plan.query, plan.k)
+      case None => eng.topK(plan.query, plan.k)
+    }
     val rows: Seq[InternalRow] =
       if (hits.isEmpty) Nil
       else {
@@ -184,7 +187,7 @@ case class ExplainScoreExec(plan: ExplainScore) extends LeafExecNode {
 
 /**
  * SQL surface for the search operator: a TABLE-VALUED FUNCTION
- *   SELECT * FROM match_topk('<indexRoot>', '<query>', k [, boolMode])
+ *   SELECT * FROM match_topk('<indexRoot>', '<query>', k [, boolMode [, filter]])
  * registered in the session's table-function registry (the same registry
  * `range(...)` lives in), building the MatchTopK logical plan (planned by
  * MatchStrategy) — the ES `/index/_search` shape reachable from plain
@@ -195,9 +198,11 @@ object MatchTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-  val usage = "match_topk(indexRoot, query, k[, boolMode]) - BM25 top-k " +
-    "search over a committed index as a relation " +
-    "(docId, score, repo, path, commit, lang, sha256)"
+  val usage = "match_topk(indexRoot, query, k[, boolMode[, filter]]) - " +
+    "BM25 top-k search over a committed index as a relation " +
+    "(docId, score, repo, path, commit, lang, sha256); `filter` is a " +
+    "SQL predicate over the metadata columns (the ES filter context — " +
+    "gates candidates, statistics stay global; scored mode only)"
 
   private def strArg(e: Expression, what: String): String = e match {
     case Literal(v: UTF8String, StringType) if v != null => v.toString
@@ -219,13 +224,19 @@ object MatchTvf {
   }
 
   def build(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 3 || args.size == 4,
-      "match_topk(indexRoot, query, k[, boolMode]) takes 3 or 4 arguments")
+    require(args.size >= 3 && args.size <= 5,
+      "match_topk(indexRoot, query, k[, boolMode[, filter]]) takes 3 to 5 arguments")
+    val boolMode = args.lift(3).exists(boolArg)
+    val filter = args.lift(4).map(strArg(_, "filter")).filter(_.nonEmpty)
+    require(filter.isEmpty || !boolMode,
+      "match_topk: filter composes with the SCORED path (boolMode=false); " +
+        "boolean queries compose filters through WHERE match(...) instead")
     MatchTopK(
       indexRoot = strArg(args(0), "indexRoot"),
       query = strArg(args(1), "query"),
       k = intArg(args(2), "k"),
-      boolMode = args.lift(3).exists(boolArg))
+      boolMode = boolMode,
+      filter = filter)
   }
 
   private def longArg(e: Expression, what: String): Long = e match {

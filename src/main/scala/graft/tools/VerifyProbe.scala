@@ -86,6 +86,20 @@ object VerifyProbe {
       println("PROBE filtered bad-pred -> NO ERROR (BAD)")
     } catch { case e: Exception =>
       println("PROBE filtered bad-pred -> rejected: " + e.getMessage.take(60)) }
+    // boost + pagination edges
+    println("PROBE boost ^1 == plain -> " +
+      (eng.topK("posting^1 reader", 5) == eng.topK("posting reader", 5)))
+    println("PROBE boost reorders -> " +
+      (eng.topK("posting reader^8", 5).map(_.docId) !=
+        eng.topK("posting reader", 5).map(_.docId)))
+    println("PROBE boost malformed '^x' -> " +
+      eng.topK("posting^x", 5).size + " hits (word analyzed, not lost)")
+    val pg1 = eng.topK("posting reader", 5)
+    val pg2 = eng.topKAfter("posting reader", 5, pg1.last.score, pg1.last.docId)
+    println("PROBE search_after page2 -> " + pg2.size + " hits, overlap=" +
+      pg1.map(_.docId).toSet.intersect(pg2.map(_.docId).toSet).size)
+    println("PROBE search_after past-end -> " +
+      eng.topKAfter("posting reader", 5, -1e18, Long.MaxValue))
     val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
     println("PROBE highlight -> " +
       eng.highlight("posting reader", hlDoc).map(h =>

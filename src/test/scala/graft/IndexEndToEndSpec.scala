@@ -234,6 +234,46 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sf.nonEmpty && sf.forall(_ == "scala"))
   }
 
+  test("BOOST PARITY: term^n queries match the oracle bit-exactly") {
+    Seq("posting^2 reader", "def^0.5 return^4",
+      "post*^2 checkpoint", "raeder~2^3 posting",
+      "computeHashValue^2.5").foreach { q =>
+      val expected = parityOracle.topK(q, 10)
+      val got = engine.topK(q, 10)
+      assert(expected.nonEmpty, s"boost query '$q' should hit")
+      assert(got.map(_.docId) === expected.map(_.docId), s"'$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"'$q' score doc ${g.docId}") }
+    }
+    // boost actually matters: scores scale, and SOME boost magnitude
+    // reorders the top-10 (tf profiles differ across docs)
+    val plain = engine.topK("def return", 10)
+    val b4 = engine.topK("def return^4", 10)
+    assert(b4.head.score !== plain.head.score, "boost must change scores")
+    val reordered = Seq(4, 16, 256).exists(b =>
+      engine.topK(s"def return^$b", 10).map(_.docId) !== plain.map(_.docId))
+    assert(reordered, "no boost magnitude changed the ranking")
+    // ^1 is exactly unboosted (the *1.0 identity)
+    assert(engine.topK("def^1 return", 10) === engine.topK("def return", 10))
+  }
+
+  test("SEARCH_AFTER PARITY: page chain == one deep query; O(k) per page") {
+    val q = "posting reader segment"
+    val deep = engine.topK(q, 30)
+    assert(deep.size === 30)
+    val p1 = engine.topK(q, 10)
+    val p2 = engine.topKAfter(q, 10, p1.last.score, p1.last.docId)
+    val p3 = engine.topKAfter(q, 10, p2.last.score, p2.last.docId)
+    assert(p1 ++ p2 ++ p3 === deep, "three pages must equal one deep query")
+    // oracle agrees page-by-page
+    val o1 = parityOracle.topK(q, 10)
+    val o2 = parityOracle.topKAfter(q, 10, o1.last.score, o1.last.docId)
+    assert(p2 === o2)
+    // after the very last hit: empty page, cleanly
+    val all = engine.topK(q, 100000)
+    assert(engine.topKAfter(q, 10, all.last.score, all.last.docId) === Nil)
+  }
+
   test("NEGATION PARITY: must_not queries match the oracle; pure-negative loud") {
     // frozen set + sampled negations built from real doc content (so the
     // prohibitions actually exclude hits), + dead-negation no-ops

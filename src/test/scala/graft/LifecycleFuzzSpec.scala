@@ -114,6 +114,19 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
       assert(gotF.map(_.docId) == expF.map(_.docId), s"$step: filtered")
       gotF.zip(expF).foreach { case (g, e) =>
         assert(g.score == e.score, s"$step: filtered scores") }
+      // boosts and deep pagination on the scored path, every step
+      val bq = "posting^2 reader"
+      val gotB = eng.topK(bq, 10)
+      val expB = oracle.topK(bq, 10)
+      assert(gotB.map(_.docId) == expB.map(_.docId), s"$step: boosted")
+      gotB.zip(expB).foreach { case (g, e) =>
+        assert(g.score == e.score, s"$step: boosted scores") }
+      if (gotB.nonEmpty) {
+        val c = gotB.last
+        val gotP = eng.topKAfter(bq, 10, c.score, c.docId)
+        val expP = oracle.topKAfter(bq, 10, c.score, c.docId)
+        assert(gotP.map(_.docId) == expP.map(_.docId), s"$step: page2")
+      }
     }
     checkParity("after bulk")
 

@@ -76,6 +76,24 @@ class MatchTopKSpec extends AnyFunSuite with SparkSessionFixture {
         s"SELECT * FROM match_topk('$root', 'def return, val match', 10, true)")
         .collect()
       assert(b.nonEmpty)
+      // filtered search via the optional 5th argument: the predicate
+      // GATES (filter context), it does not post-filter a smaller page —
+      // a WHERE over the TVF output trims hits, the filter arg refills
+      // the page from deeper candidates
+      val filtRows = s2.sql(
+        s"""SELECT path, lang FROM
+           |match_topk('$root', '$q', 10, false, 'lang = ''scala''')"""
+          .stripMargin).collect()
+      assert(filtRows.nonEmpty && filtRows.forall(_.getString(1) == "scala"))
+      val engF = new QueryEngine(s2, root)
+        .topKFiltered(q, 10, "lang = 'scala'").map(_.docId)
+      assert(filtRows.length === engF.size)
+      // filter + boolMode is rejected loudly (boolean filters compose
+      // through WHERE match(...) instead)
+      intercept[Exception] {
+        s2.sql(s"SELECT * FROM match_topk('$root', '$q', 10, true, 'x')")
+          .collect()
+      }
       // malformed arguments fail loudly at analysis, not at runtime
       intercept[Exception] {
         s2.sql(s"SELECT * FROM match_topk('$root', 7, 10)").collect()

@@ -55,6 +55,13 @@ class OracleFormSpec extends AnyFunSuite {
       graft.index.FuzzyAtom(f._1, f._2)))
   }
 
+  test("BoostedTerms stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseScored(graft.ops.SearchOps.BoostedQuery)
+    assert(parsed === graft.ops.SearchOps.BoostedTerms.map(t =>
+      graft.index.TermAtom(t._1, t._2)))
+  }
+
   test("NegGroups stays in lockstep with the query parser") {
     val parsed = graft.index.QueryParser
       .parseGroups(graft.ops.SearchOps.NegQuery)

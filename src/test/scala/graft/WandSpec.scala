@@ -27,7 +27,8 @@ class WandSpec extends AnyFunSuite {
     * When `corpus` is given, real position streams ride along (tiny
     * 8-posting blocks exercise the per-block position decode too). */
   private def cursorsFor(oracle: NaiveIndex, terms: Seq[String],
-                         corpus: Seq[(Long, String)] = Nil)
+                         corpus: Seq[(Long, String)] = Nil,
+                         weights: Map[String, Double] = Map.empty)
       : Map[String, PostingCursor] = {
     val posByDoc: Map[Long, Map[String, Array[Int]]] =
       corpus.map { case (id, c) =>
@@ -45,7 +46,8 @@ class WandSpec extends AnyFunSuite {
           else docs.grouped(8)
             .map(g => Codec.encodePositions(g.map(id => posByDoc(id)(t))))
             .toSeq
-        t -> new PostingCursor(t, oracle.bm25.idf(pl.length.toLong),
+        t -> new PostingCursor(t,
+          oracle.bm25.idf(pl.length.toLong) * weights.getOrElse(t, 1.0),
           Seq((enc.blocks.toSeq, skips, posBlocks)), oracle.bm25)
       }
     }.toMap
@@ -432,6 +434,89 @@ class WandSpec extends AnyFunSuite {
       }
     }
     assert(effective > 40)
+  }
+
+  test("BOOST: boosted WAND == exhaustive (bounds scale with scores)") {
+    val rnd = new Random(163)
+    var effective = 0
+    (1 to 50).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val boosts = Seq(0.25, 0.5, 2.0, 7.5)
+      val parts = (1 to (1 + rnd.nextInt(3))).map { _ =>
+        val t = vocab(rnd.nextInt(vocab.length))
+        val b = boosts(rnd.nextInt(boosts.length))
+        (t, b)
+      }.distinctBy(_._1)
+      val query = parts.map { case (t, b) => s"$t^$b" }.mkString(" ")
+      val k = 1 + rnd.nextInt(10)
+      val expected = oracle.topK(query, k)
+      val weighted = QueryParser.resolveScoredW(
+        QueryParser.parseScored(query),
+        oracle.expandPrefix(_), oracle.expandFuzzy(_, _))
+        .filter(t => oracle.postings.contains(t._1))
+      if (weighted.nonEmpty) effective += 1
+      val got = WandScorer.topK(weighted.map(_._1),
+        cursorsFor(oracle, weighted.map(_._1), weights = weighted.toMap), k)
+      assert(got.map(_.docId) === expected.map(_.docId), s"round $round '$query'")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"round $round score doc ${g.docId}")
+      }
+    }
+    assert(effective > 40)
+  }
+
+  test("boost parse edges: binding order, malformed suffixes, dedup") {
+    // boost binds last: wildcard and fuzzy atoms carry it
+    assert(QueryParser.parseScored("mer*^2 alpha^0.5 beta~1^3") ===
+      Seq(PrefixAtom("mer", 2.0), TermAtom("alpha", 0.5),
+        FuzzyAtom("beta", 1, 3.0)))
+    // malformed boosts are NOT boost syntax: the whole word analyzes
+    // ('^' strips like punctuation; 1-char and numeric fragments are
+    // analyzer-filtered), so no boost and no silently-lost word
+    assert(QueryParser.parseScored("alpha^ beta^xy gamma^-1 delta^^2") ===
+      Seq(TermAtom("alpha"), TermAtom("beta"), TermAtom("xy"),
+        TermAtom("gamma"), TermAtom("delta")))
+    // first occurrence keeps its boost (the dedup rule)
+    assert(QueryParser.parseScored("alpha^2 alpha^5") ===
+      Seq(TermAtom("alpha", 2.0)))
+    // boolean surface ignores '^' (analyzer strips it): no boost leaks
+    assert(QueryParser.parseGroups("alpha^2 beta").head.terms ===
+      Seq("alpha", "beta"))
+  }
+
+  test("SEARCH_AFTER: page chain reconstructs the full ranking exactly") {
+    val rnd = new Random(179)
+    (1 to 30).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(150))
+      val oracle = new NaiveIndex(corpus)
+      val terms = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .distinct.filter(oracle.postings.contains)
+      if (terms.nonEmpty) {
+        val query = terms.mkString(" ")
+        val full = oracle.topK(query, 100000)
+        val pageSize = 1 + rnd.nextInt(4)
+        val paged = Seq.newBuilder[ScoredDoc]
+        var cursor: Option[(Double, Long)] = None
+        var n = 0
+        var continue = true
+        while (continue && n < 10000) {
+          val page = cursor match {
+            case None =>
+              WandScorer.topK(terms, cursorsFor(oracle, terms), pageSize)
+            case Some((s, d)) =>
+              WandScorer.topK(terms, cursorsFor(oracle, terms), pageSize,
+                after = Some((s, d)))
+          }
+          paged ++= page
+          if (page.size < pageSize) continue = false
+          else cursor = Some((page.last.score, page.last.docId))
+          n += page.size
+        }
+        assert(paged.result() === full,
+          s"round $round pageSize=$pageSize: chain must equal the full ranking")
+      }
+    }
   }
 
   test("fuzzy parse edges: defaults, caps, negation, non-fuzzy tildes") {
