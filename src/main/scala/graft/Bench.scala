@@ -293,7 +293,8 @@ object Bench {
       "q78_prefix_search", "q79_prefix_cap_metrics", "q80_prefix_match_where",
       "q81_highlight", "q82_neg_search", "q83_neg_match_where",
       "q84_fuzzy_search", "q85_fuzzy_match_where", "q86_fuzzy_cap_metrics",
-      "q87_filtered_search", "q88_boosted_search", "q89_search_after")
+      "q87_filtered_search", "q88_boosted_search", "q89_search_after",
+      "q90_min_match", "q91_near_search")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"

@@ -105,6 +105,8 @@ object SparkEntry {
     "q87_filtered_search" -> (SearchOps.qFilteredSearch _),
     "q88_boosted_search" -> (SearchOps.qBoostedSearch _),
     "q89_search_after" -> (SearchOps.qSearchAfter _),
+    "q90_min_match" -> (SearchOps.qMinMatchSearch _),
+    "q91_near_search" -> (SearchOps.qNearSearch _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -339,6 +341,8 @@ object SparkEntry {
     "q87_filtered_search" -> SearchOps.filteredSearchOracleSql,
     "q88_boosted_search" -> SearchOps.boostedSearchOracleSql,
     "q89_search_after" -> SearchOps.searchAfterOracleSql,
+    "q90_min_match" -> SearchOps.minMatchOracleSql,
+    "q91_near_search" -> SearchOps.nearSearchOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

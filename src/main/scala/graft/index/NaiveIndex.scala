@@ -64,6 +64,10 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     CodeAnalyzer.analyze(contentById(id))
       .exists(t => QueryParser.editDistanceLe(t, stem, maxEd))
 
+  /** Exhaustive sloppy-span check (`"a b"~n`). */
+  def nearInDoc(id: Long, ph: Seq[String], slop: Int): Boolean =
+    QueryParser.nearMatch(CodeAnalyzer.analyze(contentById(id)), ph, slop)
+
   val postings: Map[String, Array[(Long, Int)]] = {
     val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
     docs.sortBy(_._1).foreach { case (id, content) =>
@@ -109,9 +113,15 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     scoreDisjunctive(resolvedW(query), k,
       after = Some((afterScore, afterDocId)))
 
+  /** minimum_should_match: docs with >= minMatch distinct resolved
+    * terms compete; scores stay the plain matching-term sum. */
+  def topKMin(query: String, k: Int, minMatch: Int): Seq[ScoredDoc] =
+    scoreDisjunctive(resolvedW(query), k, minMatch = minMatch)
+
   private def scoreDisjunctive(terms: Seq[(String, Double)], k: Int,
                                allowed: Long => Boolean = _ => true,
-                               after: Option[(Double, Long)] = None)
+                               after: Option[(Double, Long)] = None,
+                               minMatch: Int = 1)
       : Seq[ScoredDoc] = {
     val (afScore, afDoc) = after.getOrElse((Double.PositiveInfinity, -1L))
     // accumulate per doc in query-term order: gather candidate docs first,
@@ -128,10 +138,12 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
     cand.foreach { id =>
       var s = 0.0
       val dl = docLen(id)
+      var matched = 0
       perTerm.foreach { case (idf, m) =>
-        m.get(id).foreach(tf => s += bm25.score(idf, tf, dl))
+        m.get(id).foreach { tf => s += bm25.score(idf, tf, dl); matched += 1 }
       }
-      if (s < afScore || (s == afScore && id > afDoc))
+      if (matched >= minMatch &&
+          (s < afScore || (s == afScore && id > afDoc)))
         top.offer(ScoredDoc(id, s))
     }
     top.result()
@@ -153,15 +165,17 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
       val candidates: Iterable[Long] =
         if (perTerm.nonEmpty) perTerm.map(_._2.keySet).reduce(_ intersect _)
         else docLen.keys
-      // phrases/prefixes/fuzzies FILTER, never score; negations EXCLUDE
+      // phrases/prefixes/fuzzies/spans FILTER, never score; negations EXCLUDE
       val common = candidates
         .filter(id => group.phrases.forall(ph => phraseInDoc(id, ph)) &&
                       group.prefixes.forall(p => prefixInDoc(id, p)) &&
                       group.fuzzies.forall(f => fuzzyInDoc(id, f._1, f._2)) &&
+                      group.nearSpans.forall(ns => nearInDoc(id, ns._1, ns._2)) &&
                       !group.negTerms.exists(t => termInDoc(id, t)) &&
                       !group.negPrefixes.exists(p => prefixInDoc(id, p)) &&
                       !group.negPhrases.exists(ph => phraseInDoc(id, ph)) &&
-                      !group.negFuzzies.exists(f => fuzzyInDoc(id, f._1, f._2)))
+                      !group.negFuzzies.exists(f => fuzzyInDoc(id, f._1, f._2)) &&
+                      !group.negNearSpans.exists(ns => nearInDoc(id, ns._1, ns._2)))
       common.toSeq.sorted.foreach { id =>
         var s = 0.0
         val dl = docLen(id)
@@ -212,7 +226,9 @@ final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
                             negPrefixes: Seq[String] = Nil,
                             negPhrases: Seq[Seq[String]] = Nil,
                             fuzzies: Seq[(String, Int)] = Nil,
-                            negFuzzies: Seq[(String, Int)] = Nil)
+                            negFuzzies: Seq[(String, Int)] = Nil,
+                            nearSpans: Seq[(Seq[String], Int)] = Nil,
+                            negNearSpans: Seq[(Seq[String], Int)] = Nil)
 
 /** Scored-query atom: a plain analyzed term, or a trailing-`*` prefix.
   * Wildcard words BYPASS the analyzer (the Lucene query_string contract:
@@ -298,6 +314,31 @@ object QueryParser {
     } else None // 'a~xy' is not fuzzy syntax: fall through to the analyzer
   }
 
+  /** In-order sloppy-span check over an analyzed token stream: do the
+    * span's tokens occur in order with (last − first) ≤ tokens−1+slop?
+    * Greedy earliest-next is optimal per start position (it minimizes
+    * the final position, hence the width), so this is exact. The
+    * obviously-correct reference for the engine's position-array walk. */
+  def nearMatch(toks: Seq[String], ph: Seq[String], slop: Int): Boolean = {
+    if (ph.isEmpty) return true
+    val arr = toks.toIndexedSeq
+    val limit = ph.length - 1 + slop
+    arr.indices.exists { i =>
+      arr(i) == ph.head && {
+        var prev = i
+        var ok = true
+        ph.tail.foreach { t =>
+          if (ok) {
+            var j = prev + 1
+            while (j < arr.length && arr(j) != t) j += 1
+            if (j >= arr.length) ok = false else prev = j
+          }
+        }
+        ok && prev - i <= limit
+      }
+    }
+  }
+
   /** Banded Levenshtein-distance-≤-max check (classic unit-cost edit
     * distance, the same function Spark's and DuckDB's `levenshtein`
     * compute): two rolling rows with a row-min early exit. Query stems
@@ -336,13 +377,22 @@ object QueryParser {
   private def negStem(w: String): Option[String] =
     if (w.length >= 2 && w.charAt(0) == '-') Some(w.tail) else None
 
-  /** Quoted span with an optional leading `-` (negated phrase). */
-  private val SpanRe = "(-?)\"([^\"]*)\"".r
+  /** Quoted span with an optional leading `-` (negated phrase) and an
+    * optional trailing `~n` slop (`"a b"~2` — the match_phrase slop /
+    * SpanNear analogue): the span's tokens must occur IN ORDER with at
+    * most `slop` extra positions between first and last (span width ≤
+    * tokens−1+slop). Slop 0 (or absent) is the exact consecutive
+    * phrase. In-order semantics — the simpler SpanNear(inOrder=true)
+    * contract, documented; Lucene's move-counting reordered slop is
+    * not reproduced. */
+  private val SpanRe = "(-?)\"([^\"]*)\"(?:~([0-9]+))?".r
 
   def parseGroups(query: String): Seq[MatchGroup] = {
     val out = query.split(',').toSeq.map { g =>
       val posPhrases = mutable.Buffer.empty[Seq[String]]
       val negPhrases = mutable.Buffer.empty[Seq[String]]
+      val nearSpans = mutable.Buffer.empty[(Seq[String], Int)]
+      val negNearSpans = mutable.Buffer.empty[(Seq[String], Int)]
       val negPhraseTerms = mutable.Buffer.empty[String]
       // quoted spans first: a positive span keeps its words in the
       // residual (phrase words are ordinary AND terms as well — the
@@ -353,11 +403,17 @@ object QueryParser {
       // semantics — same restriction as Lucene's match_phrase).
       val residual = SpanRe.replaceAllIn(g, m => {
         val toks = CodeAnalyzer.analyze(m.group(2))
+        val slop = Option(m.group(3)).map(_.toInt).getOrElse(0)
         if (m.group(1) == "-") {
-          if (toks.length >= 2) negPhrases += toks else negPhraseTerms ++= toks
+          if (toks.length < 2) negPhraseTerms ++= toks
+          else if (slop == 0) negPhrases += toks
+          else negNearSpans += ((toks, slop))
           " "
         } else {
-          if (toks.length >= 2) posPhrases += toks
+          if (toks.length >= 2) {
+            if (slop == 0) posPhrases += toks
+            else nearSpans += ((toks, slop))
+          }
           scala.util.matching.Regex.quoteReplacement(" " + m.group(2) + " ")
         }
       })
@@ -379,7 +435,8 @@ object QueryParser {
         .filter(w => wildcardStem(w).isEmpty && fuzzyStem(w).isEmpty)
         .flatMap(w => CodeAnalyzer.analyze(w)).distinct
       MatchGroup(terms, posPhrases.toSeq, prefixes,
-        negTerms, negPrefixes, negPhrases.toSeq, fuzzies, negFuzzies)
+        negTerms, negPrefixes, negPhrases.toSeq, fuzzies, negFuzzies,
+        nearSpans.toSeq, negNearSpans.toSeq)
     }
     // a group with prohibitions but no positive requirement is rejected
     // LOUDLY: Lucene's BooleanQuery matches nothing on must_not-only
@@ -388,7 +445,8 @@ object QueryParser {
     out.foreach { g =>
       require(g.terms.nonEmpty || g.prefixes.nonEmpty || g.fuzzies.nonEmpty ||
         (g.negTerms.isEmpty && g.negPrefixes.isEmpty &&
-          g.negPhrases.isEmpty && g.negFuzzies.isEmpty),
+          g.negPhrases.isEmpty && g.negFuzzies.isEmpty &&
+          g.negNearSpans.isEmpty),
         s"pure-negative group in query '$query': every OR-group with a " +
           "negation needs at least one required term/prefix/phrase")
     }

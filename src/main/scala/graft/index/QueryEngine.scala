@@ -65,7 +65,8 @@ object QueryEngine {
   private[index] def groupCursorSets(group: PreparedGroup,
       rs: Seq[PostingRowPos], bm: Bm25, dfsB: Map[String, Long])
       : (Map[String, PostingCursor], Seq[Seq[PostingCursor]],
-         Seq[PostingCursor], Seq[(Seq[String], Map[String, PostingCursor])]) = {
+         Seq[PostingCursor], Seq[(Seq[String], Map[String, PostingCursor])],
+         Seq[(Seq[String], Int, Map[String, PostingCursor])]) = {
     val cur = termCursorsPos(
       rs.filter(r => group.terms.contains(r.term)), bm, dfsB)
     // one cursor set per required union: this shard's posting rows of
@@ -82,7 +83,13 @@ object QueryEngine {
       val phSet = ph.toSet
       ph -> termCursorsPos(rs.filter(r => phSet.contains(r.term)), bm, dfsB)
     }
-    (cur, preSets, negCur, negPh)
+    // negated sloppy spans carry their own cursor maps, same reason
+    val negNear = group.negNearSpans.map { case (ph, slop) =>
+      val phSet = ph.toSet
+      (ph, slop,
+        termCursorsPos(rs.filter(r => phSet.contains(r.term)), bm, dfsB))
+    }
+    (cur, preSets, negCur, negPh, negNear)
   }
 }
 
@@ -94,7 +101,9 @@ object QueryEngine {
 final case class PreparedGroup(terms: Seq[String], phrases: Seq[Seq[String]],
                                reqSets: Seq[Set[String]],
                                exclTerms: Set[String],
-                               negPhrases: Seq[Seq[String]])
+                               negPhrases: Seq[Seq[String]],
+                               nearSpans: Seq[(Seq[String], Int)] = Nil,
+                               negNearSpans: Seq[(Seq[String], Int)] = Nil)
   extends Serializable
 
 final class QueryEngine(spark: SparkSession, val root: String,
@@ -236,8 +245,19 @@ final class QueryEngine(spark: SparkSession, val root: String,
                 afterDocId: Long): Seq[ScoredDoc] =
     scoredTopK(query, k, Some((afterScore, afterDocId)))
 
+  /** minimum_should_match (the ES match-query option): only docs
+    * containing at least `minMatch` DISTINCT resolved query terms
+    * compete; scores stay the plain sum over matching terms. The gate
+    * only removes candidates, so WAND bounds stay valid unchanged.
+    * `minMatch` counts against the resolved clause list — a query term
+    * absent from the dictionary is a clause that can never match, so
+    * minMatch > the present-term count yields no hits (the ES rule). */
+  def topKMin(query: String, k: Int, minMatch: Int): Seq[ScoredDoc] =
+    scoredTopK(query, k, None, minMatch)
+
   private def scoredTopK(query: String, k: Int,
-                         after: Option[(Double, Long)]): Seq[ScoredDoc] = {
+                         after: Option[(Double, Long)],
+                         minMatch: Int = 1): Seq[ScoredDoc] = {
     val weighted = QueryParser
       .resolveScoredW(QueryParser.parseScored(query), expandPrefix(_)._1,
         expandFuzzy(_, _)._1)
@@ -254,13 +274,15 @@ final class QueryEngine(spark: SparkSession, val root: String,
         rows.collect().groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
           WandScorer.topK(present,
             QueryEngine.termCursors(rs.toSeq, bm25, dfs, wMap), k,
-            after = after)
+            after = after, minMatch = minMatch)
         }
       } else {
-        val (bm, pr, dfsB, wB, aB) = (bm25, present, dfs, wMap, after)
+        val (bm, pr, dfsB, wB, aB, mmB) =
+          (bm25, present, dfs, wMap, after, minMatch)
         rows.groupByKey(_.shard).flatMapGroups { (_, it) =>
           WandScorer.topK(pr,
-            QueryEngine.termCursors(it.toSeq, bm, dfsB, wB), k, after = aB)
+            QueryEngine.termCursors(it.toSeq, bm, dfsB, wB), k,
+            after = aB, minMatch = mmB)
             .iterator
         }.collect().toSeq
       }
@@ -376,7 +398,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
       (groups.flatMap(_.fuzzies) ++ groups.flatMap(_.negFuzzies)).distinct
         .map(f => f -> expandFuzzyAll(f._1, f._2)).toMap
     val dfs = termDfs((groups.flatMap(_.terms) ++ groups.flatMap(_.negTerms) ++
-      groups.flatMap(_.negPhrases).flatten).distinct) ++
+      groups.flatMap(_.negPhrases).flatten ++
+      groups.flatMap(_.negNearSpans).flatMap(_._1)).distinct) ++
       expP.values.flatten ++ expF.values.flatten
     val valid = groups
       .filter(g => g.terms.forall(dfs.contains) &&
@@ -390,7 +413,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
         exclTerms = (g.negTerms.filter(dfs.contains) ++
           g.negPrefixes.flatMap(expP(_).keys) ++
           g.negFuzzies.flatMap(expF(_).keys)).toSet,
-        negPhrases = g.negPhrases.filter(_.forall(dfs.contains))))
+        negPhrases = g.negPhrases.filter(_.forall(dfs.contains)),
+        nearSpans = g.nearSpans,
+        negNearSpans = g.negNearSpans.filter(_._1.forall(dfs.contains))))
     (valid, dfs)
   }
 
@@ -400,7 +425,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
     * the Lucene must_not cost model). */
   private def groupReadSet(valid: Seq[PreparedGroup]): Seq[String] =
     (valid.flatMap(_.terms) ++ valid.flatMap(_.reqSets).flatten ++
-      valid.flatMap(_.exclTerms) ++ valid.flatMap(_.negPhrases).flatten)
+      valid.flatMap(_.exclTerms) ++ valid.flatMap(_.negPhrases).flatten ++
+      valid.flatMap(_.negNearSpans).flatMap(_._1))
       .distinct
 
 
@@ -415,7 +441,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
     if (groups.isEmpty) return Nil
     val (valid, dfs) = prepGroups(groups)
     if (valid.isEmpty) return Nil
-    val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
+    val needPos = valid.exists(g => g.phrases.nonEmpty ||
+      g.negPhrases.nonEmpty || g.nearSpans.nonEmpty ||
+      g.negNearSpans.nonEmpty)
     if (needPos) requirePositions()
     val validTerms = groupReadSet(valid)
     val rows = postingRowsFor(validTerms, needPos)
@@ -432,11 +460,11 @@ final class QueryEngine(spark: SparkSession, val root: String,
     // O(groups * k).
     def scoreShard(rs: Seq[PostingRowPos], k: Int): Seq[ScoredDoc] = {
       val perGroup: Seq[Seq[ScoredDoc]] = validB.map { group =>
-        val (cur, preSets, negCur, negPh) =
+        val (cur, preSets, negCur, negPh, negNear) =
           QueryEngine.groupCursorSets(group, rs, bm, dfsB)
         val groupTop = new ScoredDoc.TopK(k)
         WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
-            negCur, negPh)
+            negCur, negPh, group.nearSpans, negNear)
           .foreach(groupTop.offer)
         groupTop.result()
       }
@@ -587,7 +615,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
     if (groups.isEmpty) return empty
     val (valid, dfs) = prepGroups(groups)
     if (valid.isEmpty) return empty
-    val needPos = valid.exists(g => g.phrases.nonEmpty || g.negPhrases.nonEmpty)
+    val needPos = valid.exists(g => g.phrases.nonEmpty ||
+      g.negPhrases.nonEmpty || g.nearSpans.nonEmpty ||
+      g.negNearSpans.nonEmpty)
     if (needPos) requirePositions()
     val validTerms = groupReadSet(valid)
     val rows = postingRowsFor(validTerms, needPos)
@@ -595,10 +625,10 @@ final class QueryEngine(spark: SparkSession, val root: String,
     def shardIds(rs: Seq[PostingRowPos]): Iterator[Long] = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       validB.foreach { group =>
-        val (cur, preSets, negCur, negPh) =
+        val (cur, preSets, negCur, negPh, negNear) =
           QueryEngine.groupCursorSets(group, rs, bm, dfsB)
         WandScorer.conjunctive(group.terms, cur, group.phrases, preSets,
-            negCur, negPh)
+            negCur, negPh, group.nearSpans, negNear)
           .foreach(sd => seen += sd.docId)
       }
       seen.iterator

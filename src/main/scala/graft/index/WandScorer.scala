@@ -230,7 +230,8 @@ object WandScorer {
     * exhaustive scoring in WandSpec. */
   def topK(queryOrder: Seq[String], cursorsByTerm: Map[String, PostingCursor],
            k: Int, required: Seq[DocCursor] = Nil,
-           after: Option[(Double, Long)] = None): Seq[ScoredDoc] = {
+           after: Option[(Double, Long)] = None,
+           minMatch: Int = 1): Seq[ScoredDoc] = {
     val top = new ScoredDoc.TopK(k)
     // search_after cursor: only docs STRICTLY after (score, docId) in
     // the global (score desc, docId asc) order may heap. Scores are
@@ -337,16 +338,21 @@ object WandScorer {
         } else {
           // full evaluation: skip-advance the omitted lists to the
           // candidate, then sum in query-term order over ALL cursors
+          // (counting matches for minimum_should_match — the coverage
+          // gate only removes candidates, so WAND bounds stay valid;
+          // an mm-aware pivot bound would prune harder, noted not built)
           var ne = 0
           while (ne < nonEss.length) { nonEss(ne).advanceTo(pivotDoc); ne += 1 }
           var s = 0.0
+          var matched = 0
           var q = 0
           while (q < ordered.length) {
             val c = ordered(q)
-            if (!c.exhausted && c.curDoc == pivotDoc) s += c.curScore
+            if (!c.exhausted && c.curDoc == pivotDoc) { s += c.curScore; matched += 1 }
             q += 1
           }
-          if (s < afScore || (s == afScore && pivotDoc > afDoc))
+          if (matched >= minMatch &&
+              (s < afScore || (s == afScore && pivotDoc > afDoc)))
             top.offer(ScoredDoc(pivotDoc, s))
           // move EVERY cursor off the evaluated doc (a non-essential
           // cursor left sitting on it could become essential later and
@@ -400,6 +406,37 @@ object WandScorer {
     }
   }
 
+  /** In-order sloppy-span check (`"a b"~slop`) on the doc every cursor
+    * is aligned on: do the span's tokens occur in ORDER with
+    * (last − first) ≤ tokens−1+slop? Monotone per-term pointers over
+    * the ascending position arrays — each array is walked at most once
+    * per doc (greedy earliest-next is optimal per start position, so
+    * the check is exact; parity vs QueryParser.nearMatch in WandSpec). */
+  def sloppyMatch(cursorsByTerm: Map[String, PostingCursor],
+                  phrase: Seq[String], slop: Int): Boolean = {
+    val arrs = phrase.map(t => cursorsByTerm(t).curPositions)
+    if (arrs.exists(_.isEmpty)) return false
+    val limit = phrase.length - 1 + slop
+    val idx = new Array[Int](arrs.length)
+    val first = arrs.head
+    var s = 0
+    while (s < first.length) {
+      val p1 = first(s)
+      var prev = p1
+      var j = 1
+      while (j < arrs.length) {
+        val a = arrs(j)
+        while (idx(j) < a.length && a(idx(j)) <= prev) idx(j) += 1
+        if (idx(j) >= a.length) return false // later starts need later hits
+        prev = a(idx(j))
+        j += 1
+      }
+      if (prev - p1 <= limit) return true
+      s += 1
+    }
+    false
+  }
+
   /** Conjunctive (AND-group) scoring: leapfrog intersection, rarest list
     * leads. Emits every matching doc with the group's summed score
     * (groupOrder fixes the float order). `phrases` adds positional
@@ -423,7 +460,9 @@ object WandScorer {
                   phrases: Seq[Seq[String]] = Nil,
                   prefixSets: Seq[Seq[PostingCursor]] = Nil,
                   negCursors: Seq[PostingCursor] = Nil,
-                  negPhrases: Seq[(Seq[String], Map[String, PostingCursor])] = Nil)
+                  negPhrases: Seq[(Seq[String], Map[String, PostingCursor])] = Nil,
+                  nearSpans: Seq[(Seq[String], Int)] = Nil,
+                  negNearSpans: Seq[(Seq[String], Int, Map[String, PostingCursor])] = Nil)
       : Iterator[ScoredDoc] = {
     val termCursors = groupOrder.flatMap(cursorsByTerm.get).toArray
     if (termCursors.length < groupOrder.length || termCursors.exists(_.exhausted))
@@ -437,9 +476,11 @@ object WandScorer {
       (termCursors.map(c => c: DocCursor) ++ unions.map(u => u: DocCursor)).toArray
     if (drivers.isEmpty) return Iterator.empty
     val negArr = negCursors.toArray
-    // a negated phrase missing a token's cursor in this shard can never
-    // occur here — drop it up front
+    // a negated phrase/span missing a token's cursor in this shard can
+    // never occur here — drop it up front
     val negPhArr = negPhrases.filter { case (ph, cur) =>
+      ph.forall(cur.contains) }.toArray
+    val negNearArr = negNearSpans.filter { case (ph, _, cur) =>
       ph.forall(cur.contains) }.toArray
     def prohibitedByTerm(target: Long): Boolean = {
       var i = 0
@@ -466,6 +507,18 @@ object WandScorer {
         if (landed && phraseMatch(cur, ph)) return true
         i += 1
       }
+      var n = 0
+      while (n < negNearArr.length) {
+        val (ph, slop, cur) = negNearArr(n)
+        var landed = true
+        ph.foreach { t =>
+          val c = cur(t)
+          if (landed && !c.exhausted) c.advanceTo(target)
+          if (c.exhausted || c.curDoc != target) landed = false
+        }
+        if (landed && sloppyMatch(cur, ph, slop)) return true
+        n += 1
+      }
       false
     }
     new Iterator[ScoredDoc] {
@@ -486,6 +539,8 @@ object WandScorer {
           if (aligned) {
             if (!prohibitedByTerm(target) &&
                 phrases.forall(ph => phraseMatch(cursorsByTerm, ph)) &&
+                nearSpans.forall(ns =>
+                  sloppyMatch(cursorsByTerm, ns._1, ns._2)) &&
                 !prohibitedByPhrase(target)) {
               // prefixes filter, never score: the sum runs over the
               // group's CONCRETE terms only (frozen order)

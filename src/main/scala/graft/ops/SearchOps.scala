@@ -647,6 +647,87 @@ object SearchOps {
        |ORDER BY h.score_raw DESC, h.doc_id LIMIT 10""".stripMargin
   }
 
+  /** q90: minimum_should_match (the ES match-query option) — docs with
+    * at least MinMatchN of the resolved query terms compete; scores stay
+    * the plain matching-term sum (statistics untouched). */
+  val MinMatchN = 2
+
+  def qMinMatchSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topKMin(QueryTerms.mkString(" "), 10 + TieMargin, MinMatchN)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def minMatchOracleSql: String = {
+    val scoreExpr = QueryTerms.indices.map(termScoreSql).mkString(" + ")
+    val matchedExpr = QueryTerms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |scored AS (SELECT doc_id, $scoreExpr AS score_raw,
+       |                  $matchedExpr AS matched FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path,
+       |                floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE matched >= $MinMatchN AND score_raw > 0.0
+       |         ORDER BY score_raw DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
+  /** q91: SLOPPY phrase spans (`"a b"~n`, the match_phrase slop /
+    * SpanNear(inOrder) analogue): tokens must occur in order with span
+    * width ≤ tokens−1+slop; slop 0 is the exact phrase. Spans FILTER,
+    * never boost — group scores stay the fixed-order AND sums. */
+  val NearQuery = "\"merge scan\"~2 spark, \"table join\"~1"
+  /** (terms in scoring order, (span tokens, slop)) per OR-group —
+    * lockstep-pinned. */
+  val NearGroups: Seq[(Seq[String], Seq[(Seq[String], Int)])] = Seq(
+    (Seq("merge", "scan", "spark"), Seq((Seq("merge", "scan"), 2))),
+    (Seq("table", "join"), Seq((Seq("table", "join"), 1))))
+
+  def qNearSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.booleanTopK(NearQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  /** DuckDB in-order window check for a 2-token span: some position of
+    * t1 is followed by t2 within slop+1 positions (out-of-range list
+    * indexing yields NULL ≠ t2, so the window is bounds-safe). */
+  private def nearCondSql(t1: String, t2: String, slop: Int): String =
+    s"(len(list_filter(range(len(toks)), i -> toks[i+1] = '$t1' AND " +
+    s"len(list_filter(range(${slop + 1}), d -> toks[i+2+d] = '$t2')) > 0)) > 0)"
+
+  def nearSearchOracleSql: String = {
+    val allTerms = NearGroups.flatMap(_._1)
+    var idx = -1
+    val groupExprs = NearGroups.map { case (g, spans) =>
+      val parts = g.map { _ => idx += 1; idx }
+      val cond = parts.map(i => s"tf$i > 0") ++ spans.map { case (ph, slop) =>
+        require(ph.length == 2, "SQL near oracle covers 2-token spans")
+        nearCondSql(ph.head, ph(1), slop)
+      }
+      val sum = parts.map(termScoreSql).mkString(" + ")
+      s"CASE WHEN ${cond.mkString(" AND ")} THEN $sum ELSE NULL END"
+    }
+    val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
+    val names = NearGroups.indices.map(i => s"g$i")
+    val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
+    val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    s"""WITH ${bm25Ctes(allTerms, carryToks = true)},
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE $anyMatch
+       |         ORDER BY $best DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
   /** The docs/stats CTE pair alone (no per-term tf columns) — for the
     * dynamic-term oracles whose term lists are data-dependent. */
   private def bm25CtesTokensOnly(): String = {

@@ -65,11 +65,14 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
           g.prefixes.forall(p => toks.exists(_.startsWith(p))) &&
           g.fuzzies.forall(f =>
             toks.exists(QueryParser.editDistanceLe(_, f._1, f._2))) &&
+          g.nearSpans.forall(ns => QueryParser.nearMatch(toks, ns._1, ns._2)) &&
           !g.negTerms.exists(tokSet.contains) &&
           !g.negPrefixes.exists(p => toks.exists(_.startsWith(p))) &&
           !g.negPhrases.exists(ph => toks.sliding(ph.length).exists(_ == ph)) &&
           !g.negFuzzies.exists(f =>
-            toks.exists(QueryParser.editDistanceLe(_, f._1, f._2))))
+            toks.exists(QueryParser.editDistanceLe(_, f._1, f._2))) &&
+          !g.negNearSpans.exists(ns =>
+            QueryParser.nearMatch(toks, ns._1, ns._2)))
       }
     }
   }

@@ -100,6 +100,18 @@ object VerifyProbe {
       pg1.map(_.docId).toSet.intersect(pg2.map(_.docId).toSet).size)
     println("PROBE search_after past-end -> " +
       eng.topKAfter("posting reader", 5, -1e18, Long.MaxValue))
+    // sloppy spans + minimum_should_match edges
+    println("PROBE near widths -> slop0=" +
+      eng.booleanTopK("\"posting reader\"~0", 100000).size + " slop3=" +
+      eng.booleanTopK("\"posting reader\"~3", 100000).size + " (wider >=)")
+    println("PROBE near slop0 == exact -> " +
+      (eng.booleanTopK("\"posting reader\"~0", 10) ==
+        eng.booleanTopK("\"posting reader\"", 10)))
+    println("PROBE min_match m=1 == plain -> " +
+      (eng.topKMin("posting reader segment", 5, 1) ==
+        eng.topK("posting reader segment", 5)))
+    println("PROBE min_match m>clauses -> " +
+      eng.topKMin("posting reader", 5, 3))
     val hlDoc = eng.booleanTopK("posting reader", 1).head.docId
     println("PROBE highlight -> " +
       eng.highlight("posting reader", hlDoc).map(h =>

@@ -274,6 +274,50 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
     assert(engine.topKAfter(q, 10, all.last.score, all.last.docId) === Nil)
   }
 
+  test("NEAR/SLOP + MIN_MATCH PARITY: engine matches the oracle") {
+    // sloppy spans sampled from real content (tokens 2 apart, so slop
+    // 0 misses and slop>=1 hits the source doc) + frozen forms
+    val sampled = corpusDocs.take(8).flatMap { d =>
+      val toks = CodeAnalyzer.analyze(d.content)
+      if (toks.length >= 6)
+        Seq("\"" + toks(1) + " " + toks(3) + "\"~1",
+          "\"" + toks(1) + " " + toks(3) + "\"~3 " + toks(0),
+          "reader -\"" + toks(1) + " " + toks(3) + "\"~2")
+      else Nil
+    }.distinct.take(9)
+    (sampled ++ Seq(
+      "\"posting reader\"~0",       // slop 0 == exact phrase
+      "\"posting zzznope\"~4 def",  // dead span token kills the group
+      "\"posting reader\"~2, \"merge sorted\"~1 runs")).foreach { q =>
+      val expected = parityOracle.booleanTopK(q, 10)
+      val got = engine.booleanTopK(q, 10)
+      assert(got.map(_.docId) === expected.map(_.docId), s"'$q' docIds")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.score === e.score, s"'$q' score doc ${g.docId}") }
+    }
+    // slop is monotone: wider windows only add hits
+    val h0 = engine.matchingDocIds("\"posting reader\"~0")
+    val h2 = engine.matchingDocIds("\"posting reader\"~2")
+    val h5 = engine.matchingDocIds("\"posting reader\"~5")
+    import spark.implicits._
+    val (s0, s2, s5) = (h0.as[Long].collect().toSet,
+      h2.as[Long].collect().toSet, h5.as[Long].collect().toSet)
+    assert(s0.subsetOf(s2) && s2.subsetOf(s5), "slop monotonicity")
+    assert(s0 === engine.matchingDocIds("\"posting reader\"")
+      .as[Long].collect().toSet, "slop 0 == exact")
+    // minimum_should_match parity + boundary semantics
+    val q3 = "posting reader segment"
+    (1 to 4).foreach { m =>
+      val got = engine.topKMin(q3, 10, m)
+      val exp = parityOracle.topKMin(q3, 10, m)
+      assert(got === exp, s"minMatch=$m")
+    }
+    assert(engine.topKMin(q3, 10, 1) === engine.topK(q3, 10), "m=1 == plain")
+    assert(engine.topKMin(q3, 10, 4) === Nil, "m > clauses == empty")
+    // m counts CLAUSES: an unknown term is a clause that never matches
+    assert(engine.topKMin("posting zzznope", 10, 2) === Nil)
+  }
+
   test("NEGATION PARITY: must_not queries match the oracle; pure-negative loud") {
     // frozen set + sampled negations built from real doc content (so the
     // prohibitions actually exclude hits), + dead-negation no-ops

@@ -47,6 +47,8 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
     val prefixQueries = Seq("merge* runs", "var*")
     val negQueries = Seq("posting -reader", "merge -\"sorted runs\" -var*")
     val fuzzyQueries = Seq("raeder~2 posting", "tokn~1, merge -postin~1")
+    val nearQueries = Seq("\"posting reader\"~2",
+      "\"merge runs\"~3, def -\"posting reader\"~1")
 
     def checkParity(step: String): Unit = {
       val eng = new QueryEngine(spark, root)
@@ -106,6 +108,14 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
         assert(got.map(_.docId) == exp.map(_.docId), s"$step: fuzzy '$q'")
         got.zip(exp).foreach { case (g, e) =>
           assert(g.score == e.score, s"$step: fuzzy '$q' scores") }
+      }
+      // sloppy spans read the same posBlocks the phrase parity reads
+      nearQueries.foreach { q =>
+        val got = eng.booleanTopK(q, 10)
+        val exp = oracle.booleanTopK(q, 10)
+        assert(got.map(_.docId) == exp.map(_.docId), s"$step: near '$q'")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score == e.score, s"$step: near '$q' scores") }
       }
       // filtered search must track renumbering too (rebase rewrites the
       // docIds the filter set is built from)

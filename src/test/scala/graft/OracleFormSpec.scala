@@ -62,6 +62,13 @@ class OracleFormSpec extends AnyFunSuite {
       graft.index.TermAtom(t._1, t._2)))
   }
 
+  test("NearGroups stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseGroups(graft.ops.SearchOps.NearQuery)
+    assert(parsed.map(g => (g.terms, g.nearSpans)) ===
+      graft.ops.SearchOps.NearGroups)
+  }
+
   test("NegGroups stays in lockstep with the query parser") {
     val parsed = graft.index.QueryParser
       .parseGroups(graft.ops.SearchOps.NegQuery)

@@ -519,6 +519,108 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("NEAR: sloppy spans == exhaustive greedy check (pos + negated)") {
+    val rnd = new Random(197)
+    var effective = 0
+    (1 to 60).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      // sample a real pair with a gap so slop matters, or random words
+      val toks0 = graft.analyze.CodeAnalyzer
+        .analyze(corpus(rnd.nextInt(corpus.length))._2)
+      val span: Seq[String] =
+        if (round % 3 == 0 || toks0.length < 5)
+          Seq(vocab(rnd.nextInt(vocab.length)), vocab(rnd.nextInt(vocab.length)))
+        else Seq(toks0(1), toks0(3 + rnd.nextInt(toks0.length - 4)))
+      val slop = rnd.nextInt(4)
+      if (span.distinct.forall(oracle.postings.contains)) {
+        effective += 1
+        val terms = span.distinct
+        val got = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus), Nil, Nil, Nil, Nil,
+          Seq((span, slop))).map(_.docId).toSeq
+        val exp = corpus.collect {
+          case (id, c) if QueryParser.nearMatch(
+            graft.analyze.CodeAnalyzer.analyze(c), span, slop) => id
+        }.sorted
+        assert(got === exp, s"round $round span=$span~$slop")
+        // slop 0 == the exact consecutive phrase path
+        val got0 = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus), Nil, Nil, Nil, Nil,
+          Seq((span, 0))).map(_.docId).toSeq
+        val exact = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus), Seq(span)).map(_.docId).toSeq
+        assert(got0 === exact, s"round $round slop0-vs-exact")
+        // negated span: exact complement within the anchor set
+        val anchor = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus)).map(_.docId).toSeq
+        val gotNeg = WandScorer.conjunctive(terms,
+          cursorsFor(oracle, terms, corpus), Nil, Nil, Nil, Nil, Nil,
+          Seq((span, slop, cursorsFor(oracle, span.distinct, corpus))))
+          .map(_.docId).toSeq
+        assert(gotNeg === anchor.filterNot(exp.contains),
+          s"round $round negated span")
+      }
+    }
+    assert(effective > 35, s"too few effective near rounds: $effective")
+  }
+
+  test("MIN_MATCH: coverage-gated WAND == exhaustive count filter") {
+    val rnd = new Random(211)
+    var effective = 0
+    (1 to 50).foreach { round =>
+      val corpus = randomCorpus(rnd, 40 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val terms = Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .distinct.filter(oracle.postings.contains)
+      if (terms.size >= 2) {
+        effective += 1
+        val m = 1 + rnd.nextInt(terms.size + 1) // incl. m > |terms| (empty)
+        val k = 1 + rnd.nextInt(10)
+        val got = WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+          minMatch = m)
+        val exp = oracle.topKMin(terms.mkString(" "), k, m)
+        assert(got.map(_.docId) === exp.map(_.docId),
+          s"round $round m=$m terms=$terms")
+        got.zip(exp).foreach { case (g, e) =>
+          assert(g.score === e.score, s"round $round doc ${g.docId}") }
+        // m == |terms| equals the boolean AND-group hit set
+        val allM = WandScorer.topK(terms, cursorsFor(oracle, terms), 100000,
+          minMatch = terms.size).map(_.docId).toSet
+        val conj = WandScorer.conjunctive(terms, cursorsFor(oracle, terms))
+          .map(_.docId).toSet
+        assert(allM === conj, s"round $round m=|terms| vs conjunctive")
+      }
+    }
+    assert(effective > 40)
+  }
+
+  test("near/slop parse edges") {
+    def one(q: String) = QueryParser.parseGroups(q) match {
+      case Seq(g) => g
+      case other => fail(s"'$q' parsed to ${other.length} groups")
+    }
+    // ~n after a quoted span is slop; tokens stay AND terms
+    assert(one("\"alpha beta\"~2 gamma") ===
+      MatchGroup(Seq("alpha", "beta", "gamma"), Nil, Nil, Nil, Nil, Nil,
+        Nil, Nil, Seq((Seq("alpha", "beta"), 2)), Nil))
+    // ~0 is the exact phrase (fast path)
+    assert(one("\"alpha beta\"~0").phrases === Seq(Seq("alpha", "beta")))
+    assert(one("\"alpha beta\"~0").nearSpans === Nil)
+    // negated sloppy span is a prohibition
+    assert(one("gamma -\"alpha beta\"~1") ===
+      MatchGroup(Seq("gamma"), Nil, Nil, Nil, Nil, Nil, Nil, Nil,
+        Nil, Seq((Seq("alpha", "beta"), 1))))
+    // single-token sloppy span degrades like the exact rule
+    assert(one("\"alpha\"~3 beta").nearSpans === Nil)
+    assert(one("\"alpha\"~3 beta").terms === Seq("alpha", "beta"))
+    // a word-level '~n' is fuzzy, never slop; quoted '~' has no stem
+    assert(one("alpha~2 beta").fuzzies === Seq(("alpha", 2)))
+    // pure-negative sloppy span rejected
+    intercept[IllegalArgumentException] {
+      QueryParser.parseGroups("-\"alpha beta\"~2") }
+  }
+
   test("fuzzy parse edges: defaults, caps, negation, non-fuzzy tildes") {
     def one(q: String) = QueryParser.parseGroups(q) match {
       case Seq(g) => g
