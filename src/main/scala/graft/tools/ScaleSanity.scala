@@ -107,6 +107,26 @@ object ScaleSanity {
       println(f"[scale] fuzzy '$s~$d' expand=${tExp}%.3f s " +
         f"(kept=${kept.size}/$total) query=${(System.nanoTime()-t1)/1e9}%.3f s $n hits")
     }
+    // round-6 surfaces: sloppy span (same pruned positional read the
+    // exact phrase pays), minimum_should_match (same WAND walk + a
+    // counter), filtered search (allowed-set cogroup), deep page
+    if (eng1.hasPositions) Seq(0, 2, 5).foreach { slop =>
+      val t0 = System.nanoTime()
+      val n = eng1.booleanTopK(s""""posting reader"~$slop""", 10).size
+      println(f"[scale] near slop=$slop -> $n hits in ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    Seq(1, 2, 3).foreach { m =>
+      val t0 = System.nanoTime()
+      val n = eng1.topKMin("posting reader segment", 10, m).size
+      println(f"[scale] min_match m=$m -> $n hits in ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    val tF = System.nanoTime()
+    val nF = eng1.topKFiltered("posting reader", 10, "docId % 4 = 0").size
+    println(f"[scale] filtered topK (25%% allowed) -> $nF hits in ${(System.nanoTime()-tF)/1e9}%.2f s")
+    val tP = System.nanoTime()
+    val pg1 = eng1.topK("posting reader", 10)
+    val pg2 = eng1.topKAfter("posting reader", 10, pg1.last.score, pg1.last.docId)
+    println(f"[scale] page1+page2 -> ${pg1.size}+${pg2.size} hits in ${(System.nanoTime()-tP)/1e9}%.3f s")
     // phrase queries at scale: positional decode rides the same pruned
     // postings read (positions column read ONLY here)
     if (eng1.hasPositions) {
