@@ -221,9 +221,6 @@ final class QueryEngine(spark: SparkSession, val root: String,
     (QueryParser.rankExpansions(all.toSeq, cap), all.size.toLong)
   }
 
-  private def cursors(rows: Seq[PostingRow], dfs: Map[String, Long])
-      : Map[String, PostingCursor] = QueryEngine.termCursors(rows, bm25, dfs)
-
   /** Disjunctive BM25 top-k; returns (docId, score) best-first. `word*`
     * words expand to their ranked, capped dictionary terms in place
     * (each scored like any term — the Lucene top-terms rewrite);

@@ -440,6 +440,7 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("distributed scorer path agrees with the driver fast path") {
+    built // force the suite's index when this test runs filtered/alone
     val eng2 = new QueryEngine(spark, indexRoot, driverPathMaxPostings = 0L)
     refQueries.take(6).foreach { q =>
       assert(eng2.topK(q, 10) === engine.topK(q, 10), s"query '$q'")
@@ -451,6 +452,22 @@ class IndexEndToEndSpec extends AnyFunSuite with SparkSessionFixture {
       assert(eng2.explainScore(q, h.docId) === engine.explainScore(q, h.docId),
         s"explain breakdown diverged for doc ${h.docId}")
     }
+    // every round-6 surface takes the same fork — pin path-equivalence
+    // for boost, fuzzy, negation, sloppy spans, min_match, search_after
+    Seq("posting^2 raeder~2", "merge -\"sorted runs\" -var*",
+      "\"posting reader\"~2 def, tokn~1").foreach { bq =>
+      assert(eng2.booleanTopK(bq, 10) === engine.booleanTopK(bq, 10),
+        s"bool '$bq'")
+    }
+    assert(eng2.topK("posting^3 raeder~2 var*", 10) ===
+      engine.topK("posting^3 raeder~2 var*", 10))
+    assert(eng2.topKMin("posting reader segment", 10, 2) ===
+      engine.topKMin("posting reader segment", 10, 2))
+    val p1 = engine.topK("posting reader", 10)
+    assert(eng2.topKAfter("posting reader", 10, p1.last.score, p1.last.docId)
+      === engine.topKAfter("posting reader", 10, p1.last.score, p1.last.docId))
+    assert(eng2.matchingDocIds("posting -reader, tokn~1").collect().toSet ===
+      engine.matchingDocIds("posting -reader, tokn~1").collect().toSet)
   }
 
   test("search() attaches correct metadata to hits") {

@@ -115,15 +115,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
     // building the plan (explain) must not run the index walk: its
     // compile-time job count equals a PLAIN query over the same table
-    // (the one job either way is the parquet footer/listing read)
-    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val j0 = jobs()
+    // (the one job either way is the parquet footer/listing read).
+    // Count via the MAX job id, not the tracked-job-list length: the
+    // status tracker retains a bounded window and evicting old entries
+    // mid-measurement made the length DELTA negative deep into a full
+    // suite run (observed -99); job ids are monotone and immune.
+    def maxJob() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).maxOption.getOrElse(-1)
+    val j0 = maxJob()
     Tables.t(spark, sf, "documents").where("doc_id > 0")
       .queryExecution.executedPlan
-    val plainJobs = jobs() - j0
-    val j1 = jobs()
+    val plainJobs = maxJob() - j0
+    val j1 = maxJob()
     SearchOps.qMatchWhere(spark, sf).queryExecution.executedPlan
-    val matchJobs = jobs() - j1
+    val matchJobs = maxJob() - j1
     assert(matchJobs <= plainJobs,
       s"match plan compile ran $matchJobs job(s) vs $plainJobs for a plain " +
         "query; the hit set must stay lazy")
