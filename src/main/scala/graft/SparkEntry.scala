@@ -107,6 +107,9 @@ object SparkEntry {
     "q89_search_after" -> (SearchOps.qSearchAfter _),
     "q90_min_match" -> (SearchOps.qMinMatchSearch _),
     "q91_near_search" -> (SearchOps.qNearSearch _),
+    "q92_field_search" -> (SearchOps.qFieldSearch _),
+    "q93_field_match_where" -> (SearchOps.qFieldMatchWhere _),
+    "q94_near3_search" -> (SearchOps.qNear3Search _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -343,6 +346,9 @@ object SparkEntry {
     "q89_search_after" -> SearchOps.searchAfterOracleSql,
     "q90_min_match" -> SearchOps.minMatchOracleSql,
     "q91_near_search" -> SearchOps.nearSearchOracleSql,
+    "q92_field_search" -> SearchOps.fieldSearchOracleSql,
+    "q93_field_match_where" -> SearchOps.fieldMatchWhereOracleSql,
+    "q94_near3_search" -> SearchOps.near3SearchOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -114,11 +114,41 @@ object IndexBuilder {
     * what this protects.) An EMPTY manifest (no segments yet) passes —
     * there is nothing on disk whose layout could be stale. */
   def requireFormat(m: graft.table.Manifest, root: String): Unit =
-    if (m.segments.nonEmpty && !m.format.contains(FormatVersion))
-      throw new IllegalStateException(
-        s"index at $root has on-disk format ${m.format.getOrElse("<pre-4, unstamped>")} " +
-          s"but this engine requires format $FormatVersion — rebuild the index " +
-          "(drop the root and re-run IndexBuilder, or point at a fresh root)")
+    if (m.segments.nonEmpty && !m.format.contains(FormatVersion)) {
+      // UNSTAMPED manifests get one more chance (ADVICE r6): manifests
+      // written by the first v4-layout engine revision predate the format
+      // stamp, and forcing those fully-compatible durable roots through a
+      // rebuild punishes exactly the users the stamp exists to protect.
+      // Sniff every segment's parquet footers for the v4 columns
+      // (postings.posBlocks + docmeta.tableId); a compatible root is
+      // accepted as v4 — the next writer commit stamps it (build/merge
+      // always write format=FormatVersion). A manifest stamped with a
+      // DIFFERENT version, or a root whose physical schema lacks the v4
+      // columns, still fails with the rebuild message.
+      val compatible = m.format.isEmpty && m.segments.forall(s =>
+        parquetHasColumn(s"$root/${s.name}/postings", "posBlocks") &&
+          parquetHasColumn(s"$root/${s.name}/docmeta", "tableId"))
+      if (!compatible)
+        throw new IllegalStateException(
+          s"index at $root has on-disk format ${m.format.getOrElse("<pre-4, unstamped>")} " +
+            s"but this engine requires format $FormatVersion — rebuild the index " +
+            "(drop the root and re-run IndexBuilder, or point at a fresh root)")
+    }
+
+  /** Does the first parquet file under `dir` carry a top-level column
+    * named `col`? Direct footer read (one file, metadata only) — the
+    * format sniff above runs where no SparkSession is in scope. */
+  private def parquetHasColumn(dir: String, col: String): Boolean = try {
+    val f = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .find(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      .getOrElse(return false)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.containsField(col)
+    finally r.close()
+  } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Spark SQL expression equal to the shard id a row lands on. */
   def shardExpr(numShards: Int) =

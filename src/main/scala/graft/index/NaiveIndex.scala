@@ -150,8 +150,14 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
   }
 
   /** OR-of-AND-groups boolean query ("spaces are ANDs commas are ORs";
-    * quoted spans add exhaustive positional phrase constraints). */
-  def booleanTopK(query: String, k: Int): Seq[ScoredDoc] = {
+    * quoted spans add exhaustive positional phrase constraints).
+    * `fieldVal` supplies a doc's metadata value for a QUERY field name
+    * ("lang", "id", ...) so field atoms gate exhaustively — the default
+    * rejects loudly (this index carries no metadata of its own). */
+  def booleanTopK(query: String, k: Int,
+                  fieldVal: (Long, String) => Any = (_, f) =>
+                    throw new IllegalArgumentException(
+                      s"NaiveIndex has no metadata for field '$f'")): Seq[ScoredDoc] = {
     val parsed = QueryParser.parseGroups(query)
     val valid = parsed.filter(_.terms.forall(postings.contains))
     val best = mutable.HashMap.empty[Long, Double]
@@ -175,7 +181,8 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
                       !group.negPrefixes.exists(p => prefixInDoc(id, p)) &&
                       !group.negPhrases.exists(ph => phraseInDoc(id, ph)) &&
                       !group.negFuzzies.exists(f => fuzzyInDoc(id, f._1, f._2)) &&
-                      !group.negNearSpans.exists(ns => nearInDoc(id, ns._1, ns._2)))
+                      !group.negNearSpans.exists(ns => nearInDoc(id, ns._1, ns._2)) &&
+                      group.fields.forall(ff => ff.matches(fieldVal(id, ff.field))))
       common.toSeq.sorted.foreach { id =>
         var s = 0.0
         val dl = docLen(id)
@@ -228,7 +235,72 @@ final case class MatchGroup(terms: Seq[String], phrases: Seq[Seq[String]],
                             fuzzies: Seq[(String, Int)] = Nil,
                             negFuzzies: Seq[(String, Int)] = Nil,
                             nearSpans: Seq[(Seq[String], Int)] = Nil,
-                            negNearSpans: Seq[(Seq[String], Int)] = Nil)
+                            negNearSpans: Seq[(Seq[String], Int)] = Nil,
+                            fields: Seq[FieldFilter] = Nil)
+
+/** One field-scoped filter atom of the query language — the Lucene
+  * `query_string` field / range syntax, the filter-bar companion every
+  * reference Kibana panel pairs with its query
+  * (/root/reference/export.json:40,77,82,91): `lang:en`, `-repo:web`,
+  * `id:[100 TO 400]`, `dlen:{10 TO *}`. Fields address the index's
+  * DOCMETA columns (stored metadata), never the text: a field atom GATES
+  * candidates (filter context — scoring statistics stay global, the ES
+  * bool query+filter contract) and never scores. `eq` and (`lo`,`hi`)
+  * are mutually exclusive; a `*` bound is open; `[`/`]` are inclusive,
+  * `{`/`}` exclusive (mixes allowed, the Lucene grammar). */
+final case class FieldFilter(field: String, neg: Boolean,
+                             eq: Option[String],
+                             lo: Option[String], hi: Option[String],
+                             loInc: Boolean = true, hiInc: Boolean = true)
+    extends Serializable {
+  private def colInfo: (String, Boolean) = QueryParser.Fields(field)
+
+  /** Loud validation at PARSE time: numeric fields take only integer
+    * values — a malformed `id:abc` must fail where the user typed it,
+    * not as a cast error deep inside a docmeta scan. */
+  def validate(): FieldFilter = {
+    val (_, numeric) = colInfo
+    if (numeric) (eq.toSeq ++ lo ++ hi).foreach { v =>
+      require(v.matches("-?[0-9]+"),
+        s"field '$field' is numeric but got value '$v'")
+    }
+    this
+  }
+
+  /** Compile to a SQL boolean over docmeta columns — what topKFiltered
+    * and the cogrouped boolean gates evaluate. Values are validated
+    * (numeric) or quote-escaped (string), never spliced raw. */
+  def predicateSql: String = {
+    val (colName, numeric) = colInfo
+    def lit(v: String): String =
+      if (numeric) v.toLong.toString else "'" + v.replace("'", "''") + "'"
+    val base = eq match {
+      case Some(v) => s"$colName = ${lit(v)}"
+      case None =>
+        (lo.map(v => s"$colName ${if (loInc) ">=" else ">"} ${lit(v)}").toSeq ++
+          hi.map(v => s"$colName ${if (hiInc) "<=" else "<"} ${lit(v)}"))
+          .mkString("(", " AND ", ")")
+    }
+    if (neg) s"(NOT ($base))" else base
+  }
+
+  /** In-memory evaluation against the doc's field value (the exhaustive
+    * oracle's twin of predicateSql): numeric fields compare as Long,
+    * string fields lexicographically — same semantics as the SQL. */
+  def matches(value: Any): Boolean = {
+    val (_, numeric) = colInfo
+    def cmp(v: String): Int =
+      if (numeric) java.lang.Long.compare(value.asInstanceOf[Number].longValue, v.toLong)
+      else value.toString.compareTo(v)
+    val base = eq match {
+      case Some(v) => cmp(v) == 0
+      case None =>
+        lo.forall(v => if (loInc) cmp(v) >= 0 else cmp(v) > 0) &&
+          hi.forall(v => if (hiInc) cmp(v) <= 0 else cmp(v) < 0)
+    }
+    if (neg) !base else base
+  }
+}
 
 /** Scored-query atom: a plain analyzed term, or a trailing-`*` prefix.
   * Wildcard words BYPASS the analyzer (the Lucene query_string contract:
@@ -271,6 +343,75 @@ final case class FuzzyAtom(stem: String, maxEd: Int, boost: Double = 1.0)
   * must_not-only boolean queries; at corpus scale the complement walk
   * would be an accidental full scan). */
 object QueryParser {
+
+  /** The queryable FIELD surface: query field name -> (docmeta column,
+    * numeric?). `id` is the source table's join key (docmeta.tableId),
+    * `dlen` the analyzed token count (docmeta.docLen); the rest are the
+    * stored string columns. An unknown name in the unambiguous RANGE
+    * form (`x:[a TO b]`) rejects loudly; in the bare `name:value` form
+    * it falls through to the analyzer (which strips `:` like any
+    * punctuation), so pre-field queries keep their meaning. */
+  val Fields: Map[String, (String, Boolean)] = Map(
+    "lang" -> ("lang", false), "repo" -> ("repo", false),
+    "path" -> ("path", false), "commit" -> ("commit", false),
+    "id" -> ("tableId", true), "dlen" -> ("docLen", true))
+
+  /** `field:[lo TO hi]` / `field:{lo TO hi}` with optional leading `-`;
+    * `*` bounds are open. Extracted BEFORE the whitespace split (the
+    * one query atom that contains spaces, like quoted spans). */
+  private val RangeRe =
+    """(-?)([A-Za-z_]+):([\[{])([^\s\]}]+)\s+TO\s+([^\s\]}]+)([\]}])""".r
+
+  private def rangeFilter(m: scala.util.matching.Regex.Match): FieldFilter = {
+    val field = m.group(2).toLowerCase
+    require(Fields.contains(field),
+      s"unknown field '${m.group(2)}' in range filter '${m.matched}' — " +
+        s"queryable fields: ${Fields.keys.toSeq.sorted.mkString(", ")}")
+    val lo = Some(m.group(4)).filter(_ != "*")
+    val hi = Some(m.group(5)).filter(_ != "*")
+    require(lo.nonEmpty || hi.nonEmpty,
+      s"range filter '${m.matched}' has no bounds (both sides are *)")
+    FieldFilter(field, m.group(1) == "-", None, lo, hi,
+      m.group(3) == "[", m.group(6) == "]").validate()
+  }
+
+  /** Is this word a `field:value` equality filter? Only for RECOGNIZED
+    * field names — anything else falls through to the analyzer. The
+    * value is matched verbatim against the stored column (keyword-field
+    * semantics — never analyzed); boosts do not apply to filters. */
+  private def fieldEq(w: String): Option[FieldFilter] = {
+    val ci = w.indexOf(':')
+    if (ci <= 0 || ci == w.length - 1) return None
+    val f = w.substring(0, ci).toLowerCase
+    if (!Fields.contains(f)) return None
+    Some(FieldFilter(f, neg = false, Some(w.substring(ci + 1)),
+      None, None).validate())
+  }
+
+  /** Conjunction of compiled field predicates (SQL over docmeta). */
+  def compileFields(fs: Seq[FieldFilter]): String =
+    fs.map(_.predicateSql).mkString(" AND ")
+
+  /** Split the SCORED surface's field atoms out of a query: returns
+    * (residual scored query, field filters). Range atoms extract by the
+    * unambiguous bracket syntax; bare `field:value` words extract only
+    * for recognized fields and honor a leading `-` (a negated filter —
+    * the scored surface otherwise has no operators). The residual
+    * parses exactly as before (parseScored). */
+  def splitFieldFilters(query: String): (String, Seq[FieldFilter]) = {
+    if (query == null || query.isEmpty) return (query, Nil)
+    val fs = mutable.Buffer.empty[FieldFilter]
+    val noRanges = RangeRe.replaceAllIn(query, m => { fs += rangeFilter(m); " " })
+    val words = noRanges.split("\\s+").toSeq.filter(_.nonEmpty).filter { w =>
+      val (stem, neg) =
+        if (w.length >= 2 && w.charAt(0) == '-') (w.tail, true) else (w, false)
+      fieldEq(stem) match {
+        case Some(f) => fs += f.copy(neg = neg); false
+        case None => true
+      }
+    }
+    (words.mkString(" "), fs.toSeq)
+  }
 
   /** Cap on dictionary expansions of one prefix in SCORED contexts (the
     * Lucene top-terms rewrite budget; ES match_phrase_prefix defaults to
@@ -417,11 +558,30 @@ object QueryParser {
           scala.util.matching.Regex.quoteReplacement(" " + m.group(2) + " ")
         }
       })
+      // field RANGE atoms next (the other space-containing atom; quotes
+      // were consumed first, so a bracket inside a phrase stays text):
+      // each compiles to a docmeta gate on THIS group only
+      val fields = mutable.Buffer.empty[FieldFilter]
+      val deRanged = RangeRe.replaceAllIn(residual,
+        m => { fields += rangeFilter(m); " " })
       // any quote left over is unbalanced: treated as whitespace
-      val words = residual.replace('"', ' ').trim
+      val words = deRanged.replace('"', ' ').trim
         .split("\\s+").toSeq.filter(_.nonEmpty)
-      val (negWords, posWords) = words.partition(negStem(_).isDefined)
-      val negStems = negWords.flatMap(negStem)
+      val (negWords, posWords0) = words.partition(negStem(_).isDefined)
+      // bare `field:value` atoms (recognized fields only) become gates;
+      // a leading `-` negates the gate like any prohibition
+      val posWords = posWords0.filter { w =>
+        fieldEq(w) match {
+          case Some(f) => fields += f; false
+          case None => true
+        }
+      }
+      val negStems = negWords.flatMap(negStem).filter { w =>
+        fieldEq(w) match {
+          case Some(f) => fields += f.copy(neg = true); false
+          case None => true
+        }
+      }
       val negPrefixes = negStems.flatMap(wildcardStem).distinct
       val negFuzzies = negStems.filter(wildcardStem(_).isEmpty)
         .flatMap(fuzzyStem).distinct
@@ -436,7 +596,7 @@ object QueryParser {
         .flatMap(w => CodeAnalyzer.analyze(w)).distinct
       MatchGroup(terms, posPhrases.toSeq, prefixes,
         negTerms, negPrefixes, negPhrases.toSeq, fuzzies, negFuzzies,
-        nearSpans.toSeq, negNearSpans.toSeq)
+        nearSpans.toSeq, negNearSpans.toSeq, fields.toSeq)
     }
     // a group with prohibitions but no positive requirement is rejected
     // LOUDLY: Lucene's BooleanQuery matches nothing on must_not-only
@@ -446,9 +606,12 @@ object QueryParser {
       require(g.terms.nonEmpty || g.prefixes.nonEmpty || g.fuzzies.nonEmpty ||
         (g.negTerms.isEmpty && g.negPrefixes.isEmpty &&
           g.negPhrases.isEmpty && g.negFuzzies.isEmpty &&
-          g.negNearSpans.isEmpty),
-        s"pure-negative group in query '$query': every OR-group with a " +
-          "negation needs at least one required term/prefix/phrase")
+          g.negNearSpans.isEmpty && g.fields.isEmpty),
+        s"pure-negative or field-only group in query '$query': every " +
+          "OR-group carrying a negation or a field filter needs at least " +
+          "one required term/prefix/fuzzy — field atoms GATE text matches, " +
+          "they do not enumerate documents (metadata-only selection is a " +
+          "plain SQL predicate, not a match query)")
     }
     out.filter(g => g.terms.nonEmpty || g.prefixes.nonEmpty ||
       g.fuzzies.nonEmpty)

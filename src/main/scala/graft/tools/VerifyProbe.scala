@@ -107,6 +107,29 @@ object VerifyProbe {
     println("PROBE near slop0 == exact -> " +
       (eng.booleanTopK("\"posting reader\"~0", 10) ==
         eng.booleanTopK("\"posting reader\"", 10)))
+    // field-scoped / range syntax (r7): gated == explicit-predicate path,
+    // open bounds, negated fields, loud rejects for field-only and
+    // unknown-range-field queries
+    println("PROBE field topKQS == topKFiltered -> " +
+      (eng.topKQS("posting reader lang:scala", 5) ==
+        eng.topKFiltered("posting reader", 5, "lang = 'scala'")))
+    println("PROBE field range open-bound -> " +
+      eng.topKQS("posting dlen:[1 TO *]", 5).size + " hits")
+    println("PROBE field negated -> " +
+      eng.topKQS("posting -lang:scala", 5).size + " hits")
+    println("PROBE field bool group-scoped -> " +
+      eng.booleanTopK("posting lang:scala, reader -lang:scala", 5).size + " hits")
+    try { eng.topKQS("lang:scala", 5); println("PROBE field-only scored -> MISSED") }
+    catch { case e: IllegalArgumentException =>
+      println("PROBE field-only scored -> rejected: " + e.getMessage.take(60)) }
+    try { eng.topKQS("posting date:[1 TO 2]", 5); println("PROBE field unknown-range -> MISSED") }
+    catch { case e: IllegalArgumentException =>
+      println("PROBE field unknown-range -> rejected: " + e.getMessage.take(60)) }
+    try { eng.topKQS("posting id:abc", 5); println("PROBE field bad-numeric -> MISSED") }
+    catch { case e: IllegalArgumentException =>
+      println("PROBE field bad-numeric -> rejected: " + e.getMessage.take(60)) }
+    println("PROBE field unknown-bare falls through -> " +
+      (eng.topKQS("posting date:x", 5).size) + " hits (analyzed, not lost)")
     println("PROBE min_match m=1 == plain -> " +
       (eng.topKMin("posting reader segment", 5, 1) ==
         eng.topK("posting reader segment", 5)))

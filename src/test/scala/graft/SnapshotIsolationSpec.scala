@@ -50,9 +50,12 @@ class SnapshotIsolationSpec extends AnyFunSuite with SparkSessionFixture {
     SegmentMerge.merge(spark, root)
     assert(tbl.currentManifest().get.format.contains(IndexBuilder.FormatVersion))
 
-    // simulate a durable pre-v4 root: strip the stamp from the manifest
-    // (pre-v4 writers never wrote one). Opening it must fail with the
-    // rebuild message, not an unresolved-posBlocks AnalysisException.
+    // simulate a durable UNSTAMPED root: strip the stamp from the
+    // manifest (the first v4-layout engine revision never wrote one).
+    // Since r7 the gate SNIFFS the parquet layout first (ADVICE r6): a
+    // root whose physical schema carries the v4 columns opens fine —
+    // only an incompatible layout, or a manifest stamped with a
+    // DIFFERENT version, still rejects with the rebuild message.
     val snap = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
       .readTree(Files.readString(Paths.get(root, "snapshot.json")))
     val mfName = snap.get("manifest").asText()
@@ -61,9 +64,14 @@ class SnapshotIsolationSpec extends AnyFunSuite with SparkSessionFixture {
     Files.writeString(mfPath,
       mf.replaceAll(""""format"\s*:\s*"[^"]*",?""", "")
         .replaceAll(""",\s*}""", "}")) // tolerate trailing-comma cleanup
+    // unstamped + v4 parquet layout => opens (the compatible-root rescue;
+    // the lacks-v4-columns rejection is covered in FieldQuerySpec)
+    assert(new QueryEngine(spark, root).topK("def", 3) != null)
+    // a manifest stamped with a WRONG version always rejects, everywhere
+    Files.writeString(mfPath,
+      mf.replaceAll(""""format"\s*:\s*"[^"]*"""", """"format":"3""""))
     val eOpen = intercept[IllegalStateException](new QueryEngine(spark, root))
     assert(eOpen.getMessage.contains("rebuild"), eOpen.getMessage)
-    // the append/resume and maintenance paths are gated the same way
     val eBuild = intercept[IllegalStateException] {
       IndexBuilder.build(spark,
         spark.range(200, 220).map(i => CorpusGen.doc(7L, i)), root, 2, batch = 2)

@@ -692,6 +692,87 @@ class WandSpec extends AnyFunSuite {
       Seq(TermAtom("alpha"), TermAtom("beta")))
   }
 
+  test("BITMAP cursor == array cursor under random movement sequences") {
+    val rnd = new Random(401)
+    (1 to 60).foreach { round =>
+      // mixed densities and spans, crossing 2^16 container boundaries;
+      // shard-prefixed high bits like real docIds
+      val span = 1000 + rnd.nextInt(300000)
+      val p = Seq(0.9, 0.3, 0.02)(rnd.nextInt(3))
+      val base = (rnd.nextInt(3).toLong << 40)
+      val docs = (0 until span).iterator
+        .filter(_ => rnd.nextDouble() < p).map(base + _).toArray
+      if (docs.nonEmpty) {
+        val a = new ArrayDocCursor(docs)
+        val b = new BitmapDocCursor(docs)
+        var steps = 0
+        while (steps < 300 && !a.exhausted) {
+          assert(!b.exhausted && a.curDoc === b.curDoc,
+            s"round $round step $steps")
+          if (rnd.nextBoolean()) { a.nextDoc(); b.nextDoc() }
+          else {
+            val t = a.curDoc + 1 + rnd.nextInt(span / 4 + 1)
+            a.advanceTo(t); b.advanceTo(t)
+          }
+          steps += 1
+        }
+        if (a.exhausted) assert(b.exhausted, s"round $round exhaustion")
+      }
+    }
+  }
+
+  test("FILTERED: bitmap allowed-set cursor == array cursor == exhaustive") {
+    val rnd = new Random(419)
+    var effective = 0
+    (1 to 30).foreach { round =>
+      val corpus = randomCorpus(rnd, 60 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val terms = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .distinct.filter(oracle.postings.contains)
+      val p = Seq(0.1, 0.5, 0.95)(rnd.nextInt(3))
+      val allowed = corpus.map(_._1).filter(_ => rnd.nextDouble() < p).toSet
+      if (terms.nonEmpty && allowed.nonEmpty) {
+        effective += 1
+        val k = 1 + rnd.nextInt(10)
+        val arr = allowed.toArray.sorted
+        val viaBitmap = WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+          Seq(new BitmapDocCursor(arr)))
+        val viaArray = WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+          Seq(new ArrayDocCursor(arr)))
+        val exp = oracle.topKFiltered(terms.mkString(" "), k, allowed.contains)
+        assert(viaBitmap === viaArray, s"round $round cursor parity")
+        assert(viaBitmap.map(_.docId) === exp.map(_.docId), s"round $round")
+        viaBitmap.zip(exp).foreach { case (g, e) =>
+          assert(g.score === e.score, s"round $round doc ${g.docId}") }
+      }
+    }
+    assert(effective > 25)
+  }
+
+  test("MIN_MATCH: mm-aware pivot bound stays exact on dense mixes") {
+    // the r7 bound moves the pivot right when coverage cannot be met —
+    // re-verify exactness on corpora where most docs hit most terms
+    // (the shape where the bound actually prunes)
+    val rnd = new Random(433)
+    (1 to 30).foreach { round =>
+      val corpus = randomCorpus(rnd, 150 + rnd.nextInt(150))
+      val oracle = new NaiveIndex(corpus)
+      val terms = Seq("alpha", "beta", "gamma", "delta")
+        .filter(oracle.postings.contains)
+      if (terms.size >= 3) {
+        Seq(2, 3, terms.size).foreach { m =>
+          val k = 3 + rnd.nextInt(8)
+          val got = WandScorer.topK(terms, cursorsFor(oracle, terms), k,
+            minMatch = m)
+          val exp = oracle.topKMin(terms.mkString(" "), k, m)
+          assert(got.map(_.docId) === exp.map(_.docId), s"round $round m=$m")
+          got.zip(exp).foreach { case (g, e) =>
+            assert(g.score === e.score, s"round $round m=$m doc ${g.docId}") }
+        }
+      }
+    }
+  }
+
   test("tie-break: equal scores ordered by docId asc") {
     // identical docs => identical scores; top-k must pick lowest docIds
     val docs = (0 until 20).map(i => (100L - i, "alpha beta alpha"))
