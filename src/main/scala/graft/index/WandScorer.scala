@@ -287,13 +287,21 @@ final class PostingCursor(val term: String, val idf: Double,
 object WandScorer {
 
   /** Allowed-set cursor over a SORTED docId array: bitmap-backed when
-    * the set is dense enough that containers beat 8 B/doc entries
-    * (density >= 1/16 over the id span and worth the setup), the plain
-    * sorted array otherwise. Same DocCursor contract either way. */
+    * its POPULATED containers beat the 8 B/doc array (8 KiB per 64Ki-doc
+    * container, counted in one pass — a global-span density test gets
+    * this wrong: shard bits sit high in the docId, so a corpus-wide
+    * filter is sparse across the id space but dense per container), the
+    * plain sorted array otherwise. Same DocCursor contract either way. */
   def allowedCursor(sorted: Array[Long]): DocCursor =
-    if (sorted.length >= 4096 &&
-        sorted.length.toLong * 16 >= sorted(sorted.length - 1) - sorted(0))
-      new BitmapDocCursor(sorted)
+    if (sorted.length >= 4096 && {
+      var containers = 1L
+      var i = 1
+      while (i < sorted.length) {
+        if ((sorted(i) >>> 16) != (sorted(i - 1) >>> 16)) containers += 1
+        i += 1
+      }
+      containers * 1024 < sorted.length // containers*8KiB < n*8B
+    }) new BitmapDocCursor(sorted)
     else new ArrayDocCursor(sorted)
 
   /** Disjunctive BM25 top-k via WAND (Broder et al., CIKM 2003) with

@@ -127,6 +127,52 @@ object ScaleSanity {
     val pg1 = eng1.topK("posting reader", 10)
     val pg2 = eng1.topKAfter("posting reader", 10, pg1.last.score, pg1.last.docId)
     println(f"[scale] page1+page2 -> ${pg1.size}+${pg2.size} hits in ${(System.nanoTime()-tP)/1e9}%.3f s")
+    // r7 field syntax: the query-string gate must ride the SAME cogroup
+    // path as the explicit predicate (parity + timing), per-group gates
+    // must agree with a docmeta join over the ungated match set, and the
+    // dense multi-group match set exercises the merge-dedup emission
+    val tQ1 = System.nanoTime()
+    val qsHits = eng1.topKQS("posting reader lang:scala dlen:[20 TO 200]", 10)
+    val tQs = (System.nanoTime()-tQ1)/1e9
+    val exHits = eng1.topKFiltered("posting reader", 10,
+      "lang = 'scala' AND docLen >= 20 AND docLen <= 200")
+    println(f"[scale] field topKQS (lang+dlen gate) -> ${qsHits.size} hits in " +
+      f"$tQs%.2f s (parity with explicit predicate: ${qsHits == exHits})")
+    val tQ2 = System.nanoTime()
+    val nGated = eng1.matchingDocIds("posting lang:scala, reader -lang:scala").count()
+    val tGated = (System.nanoTime()-tQ2)/1e9
+    val viaJoin = {
+      import org.apache.spark.sql.functions.col
+      val scalaIds = eng1.docmeta.where(col("lang") === "scala").select("docId")
+      val a = eng1.matchingDocIds("posting").join(scalaIds, Seq("docId"),
+        "left_semi").count()
+      val b = eng1.matchingDocIds("reader").join(scalaIds, Seq("docId"),
+        "left_anti").count()
+      val both = eng1.matchingDocIds("posting lang:scala")
+        .join(eng1.matchingDocIds("reader -lang:scala"), Seq("docId"), "left_semi")
+        .count()
+      a + b - both
+    }
+    println(f"[scale] field match-set (2 gated groups) -> $nGated docs in " +
+      f"$tGated%.2f s (docmeta-join parity: ${nGated == viaJoin}: $viaJoin)")
+    // allowed-set memory shape: sorted array (8 B/doc) vs the bitmap the
+    // cursor factory picks for dense sets (8 KB per populated 64Ki chunk)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val allowed = eng1.docmeta.where(col("lang") === "scala")
+        .select("docId").as[Long].collect()
+      java.util.Arrays.sort(allowed)
+      val containers = allowed.map(_ >>> 16).distinct.length
+      println(s"[scale] allowed-set memory (lang=scala, n=${allowed.length}): " +
+        s"array=${allowed.length * 8L / 1024} KiB vs bitmap=" +
+        s"${containers * 8192L / 1024} KiB ($containers containers, " +
+        s"bitmap picked=${allowed.length >= 4096 &&
+          containers.toLong * 1024 < allowed.length})")
+    }
+    val tM3 = System.nanoTime()
+    val nDense = eng1.matchingDocIds("def, return, posting").count()
+    println(f"[scale] dense 3-group match-set (merge-dedup emission) -> " +
+      f"$nDense docs in ${(System.nanoTime()-tM3)/1e9}%.2f s")
     // phrase queries at scale: positional decode rides the same pruned
     // postings read (positions column read ONLY here)
     if (eng1.hasPositions) {
