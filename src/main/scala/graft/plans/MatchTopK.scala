@@ -49,10 +49,23 @@ case class MatchTopKExec(plan: MatchTopK) extends LeafExecNode {
     // one-partition RDD.
     val spark = SparkSession.active
     val eng = MatchTopKExec.engineFor(spark, plan.indexRoot)
-    val hits = plan.filter match {
-      case Some(pred) => eng.topKFiltered(plan.query, plan.k, pred)
-      case None if plan.boolMode => eng.booleanTopK(plan.query, plan.k)
-      case None => eng.topK(plan.query, plan.k)
+    // the scored paths honor the r7 field/range syntax: field atoms in
+    // the query string compile to a docmeta gate (ANDed with an explicit
+    // filter argument when both are present); boolMode's parseGroups
+    // handles fields natively per OR-group
+    val (residual, qsFields) =
+      if (plan.boolMode) (plan.query, Nil)
+      else graft.index.QueryParser.splitFieldFilters(plan.query)
+    val qsPred: Option[String] =
+      if (qsFields.isEmpty) None
+      else Some(graft.index.QueryParser.compileFields(qsFields))
+    val hits = (plan.filter, qsPred) match {
+      case (Some(pred), Some(qp)) =>
+        eng.topKFiltered(residual, plan.k, s"($pred) AND $qp")
+      case (Some(pred), None) => eng.topKFiltered(residual, plan.k, pred)
+      case (None, _) if plan.boolMode => eng.booleanTopK(plan.query, plan.k)
+      case (None, Some(qp)) => eng.topKFiltered(residual, plan.k, qp)
+      case (None, None) => eng.topK(residual, plan.k)
     }
     val rows: Seq[InternalRow] =
       if (hits.isEmpty) Nil

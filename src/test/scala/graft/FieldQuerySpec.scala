@@ -215,6 +215,40 @@ class FieldQuerySpec extends AnyFunSuite with SparkSessionFixture {
     assert(distEngine.topKQS(q, 10) === engine.topKQS(q, 10))
   }
 
+  test("match_topk operator path honors field syntax (scored + filter arg)") {
+    engine // force build
+    val viaOp = graft.GraftSql.search(spark, indexRoot,
+      "posting reader lang:scala", 8)
+      .select("docId", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = engine.topKQS("posting reader lang:scala", 8)
+      .map(s => (s.docId, s.score))
+    assert(viaOp === direct)
+    // field atom ANDs with an explicit TVF filter argument (the TVF
+    // needs the extension-built session — the static-conf workaround
+    // MatchTopKSpec documents)
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val both = s2.sql(
+        s"""SELECT docId, score FROM match_topk('$indexRoot',
+           |'posting reader lang:scala', 8, false, 'docLen >= 20')""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expect = new QueryEngine(s2, indexRoot)
+        .topKFiltered("posting reader", 8, "lang = 'scala' AND docLen >= 20")
+        .map(s => (s.docId, s.score))
+      assert(both.toSet === expect.toSet)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("row-level match() rejects field atoms loudly") {
     import spark.implicits._
     graft.GraftSql.ensureMatchSupport(spark)
