@@ -295,8 +295,10 @@ object Bench {
       "q84_fuzzy_search", "q85_fuzzy_match_where", "q86_fuzzy_cap_metrics",
       "q87_filtered_search", "q88_boosted_search", "q89_search_after",
       "q90_min_match", "q91_near_search",
-      // r7: field/range syntax (scored + filter context), 3-token span
-      "q92_field_search", "q93_field_match_where", "q94_near3_search")
+      // r7: field/range syntax (scored + filter context), 3-token span,
+      // field-gated deep pagination
+      "q92_field_search", "q93_field_match_where", "q94_near3_search",
+      "q95_field_search_after")
     val opTimes = repr.map { name =>
       val fn = SparkEntry.queries(name)
       val out = s"$work/bench-op/$name"

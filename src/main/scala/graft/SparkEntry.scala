@@ -110,6 +110,7 @@ object SparkEntry {
     "q92_field_search" -> (SearchOps.qFieldSearch _),
     "q93_field_match_where" -> (SearchOps.qFieldMatchWhere _),
     "q94_near3_search" -> (SearchOps.qNear3Search _),
+    "q95_field_search_after" -> (SearchOps.qFieldSearchAfter _),
     // multimodal plumbing
     "q70_media_meta" -> (MultimodalOps.qMediaMeta _),
     "q71_wav_features" -> (MultimodalOps.qWavFeatures _),
@@ -349,6 +350,7 @@ object SparkEntry {
     "q92_field_search" -> SearchOps.fieldSearchOracleSql,
     "q93_field_match_where" -> SearchOps.fieldMatchWhereOracleSql,
     "q94_near3_search" -> SearchOps.near3SearchOracleSql,
+    "q95_field_search_after" -> SearchOps.fieldSearchAfterOracleSql,
     "q64_code_tokenize" -> SearchOps.codeTokenizeOracleSql,
     "q70_media_meta" -> MultimodalOps.mediaMetaOracleSql,
     "q71_wav_features" -> MultimodalOps.wavFeaturesOracleSql,

@@ -101,10 +101,12 @@ final class NaiveIndex(docs: Seq[(Long, String)]) extends Serializable {
 
   /** Metadata-filtered disjunctive top-k: scores are IDENTICAL to
     * topK's (global stats — a filter gates candidates, never changes
-    * idf/avgdl), only docs passing `allowed` compete. */
-  def topKFiltered(query: String, k: Int,
-                   allowed: Long => Boolean): Seq[ScoredDoc] =
-    scoreDisjunctive(resolvedW(query), k, allowed)
+    * idf/avgdl), only docs passing `allowed` compete. `after` and
+    * `minMatch` compose (the engine's filtered pagination twin). */
+  def topKFiltered(query: String, k: Int, allowed: Long => Boolean,
+                   after: Option[(Double, Long)] = None,
+                   minMatch: Int = 1): Seq[ScoredDoc] =
+    scoreDisjunctive(resolvedW(query), k, allowed, after, minMatch)
 
   /** Deep pagination: top-k strictly after (afterScore, afterDocId) in
     * the global (score desc, docId asc) order. */

@@ -292,6 +292,20 @@ final class QueryEngine(spark: SparkSession, val root: String,
     else topKFiltered(residual, k, QueryParser.compileFields(fields))
   }
 
+  /** Deep pagination over the query-string surface: field gates AND the
+    * search_after cursor compose (both are WAND-evaluation gates), so
+    * "the next page of filtered results" — the Kibana pattern: filter
+    * bar + scroll — costs one more query with O(k) per-shard state. */
+  def topKQSAfter(query: String, k: Int, afterScore: Double,
+                  afterDocId: Long): Seq[ScoredDoc] = {
+    val (residual, fields) = QueryParser.splitFieldFilters(query)
+    require(residual.trim.nonEmpty || fields.isEmpty,
+      s"field-only scored query '$query' has no text to rank")
+    if (fields.isEmpty) topKAfter(residual, k, afterScore, afterDocId)
+    else topKFiltered(residual, k, QueryParser.compileFields(fields),
+      after = Some((afterScore, afterDocId)))
+  }
+
   private def scoredTopK(query: String, k: Int,
                          after: Option[(Double, Long)],
                          minMatch: Int = 1): Seq[ScoredDoc] = {
@@ -344,8 +358,9 @@ final class QueryEngine(spark: SparkSession, val root: String,
     * path COGROUPS postings with the filtered docmeta by shard; the
     * allowed set is never collected to the driver (driver fast path only
     * when BOTH volumes are small). */
-  def topKFiltered(query: String, k: Int,
-                   metaPredicate: String): Seq[ScoredDoc] = {
+  def topKFiltered(query: String, k: Int, metaPredicate: String,
+                   after: Option[(Double, Long)] = None,
+                   minMatch: Int = 1): Seq[ScoredDoc] = {
     val weighted = QueryParser
       .resolveScoredW(QueryParser.parseScored(query), expandPrefix(_)._1,
         expandFuzzy(_, _)._1)
@@ -357,7 +372,11 @@ final class QueryEngine(spark: SparkSession, val root: String,
     val allowed = docmeta.where(expr(metaPredicate))
       .select(col("docId")).as[Long]
     val totalPostings = dfs.values.sum
-    val (bm, pr, dfsB, wB) = (bm25, present, dfs, wMap)
+    // `after` and `minMatch` compose freely with the allowed-set gate:
+    // all three are WAND-evaluation gates the scorer applies together
+    // (bounds only ever err safe) — "the next page of filtered results"
+    // costs one more query, exactly like the unfiltered search_after
+    val (bm, pr, dfsB, wB, aB, mmB) = (bm25, present, dfs, wMap, after, minMatch)
     val shardTop: Seq[ScoredDoc] =
       if (totalPostings <= driverPathMaxPostings &&
           allowed.limit(gateLimit).count() <= driverPathMaxPostings) {
@@ -367,7 +386,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
             java.util.Arrays.sort(arr)
             WandScorer.topK(present,
               QueryEngine.termCursors(rs.toSeq, bm25, dfs, wMap), k,
-              Seq(WandScorer.allowedCursor(arr)))
+              Seq(WandScorer.allowedCursor(arr)), after = after,
+              minMatch = minMatch)
           }
         }
       } else {
@@ -380,7 +400,8 @@ final class QueryEngine(spark: SparkSession, val root: String,
                 java.util.Arrays.sort(arr)
                 WandScorer.topK(pr,
                   QueryEngine.termCursors(rIt.toSeq, bm, dfsB, wB), k,
-                  Seq(WandScorer.allowedCursor(arr))).iterator
+                  Seq(WandScorer.allowedCursor(arr)), after = aB,
+                  minMatch = mmB).iterator
               }
           }.collect().toSeq
       }

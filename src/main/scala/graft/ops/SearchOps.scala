@@ -815,6 +815,52 @@ object SearchOps {
        |        AND doc_id BETWEEN 0 AND 250)
        |ORDER BY doc_id""".stripMargin
 
+  /** q95: FIELD-GATED deep pagination — page 2 of the q92 query through
+    * the real cursor flow (the Kibana pattern: filter bar + scroll).
+    * The search_after cursor and the docmeta gate are BOTH
+    * WAND-evaluation gates, so they compose: page 2 of a filtered
+    * search costs one more query with O(k) per-shard state, and scores
+    * stay bit-stable across pages (the cursor is exact). The oracle
+    * re-derives the same filtered hit set, the same page-1 cursor, and
+    * applies the same strict (score, doc_id) cut — the q89 recipe over
+    * the q92 gate. */
+  def qFieldSearchAfter(spark: SparkSession, dir: String): DataFrame = {
+    val eng = docEngine(spark, dir)
+    val page1 = eng.topKQS(QSFieldQuery, 10)
+    require(page1.size == 10, s"page 1 must be full, got ${page1.size}")
+    val cur = page1.last
+    val hits = eng.topKQSAfter(QSFieldQuery, 10 + TieMargin,
+      cur.score, cur.docId)
+    withTableId(spark, eng, hits)
+      .orderBy(desc("score_raw"), asc("table_id"))
+      .limit(10)
+      .select(col("path"), Tables.rd(col("score_raw"), 4).as("score"))
+      .orderBy(desc("score"), asc("path"))
+  }
+
+  def fieldSearchAfterOracleSql: String = {
+    val terms = Seq("spark", "query", "join")
+    val scoreExpr = terms.indices.map(termScoreSql).mkString(" + ")
+    s"""WITH ${bm25Ctes(terms)},
+       |meta AS (SELECT doc_id, lang FROM documents),
+       |scored AS (SELECT t.doc_id, $scoreExpr AS score_raw
+       |           FROM tf t JOIN meta m ON t.doc_id = m.doc_id,
+       |                stats, dfs
+       |           WHERE m.lang = 'en' AND t.doc_id BETWEEN 100 AND 400),
+       |hits AS (SELECT doc_id, score_raw FROM scored WHERE score_raw > 0.0),
+       |page1 AS (SELECT doc_id, score_raw FROM hits
+       |          ORDER BY score_raw DESC, doc_id LIMIT 10),
+       |cur AS (SELECT score_raw AS cs, doc_id AS cd FROM page1
+       |        ORDER BY score_raw ASC, doc_id DESC LIMIT 1),
+       |topk AS (SELECT 'doc_' || h.doc_id AS path,
+       |                floor((h.score_raw) * 10000.0 + 0.5) / 10000.0 AS score
+       |         FROM hits h, cur
+       |         WHERE h.score_raw < cur.cs
+       |            OR (h.score_raw = cur.cs AND h.doc_id > cur.cd)
+       |         ORDER BY h.score_raw DESC, h.doc_id LIMIT 10)
+       |SELECT path, score FROM topk ORDER BY score DESC, path""".stripMargin
+  }
+
   /** q94: a THREE-token sloppy span (`"a b c"~n`) — the n-ary span path
     * (WandScorer.sloppyMatch walks one monotone pointer per term) pinned
     * against the generalized nested-hop SQL oracle; r6 oracled only

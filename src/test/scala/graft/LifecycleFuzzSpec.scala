@@ -54,9 +54,14 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
       val eng = new QueryEngine(spark, root)
       val byKey = (0L until nextDoc).map(i => CorpusGen.doc(seed, i))
         .map(d => (d.repo, d.path, d.commit) -> d.content).toMap
-      val meta = eng.docmeta
-        .select("docId", "repo", "path", "commit").collect()
+      val metaFull = eng.docmeta
+        .select("docId", "repo", "path", "commit", "lang", "docLen").collect()
+      val meta = metaFull
         .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3))))
+      val langOf: Map[Long, String] =
+        metaFull.map(r => r.getLong(0) -> r.getString(4)).toMap
+      val dlenOf: Map[Long, Int] =
+        metaFull.map(r => r.getLong(0) -> r.getInt(5)).toMap
       assert(meta.length.toLong == nextDoc, s"$step: doc count")
       val oracle = new NaiveIndex(
         meta.toSeq.map { case (id, k) => (id, byKey(k)) })
@@ -124,6 +129,26 @@ class LifecycleFuzzSpec extends AnyFunSuite with SparkSessionFixture {
       assert(gotF.map(_.docId) == expF.map(_.docId), s"$step: filtered")
       gotF.zip(expF).foreach { case (g, e) =>
         assert(g.score == e.score, s"$step: filtered scores") }
+      // r7 field gates: the per-group docmeta gates join on docIds that
+      // every rebase renumbers — both surfaces must track the CURRENT
+      // snapshot's ids (engine and oracle evaluate the same metadata)
+      val fieldVal: (Long, String) => Any = (id, f) => f match {
+        case "lang" => langOf(id)
+        case "dlen" => dlenOf(id)
+        case other => throw new IllegalArgumentException(other)
+      }
+      val fq = "posting lang:scala, reader -lang:scala dlen:[5 TO 400]"
+      val gotFq = eng.booleanTopK(fq, 10)
+      val expFq = oracle.booleanTopK(fq, 10, fieldVal)
+      assert(gotFq.map(_.docId) == expFq.map(_.docId), s"$step: fieldbool")
+      gotFq.zip(expFq).foreach { case (g, e) =>
+        assert(g.score == e.score, s"$step: fieldbool scores") }
+      val gotQs = eng.topKQS("posting reader lang:scala", 10)
+      val expQs = oracle.topKFiltered("posting reader", 10,
+        id => langOf(id) == "scala")
+      assert(gotQs.map(_.docId) == expQs.map(_.docId), s"$step: fieldscored")
+      gotQs.zip(expQs).foreach { case (g, e) =>
+        assert(g.score == e.score, s"$step: fieldscored scores") }
       // boosts and deep pagination on the scored path, every step
       val bq = "posting^2 reader"
       val gotB = eng.topK(bq, 10)

@@ -773,6 +773,45 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPOSED: filtered + search_after + min_match together == exhaustive") {
+    // all three are WAND-evaluation gates; the r7 plumbing exposes them
+    // together on topKFiltered — verify the composition, not just each
+    val rnd = new Random(457)
+    var effective = 0
+    (1 to 40).foreach { round =>
+      val corpus = randomCorpus(rnd, 60 + rnd.nextInt(200))
+      val oracle = new NaiveIndex(corpus)
+      val terms = Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .distinct.filter(oracle.postings.contains)
+      val p = Seq(0.2, 0.6, 0.95)(rnd.nextInt(3))
+      val allowed = corpus.map(_._1).filter(_ => rnd.nextDouble() < p).toSet
+      if (terms.size >= 2 && allowed.nonEmpty) {
+        val m = 1 + rnd.nextInt(terms.size)
+        val k = 3 + rnd.nextInt(8)
+        val arr = allowed.toArray.sorted
+        def cursors() = cursorsFor(oracle, terms)
+        val page1 = WandScorer.topK(terms, cursors(), k,
+          Seq(WandScorer.allowedCursor(arr)), minMatch = m)
+        val exp1 = oracle.topKFiltered(terms.mkString(" "), k,
+          allowed.contains, minMatch = m)
+        assert(page1 === exp1, s"round $round page1 m=$m p=$p")
+        if (page1.nonEmpty) {
+          effective += 1
+          val c = page1.last
+          val page2 = WandScorer.topK(terms, cursors(), k,
+            Seq(WandScorer.allowedCursor(arr)),
+            after = Some((c.score, c.docId)), minMatch = m)
+          val exp2 = oracle.topKFiltered(terms.mkString(" "), k,
+            allowed.contains, after = Some((c.score, c.docId)), minMatch = m)
+          assert(page2 === exp2, s"round $round page2 m=$m p=$p")
+          assert(page2.map(_.docId).toSet.intersect(
+            page1.map(_.docId).toSet).isEmpty, s"round $round overlap")
+        }
+      }
+    }
+    assert(effective > 25)
+  }
+
   test("tie-break: equal scores ordered by docId asc") {
     // identical docs => identical scores; top-k must pick lowest docIds
     val docs = (0 until 20).map(i => (100L - i, "alpha beta alpha"))
