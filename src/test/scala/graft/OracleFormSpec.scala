@@ -76,4 +76,22 @@ class OracleFormSpec extends AnyFunSuite {
       (g.terms, g.phrases, g.negTerms, g.negPrefixes, g.negPhrases)) ===
       graft.ops.SearchOps.NegGroups)
   }
+
+  test("Near3Groups stays in lockstep with the query parser") {
+    val parsed = graft.index.QueryParser
+      .parseGroups(graft.ops.SearchOps.Near3Query)
+    assert(parsed.map(g => (g.terms, g.nearSpans)) ===
+      graft.ops.SearchOps.Near3Groups)
+  }
+
+  test("QSFieldQuery splits to the oracle's exact gate (q92/q95 pin)") {
+    // the q92/q95 oracles hard-code lang='en' AND doc_id BETWEEN 100 AND
+    // 400 — pin that the parser derives exactly that predicate from the
+    // query string, so the constants cannot drift apart silently
+    val (residual, fs) = graft.index.QueryParser
+      .splitFieldFilters(graft.ops.SearchOps.QSFieldQuery)
+    assert(residual === "spark query join")
+    assert(graft.index.QueryParser.compileFields(fs) ===
+      "(tableId >= 100 AND tableId <= 400) AND lang = 'en'")
+  }
 }
