@@ -85,39 +85,87 @@ object CodeAnalyzer extends Serializable {
     !Stopwords.contains(t)
   }
 
-  /** Full analysis: token stream in document order (post-filter). */
-  def analyze(content: String): Seq[String] = {
-    if (content == null || content.isEmpty) return Nil
-    val out = mutable.ArrayBuffer.empty[String]
+  /** ASCII-exact lowercased slice [a, b) of `s`. Raw words contain only
+    * [A-Za-z0-9_] (isWordChar), so this equals substring+toLowerCase
+    * without the double copy (r8 hot-loop form). */
+  @inline private def lowerSub(s: String, a: Int, b: Int): String = {
+    val len = b - a
+    val out = new Array[Char](len)
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(a + i)
+      out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Emit one raw word's post-filter tokens (splitWord boundaries walked
+    * in place — no per-word buffers or non-lowercased substrings). */
+  private def emitWord(w: String, ws: Int, we: Int, f: String => Unit): Unit = {
+    var parts = 0
+    var start = ws
+    var i = ws
+    @inline def cut(end: Int, nextStart: Int): Unit = {
+      if (end > start) {
+        parts += 1
+        val t = lowerSub(w, start, end)
+        if (keep(t)) f(t)
+      }
+      start = nextStart
+    }
+    while (i < we) {
+      val c = w.charAt(i)
+      if (c == '_') { cut(i, i + 1) }
+      else if (i > start) {
+        val p = w.charAt(i - 1)
+        if (isLower(p) && isUpper(c)) cut(i, i)                       // fooBar
+        else if (isUpper(p) && isUpper(c) && i + 1 < we && isLower(w.charAt(i + 1)))
+          cut(i, i)                                                   // HTTPServer
+        else if (isDigit(p) != isDigit(c) && isWordChar(p) && p != '_')
+          cut(i, i)                                                   // foo2Bar
+      }
+      i += 1
+    }
+    cut(we, we)
+    if (parts > 1) {
+      val orig = lowerSub(w, ws, we) // underscores kept (preserveOriginal)
+      if (keep(orig)) f(orig)
+    }
+  }
+
+  /** Visit every emitted token of [[analyze]] in document order without
+    * materializing the token sequence — the single-pass core the build
+    * path and analyze() share (r8; emission semantics unchanged and
+    * pinned by AnalyzerSpec goldens). */
+  def foreachToken(content: String)(f: String => Unit): Unit = {
+    if (content == null || content.isEmpty) return
     val n = content.length
     var i = 0
     while (i < n) {
       while (i < n && !isWordChar(content.charAt(i))) i += 1
       val start = i
       while (i < n && isWordChar(content.charAt(i))) i += 1
-      if (i > start) {
-        val raw = content.substring(start, i)
-        val parts = splitWord(raw)
-        var emitted = 0
-        parts.foreach { p =>
-          val t = p.toLowerCase
-          if (keep(t)) { out += t; emitted += 1 }
-        }
-        if (parts.length > 1) {
-          val orig = raw.toLowerCase
-          if (keep(orig)) out += orig
-        }
-      }
+      if (i > start) emitWord(content, start, i, f)
     }
+  }
+
+  /** Full analysis: token stream in document order (post-filter). */
+  def analyze(content: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    foreachToken(content)(out += _)
     out.toSeq
   }
 
   /** (term -> tf) map plus docLen, single pass. */
   def termFreqs(content: String): (Map[String, Int], Int) = {
-    val toks = analyze(content)
     val m = mutable.HashMap.empty[String, Int]
-    toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
-    (m.toMap, toks.length)
+    var n = 0
+    foreachToken(content) { t =>
+      m.update(t, m.getOrElse(t, 0) + 1)
+      n += 1
+    }
+    (m.toMap, n)
   }
 
   /** (term -> ascending token positions) plus docLen, single pass.
@@ -127,17 +175,37 @@ object CodeAnalyzer extends Serializable {
     * the DuckDB oracle's filtered-token window checks reproduce).
     * tf == positions.length by construction. */
   def termPositions(content: String): (Map[String, Array[Int]], Int) = {
-    val toks = analyze(content)
     val m = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofInt]
-    // single linear traversal — analyze() returns a List-backed Seq, so
-    // positional indexing here would be quadratic per document (found
-    // the hard way: it serialized the bench's build phase)
     var i = 0
-    toks.foreach { t =>
+    foreachToken(content) { t =>
       m.getOrElseUpdate(t, new mutable.ArrayBuilder.ofInt) += i
       i += 1
     }
     (m.view.mapValues(_.result()).toMap, i)
+  }
+
+  /** Build-path fusion (r8): term-sorted (term, positions) pairs plus
+    * docLen in ONE pass — java HashMap + sorted key array instead of the
+    * termPositions Map -> toArray -> sortBy tuple churn. Term order is
+    * String.compareTo, identical to sortBy(_._1). */
+  def termPositionsSorted(content: String): (Array[(String, Array[Int])], Int) = {
+    val m = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
+    var i = 0
+    foreachToken(content) { t =>
+      var b = m.get(t)
+      if (b == null) { b = new mutable.ArrayBuilder.ofInt; m.put(t, b) }
+      b += i
+      i += 1
+    }
+    val keys = m.keySet().toArray(new Array[String](m.size()))
+    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+    val out = new Array[(String, Array[Int])](keys.length)
+    var k = 0
+    while (k < keys.length) {
+      out(k) = (keys(k), m.get(keys(k)).result())
+      k += 1
+    }
+    (out, i)
   }
 
   /** Query analysis: distinct terms, first-occurrence order (frozen —

@@ -43,25 +43,38 @@ object Codec {
   @inline private def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v | 1L)
 
   /** PFOR-pack one array: varint(n), byte(w), varint(nExc),
-    * ceil(n*w/8) packed bytes, then nExc * (varint idx, varint value). */
+    * ceil(n*w/8) packed bytes, then nExc * (varint idx, varint value).
+    * Byte-IDENTICAL to the original reference packer (CodecSpec pins
+    * roundtrips; the index `bytes` metric is oracle-checked), but O(n+64)
+    * width selection via a bit-width histogram and word-wise LSB-first
+    * packing instead of the O(65n) cost scan + per-bit writes — this is
+    * the build encode hot loop (one call per array per 128-posting
+    * block). */
   private[index] def packArray(buf: mutable.ArrayBuilder[Byte], vs: Array[Long]): Unit = {
     val n = vs.length
     writeVarLong(buf, n.toLong)
     if (n == 0) return
-    // choose w minimizing packed size + exception cost
-    val bits = vs.map(bitsOf)
+    val bits = new Array[Int](n)
+    // histogram of bit widths -> per-class exception byte cost
+    val cnt = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      val b = bitsOf(vs(i)); bits(i) = b; cnt(b) += 1; i += 1
+    }
+    // excBytes(w) = sum over classes b > w of cnt(b) * (2 + (b+6)/7):
+    // suffix sums give every w in one backward pass
+    val excSuffix = new Array[Long](66)
+    var b = 64
+    while (b >= 0) {
+      excSuffix(b) = excSuffix(b + 1) + cnt(b).toLong * (2 + (b + 6) / 7)
+      b -= 1
+    }
+    // same scan order and strict '<' as the reference: first minimum wins
     var bestW = 64
     var bestCost = Long.MaxValue
     var w = 0
     while (w <= 64) {
-      var exc = 0L
-      var excBytes = 0L
-      var i = 0
-      while (i < n) {
-        if (bits(i) > w) { exc += 1; excBytes += 2 + (bits(i) + 6) / 7 }
-        i += 1
-      }
-      val cost = (n.toLong * w + 7) / 8 + excBytes
+      val cost = (n.toLong * w + 7) / 8 + excSuffix(w + 1)
       if (cost < bestCost) { bestCost = cost; bestW = w }
       w += 1
     }
@@ -69,28 +82,38 @@ object Codec {
     buf += width.toByte
     val mask = if (width == 64) -1L else (1L << width) - 1
     var nExc = 0
-    var i = 0
+    i = 0
     while (i < n) { if (bits(i) > width) nExc += 1; i += 1 }
     writeVarLong(buf, nExc.toLong)
     // bit-pack low `width` bits, LSB-first within a little-endian stream
+    // (64-bit accumulator, flushed in 8-byte runs — same byte layout as
+    // the per-bit reference writer)
     val packedLen = ((n.toLong * width + 7) / 8).toInt
     val packed = new Array[Byte](packedLen)
-    var bitPos = 0L
-    i = 0
-    while (i < n) {
-      val v = vs(i) & mask
-      var b = 0
-      while (b < width) {
-        if (((v >>> b) & 1L) != 0L) {
-          val p = bitPos + b
-          packed((p >>> 3).toInt) = (packed((p >>> 3).toInt) | (1 << (p & 7)).toByte).toByte
-        }
-        b += 1
+    if (width > 0) {
+      var acc = 0L
+      var nacc = 0
+      var pos = 0
+      i = 0
+      while (i < n) {
+        val v = vs(i) & mask
+        acc |= v << nacc // low (64 - nacc) bits of v land here
+        val total = nacc + width
+        if (total >= 64) {
+          var k = 0
+          while (k < 8) { packed(pos) = (acc >>> (k * 8)).toByte; pos += 1; k += 1 }
+          val shift = 64 - nacc
+          acc = if (shift == 64) 0L else v >>> shift
+          nacc = total - 64
+        } else nacc = total
+        i += 1
       }
-      bitPos += width
-      i += 1
+      var k = 0
+      while (nacc > 0) {
+        packed(pos) = (acc >>> (k * 8)).toByte; pos += 1; k += 1; nacc -= 8
+      }
     }
-    packed.foreach(buf += _)
+    buf ++= packed
     i = 0
     while (i < n) {
       if (bits(i) > width) { writeVarLong(buf, i.toLong); writeVarLong(buf, vs(i)) }
@@ -106,19 +129,40 @@ object Codec {
     val nExc = r.readVarLong().toInt
     val packedLen = ((n.toLong * width + 7) / 8).toInt
     val base = r.pos
-    var i = 0
-    var bitPos = 0L
-    while (i < n) {
-      var v = 0L
-      var b = 0
-      while (b < width) {
-        val p = bitPos + b
-        if ((bytes(base + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
-        b += 1
+    if (width > 0 && width <= 57) {
+      // word-wise LSB-first unpack (the query-path hot loop): refill the
+      // accumulator a byte at a time — nacc stays < width + 8 <= 65, and
+      // width <= 57 keeps every refill shift in range
+      val mask = (1L << width) - 1
+      var acc = 0L
+      var nacc = 0
+      var bytePos = base
+      var i = 0
+      while (i < n) {
+        while (nacc < width) {
+          acc |= (bytes(bytePos) & 0xffL) << nacc; bytePos += 1; nacc += 8
+        }
+        out(i) = acc & mask
+        acc >>>= width
+        nacc -= width
+        i += 1
       }
-      out(i) = v
-      bitPos += width
-      i += 1
+    } else if (width > 0) {
+      // rare wide rows (w > 57): reference per-bit decode
+      var i = 0
+      var bitPos = 0L
+      while (i < n) {
+        var v = 0L
+        var b = 0
+        while (b < width) {
+          val p = bitPos + b
+          if ((bytes(base + (p >>> 3).toInt) & (1 << (p & 7))) != 0) v |= (1L << b)
+          b += 1
+        }
+        out(i) = v
+        bitPos += width
+        i += 1
+      }
     }
     r.pos = base + packedLen
     var e = 0

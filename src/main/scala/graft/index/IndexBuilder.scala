@@ -180,9 +180,21 @@ object IndexBuilder {
   def shardOf(docId: Long): Int =
     ((docId >> IdxBits) & ((1L << ShardBits) - 1)).toInt
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = md.digest(s.getBytes("UTF-8"))
+    // table-driven hex (the per-byte "%02x".format of the original spent
+    // ~3M Formatter calls per 100k-doc build — same output, r8)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Streaming run-builder: consumes token postings sorted with contiguous
@@ -308,11 +320,17 @@ object IndexBuilder {
       return BuildReport(prev, None, Nil, 0L)
 
     // 1. route + filter (completed shards never leave the scan), then make
-    //    partitionId == shard and freeze within-partition order.
-    val routed = corpus
-      .withColumn("__shard", shardExpr(numShards))
-      .where(col("__shard").isin(todo.map(Integer.valueOf): _*))
-      .drop("__shard")
+    //    partitionId == shard and freeze within-partition order. When this
+    //    pass builds EVERY shard (the bulk-build common case) the filter
+    //    is a tautology — skip it so the scan does not pay a per-row
+    //    murmur3 + set probe for nothing (r8).
+    val preFiltered =
+      if (todo.size == numShards) corpus
+      else corpus
+        .withColumn("__shard", shardExpr(numShards))
+        .where(col("__shard").isin(todo.map(Integer.valueOf): _*))
+        .drop("__shard")
+    val routed = preFiltered
       .repartition(numShards, col("repo"), col("path"), col("commit"))
       .sortWithinPartitions("repo", "path", "commit")
       .as[CorpusDoc]
@@ -326,16 +344,23 @@ object IndexBuilder {
       it.map { d =>
         val id = docIdFor(effBatch, shard, idx)
         idx += 1
-        val (tpm, dl) = CodeAnalyzer.termPositions(d.content)
+        // fused single-pass analysis (r8): term-sorted positions straight
+        // from the analyzer — no intermediate Map/tuple churn per doc
+        val (tps, dl) = CodeAnalyzer.termPositionsSorted(d.content)
+        val terms = new Array[TermFreq](tps.length)
+        var k = 0
+        while (k < terms.length) {
+          val (t, ps) = tps(k)
+          terms(k) = TermFreq(t, ps.length,
+            if (withPos) Codec.encodePositions(Array(ps))
+            else Array.emptyByteArray)
+          k += 1
+        }
         // the declared table-id extraction runs HERE, once per doc at
         // build time — a malformed key fails the build loudly instead
         // of becoming a silent null join key at query time
         AnalyzedDoc(id, d.repo, d.path, d.commit, d.lang,
-          sha256Hex(d.content), dl,
-          tpm.toArray.sortBy(_._1).map { case (t, ps) =>
-            TermFreq(t, ps.length,
-              if (withPos) Codec.encodePositions(Array(ps))
-              else Array.emptyByteArray) },
+          sha256Hex(d.content), dl, terms,
           idOf.map(f => f(d)).getOrElse(-1L))
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -350,20 +375,30 @@ object IndexBuilder {
     // 2b. materialize the analysis once, then run the two independent
     //     segment writes CONCURRENTLY (driver-side parallel job
     //     submission — keeps all executor slots busy across the narrow
-    //     tail of each stage).
+    //     tail of each stage). Jobs carry descriptions (guide §1.5) so
+    //     the UI/listeners attribute build time per phase.
+    spark.sparkContext.setJobDescription(s"graft-build $segName: analyze")
     analyzed.count()
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
+    // shardOf(docId) as a codegen'd column (same bit arithmetic) — both
+    // segment writes below stay pure Catalyst projections over the cached
+    // analysis instead of deserializing AnalyzedDoc per row (r8)
+    val shardCol = shiftright(col("docId"), IdxBits)
+      .bitwiseAND(lit((1L << ShardBits) - 1)).cast("int")
+
     // 3. docmeta segment; doc/token metrics ride the write job via
     //    observe() (A11 stream-counter analogue) — no extra pass.
     val docObs = org.apache.spark.sql.Observation(s"docmeta-$segName")
     val docmetaJob = Future {
+      spark.sparkContext.setJobDescription(s"graft-build $segName: docmeta")
       analyzed
-        .map(a => DocMeta(a.docId, a.repo, a.path, a.commit, a.lang, a.sha256,
-          a.docLen, shardOf(a.docId), a.tableId))
+        .select(col("docId"), col("repo"), col("path"), col("commit"),
+          col("lang"), col("sha256"), col("docLen"), shardCol.as("shard"),
+          col("tableId"))
         .observe(docObs, count(lit(1)).as("docs"), sum("docLen").as("tokens"))
         .write.mode("overwrite").parquet(s"$segRoot/docmeta")
     }
@@ -374,10 +409,16 @@ object IndexBuilder {
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val pstObs = org.apache.spark.sql.Observation(s"postings-$segName")
     val postingsJob = Future {
+      spark.sparkContext.setJobDescription(s"graft-build $segName: postings")
       analyzed
-        .flatMap(a => a.terms.iterator.map(tf =>
-          TokenPosting(shardOf(a.docId), tf.term, a.docId, tf.tf, a.docLen,
-            tf.pos)))
+        // codegen explode instead of a typed flatMap: the flatMap
+        // deserialized every AnalyzedDoc (nested term array) and
+        // re-serialized one TokenPosting object per posting — the
+        // projection keeps the whole fan-out inside Tungsten rows (r8)
+        .select(col("docId"), col("docLen"), explode(col("terms")).as("t"))
+        .select(shardCol.as("shard"), col("t.term").as("term"), col("docId"),
+          col("t.tf").as("tf"), col("docLen").as("dl"), col("t.pos").as("pos"))
+        .as[TokenPosting]
         .repartition(shufflePartitions, col("shard"), col("term"))
         // TERM-major sort: parquet min/max stats on `term` then actually
         // prune row groups for the query path's term-IN filter (shard-major
