@@ -377,10 +377,18 @@ final class QueryEngine(spark: SparkSession, val root: String,
     // (bounds only ever err safe) — "the next page of filtered results"
     // costs one more query, exactly like the unfiltered search_after
     val (bm, pr, dfsB, wB, aB, mmB) = (bm25, present, dfs, wMap, after, minMatch)
+    // one gate job instead of count-then-collect (r8): collect at most
+    // gateLimit ids — within the gate the limit never binds, so the
+    // array IS the full allowed set; over it, fall through distributed
+    val allowedArr: Option[Array[Long]] =
+      if (totalPostings > driverPathMaxPostings) None
+      else {
+        val a = allowed.limit(gateLimit).collect()
+        if (a.length <= driverPathMaxPostings) Some(a) else None
+      }
     val shardTop: Seq[ScoredDoc] =
-      if (totalPostings <= driverPathMaxPostings &&
-          allowed.limit(gateLimit).count() <= driverPathMaxPostings) {
-        val byShard = allowed.collect().groupBy(IndexBuilder.shardOf)
+      if (allowedArr.isDefined) {
+        val byShard = allowedArr.get.groupBy(IndexBuilder.shardOf)
         rows.collect().groupBy(_.shard).toSeq.flatMap { case (shard, rs) =>
           byShard.get(shard).toSeq.flatMap { arr =>
             java.util.Arrays.sort(arr)
@@ -593,9 +601,15 @@ final class QueryEngine(spark: SparkSession, val root: String,
         // cogrouped with the postings by shard — same scale shape as
         // topKFiltered, allowed sets never driver-collected on this path
         val allowedAll = allowedSets(preds)
-        if (totalPostings <= driverPathMaxPostings &&
-            allowedAll.limit(gateLimit).count() <= driverPathMaxPostings) {
-          val byShard = allowedAll.collect()
+        // one gate job instead of count-then-collect (see topKFiltered, r8)
+        val gateArr: Option[Array[(Int, Long)]] =
+          if (totalPostings > driverPathMaxPostings) None
+          else {
+            val a = allowedAll.limit(gateLimit).collect()
+            if (a.length <= driverPathMaxPostings) Some(a) else None
+          }
+        if (gateArr.isDefined) {
+          val byShard = gateArr.get
             .groupBy(t => IndexBuilder.shardOf(t._2))
             .map { case (s, ts) => s -> QueryEngine.sortGates(ts) }
           rows.collect().groupBy(_.shard).toSeq.flatMap { case (shard, rs) =>
@@ -807,9 +821,15 @@ final class QueryEngine(spark: SparkSession, val root: String,
           .toDF("docId")
     } else {
       val allowedAll = allowedSets(preds)
-      if (totalPostings <= driverPathMaxPostings &&
-          allowedAll.limit(gateLimit).count() <= driverPathMaxPostings) {
-        val byShard = allowedAll.collect()
+      // one gate job instead of count-then-collect (see topKFiltered, r8)
+      val gateArr: Option[Array[(Int, Long)]] =
+        if (totalPostings > driverPathMaxPostings) None
+        else {
+          val a = allowedAll.limit(gateLimit).collect()
+          if (a.length <= driverPathMaxPostings) Some(a) else None
+        }
+      if (gateArr.isDefined) {
+        val byShard = gateArr.get
           .groupBy(t => IndexBuilder.shardOf(t._2))
           .map { case (s, ts) => s -> QueryEngine.sortGates(ts) }
         rows.collect().groupBy(_.shard).toSeq

@@ -137,14 +137,18 @@ object DedupOps {
     * (doc, band) rows sit in over-cap buckets — coverage truncation as
     * output, not a comment (the q47 pattern for the LSH path). */
   def qBandCapMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandsDF(spark, dir)
-    val bsz = bands.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-    val total = bands.agg(count(lit(1)).as("n_band_rows"))
-    val hot = bsz.where(col("bsz") > BandBucketCap)
-      .agg(coalesce(sum("bsz"), lit(0L)).as("n_dropped_rows"),
-        count(lit(1)).as("n_hot_buckets"))
-    val nb = bsz.agg(count(lit(1)).as("n_buckets"))
-    total.crossJoin(hot).crossJoin(nb)
+    // r8: one conditional-agg pass over the bucket sizes (the q47
+    // treatment): n_band_rows = Σ bsz, dropped/hot fold the > cap
+    // predicate, n_buckets = |bsz|. Was three aggregations + two
+    // crossJoins. Same values, same column order.
+    val bsz = bandsDF(spark, dir).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+    bsz.agg(
+      coalesce(sum("bsz"), lit(0L)).as("n_band_rows"),
+      coalesce(sum(when(col("bsz") > BandBucketCap, col("bsz"))), lit(0L))
+        .as("n_dropped_rows"),
+      count(when(col("bsz") > BandBucketCap, lit(1))).as("n_hot_buckets"),
+      count(lit(1)).as("n_buckets"))
   }
 
   /** Candidate pairs from LSH buckets with verified MinHash similarity. */
@@ -209,15 +213,28 @@ object DedupOps {
     * with a df cap (see qNgramCapMetrics for the reported coverage cap —
     * at 100 TB this is the standard anti-blowup guard). */
   def qNgramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docShingles = docShinglesDF(spark, dir)
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = docShingles.join(
-      docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
-        .where(col("df") <= DfCap),
-      "sh")
-    val pairs = rare.select(col("sh"), col("doc_id").as("a"))
-      .join(rare.select(col("sh"), col("doc_id").as("b")), "sh")
-      .where(col("a") < col("b"))
+    // r8 shape change (guide §2.4): df via a window count over ONE
+    // shuffle by sh (WindowExec buffers spill, so a degenerate hot
+    // shingle cannot OOM), then pairs generated INSIDE each rare
+    // shingle's sorted doc list (≤ DfCap after the filter, so the pair
+    // fan-out is a bounded codegen explode) — replaces the old
+    // dfs-agg + join + sh-keyed self-join (4 exchanges, two scans of
+    // the shingle set through the join) with window + in-group
+    // expansion (2 exchanges). Pair set is identical: (a < b) sharing
+    // a rare shingle, counted once per shared shingle.
+    val rare = docShingles
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= DfCap)
+    val grouped = rare.groupBy("sh") // reuses the window's hash partitioning
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+    val pairs = grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
@@ -263,13 +280,17 @@ object DedupOps {
     * (doc, shingle) rows the q45 pair generation drops (df > DfCap) out
     * of the total — coverage truncation as output, not a code comment. */
   def qNgramCapMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val ds = docShinglesDF(spark, dir)
-    val dfs = ds.groupBy("sh").agg(count(lit(1)).as("df"))
-    val total = ds.agg(count(lit(1)).as("n_shingle_rows"))
-    val dropped = ds.join(dfs.where(col("df") > DfCap), "sh")
-      .agg(count(lit(1)).as("n_dropped"))
-    val distinctSh = dfs.agg(count(lit(1)).as("n_distinct_shingles"))
-    total.crossJoin(dropped).crossJoin(distinctSh)
+    // r8: all three metrics fold over the ONE df aggregation —
+    // n_shingle_rows = Σ df, n_dropped = Σ df where df > cap (the join
+    // back to ds only re-counted rows the df already counts),
+    // n_distinct_shingles = |dfs|. Was: three separate aggregations +
+    // a re-join + two crossJoins (5 jobs); now one agg pass. Same
+    // values, same column order.
+    val dfs = docShinglesDF(spark, dir).groupBy("sh").agg(count(lit(1)).as("df"))
+    dfs.agg(
+      coalesce(sum("df"), lit(0L)).as("n_shingle_rows"),
+      coalesce(sum(when(col("df") > DfCap, col("df"))), lit(0L)).as("n_dropped"),
+      count(lit(1)).as("n_distinct_shingles"))
   }
 
   // ---- DuckDB oracles (generated from the same constants) -------------

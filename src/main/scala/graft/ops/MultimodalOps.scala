@@ -79,6 +79,11 @@ object MultimodalOps {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+      // r8: sort the narrow scan BEFORE the opaque decode — a global
+      // sort's range sampling evaluates its child, so sorting after the
+      // mapPartitions ran the whole decode twice; the 1:1 in-order map
+      // preserves the sorted order (same rows, same output order)
+      .orderBy("doc_id")
       .as[(Long, String, String)]
       .mapPartitions { it =>
         // decoder/codec init would happen once per partition here
@@ -91,7 +96,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("kind"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("n_bytes"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle: the fake header arithmetic + UTF-8 payload size. */
@@ -129,6 +133,7 @@ object MultimodalOps {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id") // sort narrow before the decode (see qMediaMeta, r8)
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, nChars) =>
@@ -142,7 +147,6 @@ object MultimodalOps {
         "zero_crossings", "peak")
       .select(col("doc_id"), col("n_samples"), col("duration_ms"),
         rd(col("rms_raw"), 4).as("rms"), col("zero_crossings"), col("peak"))
-      .orderBy("doc_id")
   }
 
   /** The oracle recomputes every feature from the synthesis formula —
@@ -217,6 +221,7 @@ object MultimodalOps {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"))
+      .orderBy("doc_id") // sort narrow before the decode (see qMediaMeta, r8)
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -228,7 +233,6 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "width", "height", "grid")
-      .orderBy("doc_id")
   }
 
   // ---- REAL video path (q73): frame-sequence container -> stride
@@ -254,6 +258,7 @@ object MultimodalOps {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"))
+      .orderBy("doc_id") // sort narrow before the decode (see qMediaMeta, r8)
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -266,7 +271,6 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "mean_lums")
-      .orderBy("doc_id")
   }
 
   def frameSampleOracleSql: String = {

@@ -32,19 +32,21 @@ object SearchOps {
   def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), analyzedToks(col("text")).as("toks"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      avg(size(col("toks")).cast("double")).as("avgdl"))
     val tfCols = QueryTerms.zipWithIndex.map { case (term, i) =>
       size(filter(col("toks"), w => w === term)).as(s"tf$i")
     }
     val withTf = docs.select(col("doc_id") +: size(col("toks")).as("dl") +: tfCols: _*)
+    // r8: corpus stats (n, avgdl) fold into the SAME aggregation as the
+    // per-term dfs — one tokenize+agg pass and one broadcast instead of
+    // two of each (dl IS size(toks), so avg(dl) accumulates the same
+    // doubles in the same partition order: bit-identical scores).
     val dfCols = QueryTerms.indices.map(i =>
       sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
-    val dfAgg = withTf.agg(dfCols.head, dfCols.tail: _*)
+    val statsAndDf = withTf.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl") +: dfCols: _*)
     val scored = withTf
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(dfAgg))
+      .crossJoin(broadcast(statsAndDf))
     // fixed-order sum: s = s0 + s1 + s2 (query-term order, frozen)
     val termScore: Int => Column = i => {
       val tf = col(s"tf$i").cast("double")

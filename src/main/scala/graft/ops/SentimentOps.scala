@@ -90,11 +90,17 @@ object SentimentOps {
   def cleanTextSentiment(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[#|@]\\S+", ""), "\\s+", " "))
 
-  /** Per-document ensemble scores (U1/U2/U4/U5). */
+  /** Per-document ensemble scores (U1/U2/U4/U5). r8 shape: sort the
+    * NARROW scan first, score after — a global sort's range-partitioning
+    * samples its child, so scoring before the orderBy evaluated the full
+    * VADER walk twice per doc (sampling pass + shuffle pass); projecting
+    * after the Sort keeps one evaluation and the identical row order
+    * (doc_id is a total key). */
   def qSentimentDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id") +: scored(col("text")): _*)
+      .select(col("doc_id"), col("text"))
       .orderBy("doc_id")
+      .select(col("doc_id") +: scored(col("text")): _*)
 
   /** T2 as a registered operator: documents decorated with synthetic
     * mentions/hashtags (testdata has none — same trick as q34's URLs),
@@ -104,12 +110,13 @@ object SentimentOps {
     val decorated = concat(lit("not @u1 #t2 @u3 "), col("text"),
       lit(" #tail_"), col("lang"))
     t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .orderBy("doc_id") // sort narrow first (see qSentimentDocs, r8)
       .select(col("doc_id") +:
         cleanTextSentiment(decorated).as("clean") +:
         scored(cleanTextSentiment(decorated)): _*)
       .select(col("doc_id"), length(col("clean")).cast("long").as("clean_len"),
         col("tb"), col("vader"), col("sentiment"))
-      .orderBy("doc_id")
   }
 
   /** Per-key state bound for qLinkMerge: only the most recent MergeWindow
@@ -172,8 +179,9 @@ object SentimentOps {
         // 5: two-token booster phrase + forward idiom zeroone at the tail
         .otherwise(concat(lit("pad sort of good "), col("text"), lit(" broken heart")))
     t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // sort narrow first (see qSentimentDocs, r8)
       .select(col("doc_id") +: scored(decorated): _*)
-      .orderBy("doc_id")
   }
 
   def vaderRulesOracle: String = {
