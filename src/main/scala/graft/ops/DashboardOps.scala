@@ -111,17 +111,13 @@ object DashboardOps {
     * that a freshly generated unlucky dataset cannot flake (a 5%/2.5
     * sigma pin would fail ~1% of groups on regenerated data). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    // r8 plan shape: pre-dedup (event_type, user_id) with a first-level
-    // hash agg, then count + HLL over the distinct pairs — removes the
-    // Expand the countDistinct-next-to-another-agg plan needs (every
-    // input row doubled through the shuffle). HLL++ registers are
-    // duplicate-insensitive, so the sketch (and the exact count) are
-    // bit-identical to the old plan; a (type, NULL) group row keeps
-    // types whose users are all NULL visible, exactly like countDistinct.
+    // r8 note: an explicit pre-dedup rewrite was tried and produced the
+    // IDENTICAL physical plan (Spark 4 already plans countDistinct
+    // beside another agg as partial-dedup -> final agg, no Expand here),
+    // so the original formulation stands — see OPTIMIZATION_r08.md.
     t(spark, dir, "events")
-      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
-      .agg(count(when(col("user_id").isNotNull, lit(1))).as("exact_users"),
+      .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=

@@ -95,7 +95,11 @@ object SentimentOps {
     * samples its child, so scoring before the orderBy evaluated the full
     * VADER walk twice per doc (sampling pass + shuffle pass); projecting
     * after the Sort keeps one evaluation and the identical row order
-    * (doc_id is a total key). */
+    * (doc_id is a total key). A widen-then-score-then-sort variant
+    * (compute on the map side of the sort exchange, parallel) was
+    * measured SLOWER at bench scale — two extra 32-task stages cost
+    * more than the serial scorer saves — and is documented in
+    * OPTIMIZATION_r08.md as the rejected alternative. */
   def qSentimentDocs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))

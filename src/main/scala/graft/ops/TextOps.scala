@@ -8,6 +8,7 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+
   /** Whitespace tokens, lowercased, empties dropped — the `documents`
     * corpus analyzer used by the SQL-oracled text operators (the driver
     * testdata text is plain space-separated words; the full CodeAnalyzer
@@ -100,10 +101,13 @@ object TextOps {
 
   def qCleanText(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), cleanText(col("text")).as("clean"),
-        length(cleanText(col("text"))).cast("long").as("clean_len"))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // sort the narrow scan; clean once after (r8)
+      .select(col("doc_id"),
+        explode(array(cleanText(col("text")))).as("clean"))
       .where(col("clean") =!= "")                       // F1 empty filter
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("clean_len"))
 
   /** F2 min-token filter (>= 5 tokens, sentiment.py:148-151). */
   def qFilterMinTokens(spark: SparkSession, dir: String): DataFrame =
@@ -133,21 +137,28 @@ object TextOps {
   /** Quality scoring: length / punctuation ratio / stopword ratio /
     * mean word length. */
   def qQuality(spark: SparkSession, dir: String): DataFrame = {
-    val tk = toks(col("text"))
-    val stopHits = filter(tk, w => w.isInCollection(
+    // r8: pin the token array to one evaluation with a generator
+    // boundary (higher-order filter is CodegenFallback — every tk
+    // reference re-tokenized), and sort the narrow scan first (see
+    // qLangId). Same expressions over the pinned array.
+    val stopHits = filter(col("tk"), w => w.isInCollection(
       graft.analyze.CodeAnalyzer.Stopwords.toSeq))
     // nullif guard: an EMPTY document has no token count to divide by —
     // its ratios are NULL (visible to a pipeline that wants to drop it),
     // never an ANSI divide-by-zero error
-    val nTok = nullif(size(tk).cast("long"), lit(0L))
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars2"),
-      size(tk).cast("long").as("n_tokens"),
-      rd(size(stopHits).cast("double") / nTok, 4).as("stop_ratio"),
-      rd((length(col("text")) - size(tk) + 1).cast("double") / nTok, 4)
-        .as("mean_word_len")
-    ).orderBy("doc_id")
+    val nTok = nullif(size(col("tk")).cast("long"), lit(0L))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("text"),
+        explode(array(toks(col("text")))).as("tk"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        rd(size(stopHits).cast("double") / nTok, 4).as("stop_ratio"),
+        rd((length(col("text")) - size(col("tk")) + 1).cast("double") / nTok, 4)
+          .as("mean_word_len"))
   }
 
   /** Language-ID heuristic: per-language marker-word counts, argmax with
@@ -160,33 +171,53 @@ object TextOps {
     "zh" -> Seq("de", "shi", "zai", "he"))
 
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    // r8 shape: higher-order filters are CodegenFallback, so every
+    // reference to the token array (5 langs x filter + the argmax
+    // when-chains) re-evaluated the split+filter subtree — tens of
+    // tokenizations per row (measured ~6 s warm at sf0.1). Two
+    // explode(array(...)) generator boundaries pin (1) the token array
+    // and (2) the 5 marker counts to ONE evaluation each; the argmax
+    // fold then reads array slots. Sort first: the narrow scan is what
+    // the range sampling pass re-evaluates. Same counts, same
+    // tie-break, same row order.
     val tk = toks(col("text"))
-    val counts = langMarkers.map { case (l, ws) =>
-      l -> size(filter(tk, w => w.isInCollection(ws)))
+    val countsArr = array(langMarkers.map { case (_, ws) =>
+      size(filter(col("tk"), w => w.isInCollection(ws)))
+    }: _*)
+    val cnt: Int => Column = i => col("cnts")(i)
+    val langs = langMarkers.map(_._1)
+    val best = langs.indices.tail.foldLeft((cnt(0), lit(langs.head))) {
+      case ((bc, bl), i) =>
+        (when(cnt(i) > bc, cnt(i)).otherwise(bc),
+          when(cnt(i) > bc, lit(langs(i))).otherwise(bl))
     }
-    val best = counts.tail.foldLeft((counts.head._2, lit(counts.head._1))) {
-      case ((bc, bl), (l, c)) =>
-        (when(c > bc, c).otherwise(bc), when(c > bc, lit(l)).otherwise(bl))
-    }
-    t(spark, dir, "documents").select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      best._2.as("predicted_lang"), best._1.cast("long").as("marker_hits")
-    ).orderBy("doc_id")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), explode(array(tk)).as("tk"))
+      .select(col("doc_id"), col("lang"), explode(array(countsArr)).as("cnts"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        best._2.as("predicted_lang"), best._1.cast("long").as("marker_hits"))
   }
 
   /** Token counting: whitespace count + BPE-ish regex token count. */
   def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      size(toks(col("text"))).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
-      // nullif: empty text -> NULL ratio, not an ANSI divide-by-zero
-      rd(length(col("text")).cast("double") /
-        nullif(size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"), lit(0L)),
-        4).as("chars_per_token")
-    ).orderBy("doc_id")
+    // r8: one regexp_extract_all evaluation via a generator boundary
+    // (it was spelled twice + re-run by the sort's sampling pass); sort
+    // the narrow scan first. Same expressions over the pinned array.
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("text"),
+        explode(array(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))).as("bp"))
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ws_tokens"),
+        size(col("bp")).cast("long").as("bpe_tokens"),
+        // nullif: empty text -> NULL ratio, not an ANSI divide-by-zero
+        rd(length(col("text")).cast("double") /
+          nullif(size(col("bp")).cast("long"), lit(0L)), 4).as("chars_per_token"))
 
   /** T5/T10 URL extraction + host parse over synthesized URL-bearing
     * text (/root/reference/sentiment.py:89-90,343). */
