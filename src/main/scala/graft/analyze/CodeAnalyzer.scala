@@ -100,17 +100,75 @@ object CodeAnalyzer extends Serializable {
     new String(out)
   }
 
-  /** Emit one raw word's post-filter tokens (splitWord boundaries walked
-    * in place — no per-word buffers or non-lowercased substrings). */
-  private def emitWord(w: String, ws: Int, we: Int, f: String => Unit): Unit = {
+  @inline private def lowerAt(s: String, i: Int): Char = {
+    val c = s.charAt(i)
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+  }
+
+  /** Consumer of token SPANS: the token value is the ASCII-lowercased
+    * [a, b) slice of `src`. The zero-alloc core under foreachToken —
+    * a sink that needs the String materializes it; the build-path map
+    * only does so once per DISTINCT term (r8). */
+  trait SpanSink { def span(src: String, a: Int, b: Int): Unit }
+
+  /** String.hashCode of the lowercased span, computed without the
+    * String (s[0]*31^(n-1) + ... — the exact JDK formula, so span
+    * probes and String-keyed rehashing agree). */
+  @inline private[analyze] def spanHash(s: String, a: Int, b: Int): Int = {
+    var h = 0
+    var i = a
+    while (i < b) { h = h * 31 + lowerAt(s, i); i += 1 }
+    h
+  }
+
+  @inline private[analyze] def spanEquals(key: String, s: String, a: Int, b: Int): Boolean = {
+    if (key.length != b - a) return false
+    var i = 0
+    while (i < key.length) {
+      if (key.charAt(i) != lowerAt(s, a + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Stopword set as an open-addressed probe table for span lookups. */
+  private val StopMask = 127
+  private val StopTable: Array[String] = {
+    val t = new Array[String](StopMask + 1)
+    Stopwords.foreach { w =>
+      var i = w.hashCode & StopMask
+      while (t(i) != null) i = (i + 1) & StopMask
+      t(i) = w
+    }
+    t
+  }
+
+  /** keep() on a span: length >= 2, not a pure digit run, not a
+    * stopword — no token materialization. */
+  private def keepSpan(s: String, a: Int, b: Int): Boolean = {
+    if (b - a < MinTokenLen) return false
+    var i = a
+    var allDigit = true
+    while (i < b && allDigit) { if (!isDigit(s.charAt(i))) allDigit = false; i += 1 }
+    if (allDigit) return false
+    var j = spanHash(s, a, b) & StopMask
+    while (StopTable(j) != null) {
+      if (spanEquals(StopTable(j), s, a, b)) return false
+      j = (j + 1) & StopMask
+    }
+    true
+  }
+
+  /** Emit one raw word's post-filter token spans (splitWord boundaries
+    * walked in place — no per-word buffers or substrings). */
+  private def emitWord(w: String, ws: Int, we: Int, f: SpanSink): Unit = {
     var parts = 0
     var start = ws
     var i = ws
     @inline def cut(end: Int, nextStart: Int): Unit = {
       if (end > start) {
         parts += 1
-        val t = lowerSub(w, start, end)
-        if (keep(t)) f(t)
+        if (keepSpan(w, start, end)) f.span(w, start, end)
       }
       start = nextStart
     }
@@ -128,17 +186,14 @@ object CodeAnalyzer extends Serializable {
       i += 1
     }
     cut(we, we)
-    if (parts > 1) {
-      val orig = lowerSub(w, ws, we) // underscores kept (preserveOriginal)
-      if (keep(orig)) f(orig)
-    }
+    if (parts > 1 && keepSpan(w, ws, we)) // underscores kept (preserveOriginal)
+      f.span(w, ws, we)
   }
 
-  /** Visit every emitted token of [[analyze]] in document order without
-    * materializing the token sequence — the single-pass core the build
-    * path and analyze() share (r8; emission semantics unchanged and
-    * pinned by AnalyzerSpec goldens). */
-  def foreachToken(content: String)(f: String => Unit): Unit = {
+  /** Visit every emitted token SPAN of [[analyze]] in document order —
+    * the allocation-free core every analysis entry point shares (r8;
+    * emission semantics unchanged and pinned by AnalyzerSpec goldens). */
+  def foreachSpan(content: String)(f: SpanSink): Unit = {
     if (content == null || content.isEmpty) return
     val n = content.length
     var i = 0
@@ -149,6 +204,13 @@ object CodeAnalyzer extends Serializable {
       if (i > start) emitWord(content, start, i, f)
     }
   }
+
+  /** Visit every emitted token of [[analyze]] in document order without
+    * materializing the token sequence. */
+  def foreachToken(content: String)(f: String => Unit): Unit =
+    foreachSpan(content)(new SpanSink {
+      def span(src: String, a: Int, b: Int): Unit = f(lowerSub(src, a, b))
+    })
 
   /** Full analysis: token stream in document order (post-filter). */
   def analyze(content: String): Seq[String] = {
@@ -184,28 +246,81 @@ object CodeAnalyzer extends Serializable {
     (m.view.mapValues(_.result()).toMap, i)
   }
 
+  /** Open-addressed (term -> positions) map keyed by token SPANS: the
+    * token String is allocated once per DISTINCT term, not per
+    * occurrence (r8 build hot path). Probe hash == String.hashCode of
+    * the lowered span, so rehashing on the stored keys stays
+    * consistent. */
+  private final class SpanPosMap extends SpanSink {
+    private var cap = 256
+    private var keys = new Array[String](cap)
+    private var vals = new Array[mutable.ArrayBuilder.ofInt](cap)
+    var size = 0
+    var nextPos = 0
+    private def grow(): Unit = {
+      val ok = keys
+      val ov = vals
+      cap <<= 1
+      keys = new Array[String](cap)
+      vals = new Array[mutable.ArrayBuilder.ofInt](cap)
+      val mask = cap - 1
+      var i = 0
+      while (i < ok.length) {
+        val k = ok(i)
+        if (k != null) {
+          var j = k.hashCode & mask
+          while (keys(j) != null) j = (j + 1) & mask
+          keys(j) = k
+          vals(j) = ov(i)
+        }
+        i += 1
+      }
+    }
+    def span(src: String, a: Int, b: Int): Unit = {
+      if ((size << 1) >= cap) grow()
+      val mask = cap - 1
+      var i = spanHash(src, a, b) & mask
+      while (keys(i) != null && !spanEquals(keys(i), src, a, b))
+        i = (i + 1) & mask
+      if (keys(i) == null) {
+        keys(i) = lowerSub(src, a, b)
+        vals(i) = new mutable.ArrayBuilder.ofInt
+        size += 1
+      }
+      vals(i) += nextPos
+      nextPos += 1
+    }
+    /** (term, positions) pairs sorted by term (String.compareTo). */
+    def sorted(): Array[(String, Array[Int])] = {
+      val ks = new Array[String](size)
+      var i = 0
+      var k = 0
+      while (i < cap) {
+        if (keys(i) != null) { ks(k) = keys(i); k += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(ks.asInstanceOf[Array[AnyRef]])
+      val out = new Array[(String, Array[Int])](size)
+      k = 0
+      while (k < size) {
+        val mask = cap - 1
+        var j = ks(k).hashCode & mask
+        while (!(keys(j) eq ks(k)) && !keys(j).equals(ks(k))) j = (j + 1) & mask
+        out(k) = (ks(k), vals(j).result())
+        k += 1
+      }
+      out
+    }
+  }
+
   /** Build-path fusion (r8): term-sorted (term, positions) pairs plus
-    * docLen in ONE pass — java HashMap + sorted key array instead of the
-    * termPositions Map -> toArray -> sortBy tuple churn. Term order is
-    * String.compareTo, identical to sortBy(_._1). */
+    * docLen in ONE span-keyed pass — one String allocation per distinct
+    * term, no per-occurrence token objects. Term order is
+    * String.compareTo, identical to the original sortBy(_._1). */
   def termPositionsSorted(content: String): (Array[(String, Array[Int])], Int) = {
-    val m = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
-    var i = 0
-    foreachToken(content) { t =>
-      var b = m.get(t)
-      if (b == null) { b = new mutable.ArrayBuilder.ofInt; m.put(t, b) }
-      b += i
-      i += 1
-    }
-    val keys = m.keySet().toArray(new Array[String](m.size()))
-    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
-    val out = new Array[(String, Array[Int])](keys.length)
-    var k = 0
-    while (k < keys.length) {
-      out(k) = (keys(k), m.get(keys(k)).result())
-      k += 1
-    }
-    (out, i)
+    val m = new SpanPosMap
+    foreachSpan(content)(m)
+    (m.sorted(), m.nextPos)
   }
 
   /** Query analysis: distinct terms, first-occurrence order (frozen —

@@ -378,7 +378,11 @@ object IndexBuilder {
     //     tail of each stage). Jobs carry descriptions (guide §1.5) so
     //     the UI/listeners attribute build time per phase.
     spark.sparkContext.setJobDescription(s"graft-build $segName: analyze")
-    analyzed.count()
+    // noop-sink materialization (guide §1.4): same full evaluation as
+    // count() but one job with no aggregation final stage — every AQE
+    // barrier here is SERIAL time both bench levels pay equally, which
+    // is exactly what depresses the 2->8 scaling ratio (r8)
+    analyzed.write.format("noop").mode("overwrite").save()
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -419,14 +423,28 @@ object IndexBuilder {
         .select(shardCol.as("shard"), col("t.term").as("term"), col("docId"),
           col("t.tf").as("tf"), col("docLen").as("dl"), col("t.pos").as("pos"))
         .as[TokenPosting]
+        // MAP-SIDE run build (r8, guide §2.3 "aggregate before you
+        // shuffle"): partitionId == shard after the routing repartition,
+        // so every (shard, term) posting run lives entirely inside one
+        // analysis partition — sort it IN-STAGE (spillable SortExec, no
+        // exchange) and encode the runs right there. The shuffle then
+        // carries one compressed row per (shard, term) instead of one
+        // thin row per posting (bench corpus: ~6.4k rows vs ~10M).
+        // Memory is unchanged: buildRuns holds one run at a time, the
+        // same bound the reduce side had. buildRuns keys runs on
+        // (shard, term), so even a multi-shard input partition (foreign
+        // corpora fed to build() directly) stays correct.
+        .sortWithinPartitions("term", "shard", "docId")
+        .mapPartitions(buildRuns)
         .repartition(shufflePartitions, col("shard"), col("term"))
         // TERM-major sort: parquet min/max stats on `term` then actually
         // prune row groups for the query path's term-IN filter (shard-major
         // made every row group span the whole term range — measured 30x
         // slower hot-term queries at 220k docs). Small row groups give the
-        // pruning its granularity.
-        .sortWithinPartitions("term", "shard", "docId")
-        .mapPartitions(buildRuns)
+        // pruning its granularity. Same (term, shard) row order and the
+        // same hash(shard, term) file assignment as the pre-r8 layout —
+        // the stored segment is byte-compatible.
+        .sortWithinPartitions("term", "shard")
         .observe(pstObs, count(lit(1)).as("terms"), sum("df").as("postings"),
           sum("bytes").as("bytes"))
         .write.mode("overwrite")

@@ -225,7 +225,13 @@ object DedupOps {
     // the shingle set through the join) with window + in-group
     // expansion (2 exchanges). Pair set is identical: (a < b) sharing
     // a rare shingle, counted once per shared shingle.
+    // explicit sh-repartition at the session's shuffle parallelism: AQE
+    // coalesced the window's exchange to ~3 partitions (small shuffle
+    // BYTES) and serialized the CPU-heavy window + pair expansion above
+    // it — an explicit repartition is exempt from AQE coalescing and the
+    // window + groupBy both reuse it (one exchange total, r8)
     val rare = docShingles
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= DfCap)
     val grouped = rare.groupBy("sh") // reuses the window's hash partitioning

@@ -51,5 +51,18 @@ object DocMicro {
       }
       s
     }
+    timed("termPositionsSorted+encode") {
+      var s = 0L
+      docs.foreach { d =>
+        val (tps, dl) = CodeAnalyzer.termPositionsSorted(d.content)
+        var k = 0
+        while (k < tps.length) {
+          s += Codec.encodePositions(Array(tps(k)._2)).length
+          k += 1
+        }
+        s += dl
+      }
+      s
+    }
   }
 }
