@@ -215,36 +215,44 @@ object DedupOps {
   def qNgramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docShingles = docShinglesDF(spark, dir)
-    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // r8 shape change (guide §2.4): df via a window count over ONE
-    // shuffle by sh (WindowExec buffers spill, so a degenerate hot
-    // shingle cannot OOM), then pairs generated INSIDE each rare
-    // shingle's sorted doc list (≤ DfCap after the filter, so the pair
-    // fan-out is a bounded codegen explode) — replaces the old
-    // dfs-agg + join + sh-keyed self-join (4 exchanges, two scans of
-    // the shingle set through the join) with window + in-group
-    // expansion (2 exchanges). Pair set is identical: (a < b) sharing
-    // a rare shingle, counted once per shared shingle.
-    // explicit sh-repartition at the session's shuffle parallelism: AQE
-    // coalesced the window's exchange to ~3 partitions (small shuffle
-    // BYTES) and serialized the CPU-heavy window + pair expansion above
-    // it — an explicit repartition is exempt from AQE coalescing and the
-    // window + groupBy both reuse it (one exchange total, r8)
+    // r8 shape change (guide §2.4): the old dfs-agg + join + sh-keyed
+    // self-join + two sizes-agg broadcast joins (6 exchanges, the shingle
+    // set scanned three times) becomes a JOIN-FREE window pipeline:
+    //   1. n_sh per doc via a window count (counts EVERY shingle,
+    //      including ones the df cap later drops — same totals as the
+    //      old sizes aggregation);
+    //   2. df per shingle via a window count over an explicit
+    //      sh-repartition at the session's shuffle parallelism (AQE
+    //      coalesced the small-byte exchange to ~3 partitions and
+    //      serialized the CPU-heavy expansion above it; explicit
+    //      repartitions are exempt, and the window + groupBy reuse it);
+    //   3. pairs generated INSIDE each rare shingle's sorted doc list,
+    //      carrying (na, nb) along — ≤ DfCap ids per group after the
+    //      filter, so the fan-out is a bounded codegen explode and no
+    //      join back is needed.
+    // WindowExec buffers spill, so a degenerate hot shingle or hot doc
+    // cannot OOM. Pair set identical: (a < b) sharing a rare shingle,
+    // counted once per shared shingle; na/nb are functionally dependent
+    // on a/b, so min() inside the group is THE value.
     val rare = docShingles
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= DfCap)
-    val grouped = rare.groupBy("sh") // reuses the window's hash partitioning
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
+    val grouped = rare.groupBy("sh") // reuses the repartition's partitioning
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ids"))
     val pairs = grouped
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+          y => struct(x.getField("doc_id").as("a"),
+            y.getField("doc_id").as("b"),
+            x.getField("n_sh").as("na"), y.getField("n_sh").as("nb"))))))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("shared"), min("p.na").as("na"),
+        min("p.nb").as("nb"))
     pairs
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .select(col("a"), col("b"),
         Tables.rd(col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
