@@ -108,8 +108,10 @@ object CodeAnalyzer extends Serializable {
   /** Consumer of token SPANS: the token value is the ASCII-lowercased
     * [a, b) slice of `src`. The zero-alloc core under foreachToken —
     * a sink that needs the String materializes it; the build-path map
-    * only does so once per DISTINCT term (r8). */
-  trait SpanSink { def span(src: String, a: Int, b: Int): Unit }
+    * only does so once per DISTINCT term (r8). `hash` is the JDK
+    * String.hashCode of the lowered span, computed once in the emitter's
+    * filter walk and passed through so sinks never re-scan the span. */
+  trait SpanSink { def span(src: String, a: Int, b: Int, hash: Int): Unit }
 
   /** String.hashCode of the lowercased span, computed without the
     * String (s[0]*31^(n-1) + ... — the exact JDK formula, so span
@@ -143,20 +145,32 @@ object CodeAnalyzer extends Serializable {
     t
   }
 
-  /** keep() on a span: length >= 2, not a pure digit run, not a
-    * stopword — no token materialization. */
-  private def keepSpan(s: String, a: Int, b: Int): Boolean = {
-    if (b - a < MinTokenLen) return false
+  /** keep() on a span, fused with the hash (r8): ONE walk computes the
+    * lowered-span String.hashCode and the pure-digit flag together; the
+    * stopword probe and every downstream sink reuse that hash (the old
+    * shape walked the span once for the digit check, once for the
+    * stopword-probe hash, and a third time in the sink's map probe).
+    * Returns -1L when the token is filtered (length < 2, pure digit run,
+    * stopword), else the hash zero-extended into [0, 2^32) — the two
+    * ranges cannot collide. */
+  private def keepSpanHash(s: String, a: Int, b: Int): Long = {
+    if (b - a < MinTokenLen) return -1L
     var i = a
     var allDigit = true
-    while (i < b && allDigit) { if (!isDigit(s.charAt(i))) allDigit = false; i += 1 }
-    if (allDigit) return false
-    var j = spanHash(s, a, b) & StopMask
+    var h = 0
+    while (i < b) {
+      val c = lowerAt(s, i)
+      if (c < '0' || c > '9') allDigit = false
+      h = h * 31 + c
+      i += 1
+    }
+    if (allDigit) return -1L
+    var j = h & StopMask
     while (StopTable(j) != null) {
-      if (spanEquals(StopTable(j), s, a, b)) return false
+      if (spanEquals(StopTable(j), s, a, b)) return -1L
       j = (j + 1) & StopMask
     }
-    true
+    h.toLong & 0xffffffffL
   }
 
   /** Emit one raw word's post-filter token spans (splitWord boundaries
@@ -168,7 +182,8 @@ object CodeAnalyzer extends Serializable {
     @inline def cut(end: Int, nextStart: Int): Unit = {
       if (end > start) {
         parts += 1
-        if (keepSpan(w, start, end)) f.span(w, start, end)
+        val h = keepSpanHash(w, start, end)
+        if (h != -1L) f.span(w, start, end, h.toInt)
       }
       start = nextStart
     }
@@ -186,8 +201,10 @@ object CodeAnalyzer extends Serializable {
       i += 1
     }
     cut(we, we)
-    if (parts > 1 && keepSpan(w, ws, we)) // underscores kept (preserveOriginal)
-      f.span(w, ws, we)
+    if (parts > 1) { // underscores kept (preserveOriginal)
+      val h = keepSpanHash(w, ws, we)
+      if (h != -1L) f.span(w, ws, we, h.toInt)
+    }
   }
 
   /** Visit every emitted token SPAN of [[analyze]] in document order —
@@ -209,7 +226,8 @@ object CodeAnalyzer extends Serializable {
     * materializing the token sequence. */
   def foreachToken(content: String)(f: String => Unit): Unit =
     foreachSpan(content)(new SpanSink {
-      def span(src: String, a: Int, b: Int): Unit = f(lowerSub(src, a, b))
+      def span(src: String, a: Int, b: Int, hash: Int): Unit =
+        f(lowerSub(src, a, b))
     })
 
   /** Full analysis: token stream in document order (post-filter). */
@@ -246,82 +264,191 @@ object CodeAnalyzer extends Serializable {
     (m.view.mapValues(_.result()).toMap, i)
   }
 
-  /** Open-addressed (term -> positions) map keyed by token SPANS: the
-    * token String is allocated once per DISTINCT term, not per
-    * occurrence (r8 build hot path). Probe hash == String.hashCode of
-    * the lowered span, so rehashing on the stored keys stays
-    * consistent. */
-  private final class SpanPosMap extends SpanSink {
+  /** Growable int buffer whose result() ALWAYS copies (unlike
+    * ArrayBuilder.ofInt, whose result() aliases its internal array when
+    * size == capacity) — safe to pool and reuse across documents. */
+  private final class IntBuf {
+    private var a = new Array[Int](8)
+    var n = 0
+    def add(x: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = x
+      n += 1
+    }
+    def result(): Array[Int] = java.util.Arrays.copyOf(a, n)
+    def reset(): Unit = n = 0
+  }
+
+  /** Intern-table pointer-array cap: past ~1M distinct terms a partition
+    * stops interning and falls back to plain per-doc allocation — the
+    * table's memory stays bounded while every realistic per-shard
+    * vocabulary (bench: ~10^4) is fully covered. */
+  private val InternCap = 1 << 20
+
+  /** Reusable build-path analyzer session (r8): ONE instance per build
+    * task, fed every document of the partition. Two layers:
+    *
+    *  - a partition-level term INTERN table (open-addressed on the span
+    *    hash): the token String for a distinct term is allocated once
+    *    per PARTITION, not once per document — a shard's documents
+    *    repeat their vocabulary almost entirely, so the per-doc String
+    *    churn (~hundreds of allocations/doc) collapses to ~zero.
+    *  - a generation-stamped per-doc (term -> positions) map probed by
+    *    the same hash (khash prefilter, then reference-or-equals key
+    *    compare); bumping the generation IS the per-doc clear.
+    *
+    * Positions accumulate in pooled [[IntBuf]]s (handed out per doc,
+    * reclaimed wholesale at emission; result() copies, so emitted arrays
+    * never alias the pool). Not thread-safe — one session per task. */
+  final class AnalyzerSession extends SpanSink {
+    // per-doc map
     private var cap = 256
     private var keys = new Array[String](cap)
-    private var vals = new Array[mutable.ArrayBuilder.ofInt](cap)
-    var size = 0
-    var nextPos = 0
-    private def grow(): Unit = {
-      val ok = keys
-      val ov = vals
-      cap <<= 1
-      keys = new Array[String](cap)
-      vals = new Array[mutable.ArrayBuilder.ofInt](cap)
-      val mask = cap - 1
+    private var khash = new Array[Int](cap)
+    private var vals = new Array[IntBuf](cap)
+    private var stamp = new Array[Int](cap)
+    private var gen = 0
+    private var size = 0
+    private var nextPos = 0
+    // partition-level intern table
+    private var icap = 1024
+    private var ikeys = new Array[String](icap)
+    private var ihash = new Array[Int](icap)
+    private var isize = 0
+    // IntBuf pool (all buffers in live slots; reclaimed per doc)
+    private val pool = mutable.ArrayBuffer.empty[IntBuf]
+    private var used = 0
+
+    private def nextBuf(): IntBuf = {
+      if (used == pool.length) pool += new IntBuf
+      val b = pool(used)
+      used += 1
+      b.reset()
+      b
+    }
+
+    private def intern(src: String, a: Int, b: Int, h: Int): String = {
+      val mask = icap - 1
+      var j = h & mask
+      while (ikeys(j) != null) {
+        if (ihash(j) == h && spanEquals(ikeys(j), src, a, b)) return ikeys(j)
+        j = (j + 1) & mask
+      }
+      val s = lowerSub(src, a, b)
+      if (isize < InternCap) {
+        ikeys(j) = s
+        ihash(j) = h
+        isize += 1
+        if ((isize << 1) >= icap) growIntern()
+      }
+      s
+    }
+
+    private def growIntern(): Unit = {
+      val ok = ikeys
+      val oh = ihash
+      icap <<= 1
+      ikeys = new Array[String](icap)
+      ihash = new Array[Int](icap)
+      val mask = icap - 1
       var i = 0
       while (i < ok.length) {
-        val k = ok(i)
-        if (k != null) {
-          var j = k.hashCode & mask
-          while (keys(j) != null) j = (j + 1) & mask
-          keys(j) = k
-          vals(j) = ov(i)
+        if (ok(i) != null) {
+          var j = oh(i) & mask
+          while (ikeys(j) != null) j = (j + 1) & mask
+          ikeys(j) = ok(i)
+          ihash(j) = oh(i)
         }
         i += 1
       }
     }
-    def span(src: String, a: Int, b: Int): Unit = {
-      if ((size << 1) >= cap) grow()
+
+    private def grow(): Unit = {
+      val ok = keys
+      val oh = khash
+      val ov = vals
+      val os = stamp
+      cap <<= 1
+      keys = new Array[String](cap)
+      khash = new Array[Int](cap)
+      vals = new Array[IntBuf](cap)
+      stamp = new Array[Int](cap)
       val mask = cap - 1
-      var i = spanHash(src, a, b) & mask
-      while (keys(i) != null && !spanEquals(keys(i), src, a, b))
+      var i = 0
+      while (i < ok.length) {
+        if (os(i) == gen && ok(i) != null) {
+          var j = oh(i) & mask
+          while (stamp(j) == gen) j = (j + 1) & mask
+          keys(j) = ok(i)
+          khash(j) = oh(i)
+          vals(j) = ov(i)
+          stamp(j) = gen
+        }
+        i += 1
+      }
+    }
+
+    def span(src: String, a: Int, b: Int, h: Int): Unit = {
+      if (((size + 1) << 1) >= cap) grow()
+      val mask = cap - 1
+      var i = h & mask
+      while (stamp(i) == gen &&
+             !(khash(i) == h && spanEquals(keys(i), src, a, b)))
         i = (i + 1) & mask
-      if (keys(i) == null) {
-        keys(i) = lowerSub(src, a, b)
-        vals(i) = new mutable.ArrayBuilder.ofInt
+      if (stamp(i) != gen) {
+        keys(i) = intern(src, a, b, h)
+        khash(i) = h
+        vals(i) = nextBuf()
+        stamp(i) = gen
         size += 1
       }
-      vals(i) += nextPos
+      vals(i).add(nextPos)
       nextPos += 1
     }
-    /** (term, positions) pairs sorted by term (String.compareTo). */
-    def sorted(): Array[(String, Array[Int])] = {
+
+    /** (term, positions) pairs sorted by term (String.compareTo) plus
+      * docLen for ONE document; resets the per-doc state afterwards.
+      * Output identical to the stateless [[CodeAnalyzer.termPositionsSorted]]. */
+    def termPositionsSorted(content: String): (Array[(String, Array[Int])], Int) = {
+      // begin doc: generation bump IS the clear
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); gen = 0 }
+      gen += 1
+      size = 0
+      nextPos = 0
+      used = 0
+      foreachSpan(content)(this)
       val ks = new Array[String](size)
       var i = 0
       var k = 0
       while (i < cap) {
-        if (keys(i) != null) { ks(k) = keys(i); k += 1 }
+        if (stamp(i) == gen) { ks(k) = keys(i); k += 1 }
         i += 1
       }
       java.util.Arrays.sort(ks.asInstanceOf[Array[AnyRef]])
       val out = new Array[(String, Array[Int])](size)
+      val mask = cap - 1
       k = 0
       while (k < size) {
-        val mask = cap - 1
         var j = ks(k).hashCode & mask
-        while (!(keys(j) eq ks(k)) && !keys(j).equals(ks(k))) j = (j + 1) & mask
+        while (!(stamp(j) == gen &&
+                 ((keys(j) eq ks(k)) || keys(j).equals(ks(k)))))
+          j = (j + 1) & mask
         out(k) = (ks(k), vals(j).result())
         k += 1
       }
-      out
+      (out, nextPos)
     }
   }
 
   /** Build-path fusion (r8): term-sorted (term, positions) pairs plus
     * docLen in ONE span-keyed pass — one String allocation per distinct
     * term, no per-occurrence token objects. Term order is
-    * String.compareTo, identical to the original sortBy(_._1). */
-  def termPositionsSorted(content: String): (Array[(String, Array[Int])], Int) = {
-    val m = new SpanPosMap
-    foreachSpan(content)(m)
-    (m.sorted(), m.nextPos)
-  }
+    * String.compareTo, identical to the original sortBy(_._1).
+    * Stateless convenience over a fresh [[AnalyzerSession]]; the build
+    * path holds one session per task so term Strings intern across the
+    * partition's documents. */
+  def termPositionsSorted(content: String): (Array[(String, Array[Int])], Int) =
+    new AnalyzerSession().termPositionsSorted(content)
 
   /** Query analysis: distinct terms, first-occurrence order (frozen —
     * BM25 sums contributions in this order; oracle matches). */

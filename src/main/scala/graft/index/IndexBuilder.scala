@@ -341,12 +341,16 @@ object IndexBuilder {
     val analyzed: Dataset[AnalyzedDoc] = routed.mapPartitions { it =>
       val shard = TaskContext.getPartitionId()
       var idx = 0L
+      // ONE analyzer session per task: term Strings intern across the
+      // partition's documents (a shard's docs repeat their vocabulary),
+      // and the per-doc map/position buffers are reused (r8)
+      val session = new CodeAnalyzer.AnalyzerSession
       it.map { d =>
         val id = docIdFor(effBatch, shard, idx)
         idx += 1
         // fused single-pass analysis (r8): term-sorted positions straight
         // from the analyzer — no intermediate Map/tuple churn per doc
-        val (tps, dl) = CodeAnalyzer.termPositionsSorted(d.content)
+        val (tps, dl) = session.termPositionsSorted(d.content)
         val terms = new Array[TermFreq](tps.length)
         var k = 0
         while (k < terms.length) {

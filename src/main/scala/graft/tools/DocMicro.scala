@@ -64,5 +64,19 @@ object DocMicro {
       }
       s
     }
+    timed("session+encode (build path)") {
+      var s = 0L
+      val session = new CodeAnalyzer.AnalyzerSession
+      docs.foreach { d =>
+        val (tps, dl) = session.termPositionsSorted(d.content)
+        var k = 0
+        while (k < tps.length) {
+          s += Codec.encodePositions(Array(tps(k)._2)).length
+          k += 1
+        }
+        s += dl
+      }
+      s
+    }
   }
 }
