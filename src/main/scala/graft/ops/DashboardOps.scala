@@ -26,7 +26,10 @@ object DashboardOps {
         rd(sum("l_extendedprice"), 2).as("sum_price"),
         rd(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag", "l_linestatus")
+      // group keys = total sort key, bounded result (one row per
+      // flag/status pair): narrow coalesce + local sort is the identical
+      // row order without the range-exchange sampling jobs (r8, see q38)
+      .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
 
   /** A6 terms agg, top-5 by count desc (export.json:63), deterministic
     * tie-break on the key. */
@@ -64,7 +67,9 @@ object DashboardOps {
         count(lit(1)).as("cnt"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("sum_value"), col("avg_value"), col("cnt"))
-      .orderBy("bucket", "event_type")
+      // group keys = total sort key, result bounded by the histogram
+      // resolution x event types (r8, see q38)
+      .coalesce(1).sortWithinPartitions("bucket", "event_type")
 
   /** A8 variant: date_histogram with min_doc_count:0 — ES materializes
     * EMPTY buckets too; Spark's groupBy naturally drops them, so the
@@ -122,7 +127,11 @@ object DashboardOps {
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.10).as("approx_ok"))
-      .orderBy("event_type")
+      // total key (event_type is the group key), tiny result: a narrow
+      // coalesce + local sort gives the identical row order as the global
+      // orderBy without the range-exchange sampling pass and its extra
+      // AQE jobs (r8; the driver materializes via coalesce(1) anyway)
+      .coalesce(1).sortWithinPartitions("event_type")
 
   /** O1 sort by date desc + paging (export.json:34-37). */
   def qSortRecent(spark: SparkSession, dir: String): DataFrame =
