@@ -197,6 +197,35 @@ object IndexBuilder {
     new String(out)
   }
 
+  /** Encode one complete (shard, term) posting run into its stored row.
+    * The single compression path shared by [[buildRuns]] and
+    * [[accumRuns]] — both therefore produce identical bytes for the
+    * same run content. */
+  private def encodeRun(shard: Int, term: String, docs: Array[Long],
+                        tfs: Array[Int], dls: Array[Int],
+                        poss: collection.IndexedSeq[Array[Byte]],
+                        hasPos: Boolean): PostingRowPos = {
+    val enc = Codec.encode(docs, tfs, dls)
+    // one position stream per 128-posting block, parallel to blocks:
+    // per-posting streams are self-delimiting (tf counts them), so a
+    // block stream is the plain concatenation of its postings'
+    // pre-encoded streams — no re-encode on the build path
+    val posBlocks: Seq[Array[Byte]] =
+      if (!hasPos) Nil
+      else poss.grouped(Codec.BlockSize).map { g =>
+        val out = new Array[Byte](g.iterator.map(_.length).sum)
+        var off = 0
+        g.foreach { b =>
+          System.arraycopy(b, 0, out, off, b.length); off += b.length
+        }
+        out
+      }.toSeq
+    PostingRowPos(shard, term, docs.length,
+      enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
+      enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
+      posBlocks)
+  }
+
   /** Streaming run-builder: consumes token postings sorted with contiguous
     * (term, shard) runs (either sort major works — the run boundary checks
     * both fields; docId ascending within a run) and emits one PostingRow
@@ -212,36 +241,102 @@ object IndexBuilder {
         val tfs = mutable.ArrayBuilder.make[Int]
         val dls = mutable.ArrayBuilder.make[Int]
         val poss = mutable.ArrayBuffer.empty[Array[Byte]]
-        var n = 0L
         var hasPos = true
         while (in.hasNext && in.head.shard == head.shard &&
                in.head.term == head.term) {
           val p = in.next()
-          docs += p.docId; tfs += p.tf; dls += p.dl; poss += p.pos; n += 1
+          docs += p.docId; tfs += p.tf; dls += p.dl; poss += p.pos
           if (p.pos.isEmpty) hasPos = false
         }
-        val enc = Codec.encode(docs.result(), tfs.result(), dls.result())
-        // one position stream per 128-posting block, parallel to blocks:
-        // per-posting streams are self-delimiting (tf counts them), so a
-        // block stream is the plain concatenation of its postings'
-        // pre-encoded streams — no re-encode on the build path
-        val posBlocks: Seq[Array[Byte]] =
-          if (!hasPos) Nil
-          else poss.grouped(Codec.BlockSize).map { g =>
-            val out = new Array[Byte](g.iterator.map(_.length).sum)
-            var off = 0
-            g.foreach { b =>
-              System.arraycopy(b, 0, out, off, b.length); off += b.length
-            }
-            out
-          }.toSeq
-        PostingRowPos(head.shard, head.term, n,
-          enc.blocks.iterator.map(_.length.toLong).sum, enc.blocks.toSeq,
-          enc.skips.toSeq.map(s => SkipRow(s.firstDoc, s.lastDoc, s.maxTf, s.minDl)),
-          posBlocks)
+        encodeRun(head.shard, head.term, docs.result(), tfs.result(),
+          dls.result(), poss, hasPos)
       }
     }
   }
+
+  /** Sort-free run builder (r8 continuation): accumulates the partition's
+    * postings in an open-addressed (shard, term) map instead of requiring
+    * a sorted stream — correct because the analyze stage emits documents
+    * in ascending docId order, so each key's postings arrive ascending
+    * (guarded per key). Emits runs sorted by (term, shard); emission
+    * order is immaterial to the stored bytes anyway (the reduce side
+    * re-sorts by (term, shard) for the parquet layout), and the encode
+    * path is [[encodeRun]], shared with [[buildRuns]] — identical bytes.
+    *
+    * MEMORY: holds the whole partition's postings (~26 B + pos bytes per
+    * posting) — the SORTED path bounds memory to one run and spills, so
+    * the driver picks this path only when the observed tokens-per-shard
+    * estimate fits [[AccumMaxPostings]] with headroom (see the postings
+    * job); oversized shards keep the spillable sort. */
+  def accumRuns(it: Iterator[TokenPosting]): Iterator[PostingRowPos] = {
+    final class Acc(val shard: Int, val term: String) {
+      val docs = new mutable.ArrayBuilder.ofLong
+      val tfs = new mutable.ArrayBuilder.ofInt
+      val dls = new mutable.ArrayBuilder.ofInt
+      val poss = mutable.ArrayBuffer.empty[Array[Byte]]
+      var hasPos = true
+      var lastDoc = Long.MinValue
+    }
+    var cap = 1024
+    var keys = new Array[Acc](cap)
+    var size = 0
+    def grow(): Unit = {
+      val old = keys
+      cap <<= 1
+      keys = new Array[Acc](cap)
+      val mask = cap - 1
+      var i = 0
+      while (i < old.length) {
+        val a = old(i)
+        if (a != null) {
+          var j = (a.term.hashCode ^ (a.shard * 0x9e3779b9)) & mask
+          while (keys(j) != null) j = (j + 1) & mask
+          keys(j) = a
+        }
+        i += 1
+      }
+    }
+    it.foreach { p =>
+      if (((size + 1) << 1) >= cap) grow()
+      val mask = cap - 1
+      var j = (p.term.hashCode ^ (p.shard * 0x9e3779b9)) & mask
+      while (keys(j) != null &&
+             !(keys(j).shard == p.shard && keys(j).term == p.term))
+        j = (j + 1) & mask
+      var a = keys(j)
+      if (a == null) {
+        a = new Acc(p.shard, p.term)
+        keys(j) = a
+        size += 1
+      }
+      require(p.docId > a.lastDoc,
+        s"accumRuns requires ascending docIds per (shard, term): " +
+          s"${a.lastDoc} -> ${p.docId} for '${p.term}'@${p.shard}")
+      a.lastDoc = p.docId
+      a.docs += p.docId; a.tfs += p.tf; a.dls += p.dl; a.poss += p.pos
+      if (p.pos.isEmpty) a.hasPos = false
+    }
+    val accs = new Array[Acc](size)
+    var i = 0
+    var k = 0
+    while (i < cap) {
+      if (keys(i) != null) { accs(k) = keys(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(accs, new java.util.Comparator[Acc] {
+      def compare(x: Acc, y: Acc): Int = {
+        val c = x.term.compareTo(y.term)
+        if (c != 0) c else Integer.compare(x.shard, y.shard)
+      }
+    })
+    accs.iterator.map(a => encodeRun(a.shard, a.term, a.docs.result(),
+      a.tfs.result(), a.dls.result(), a.poss, a.hasPos))
+  }
+
+  /** Per-task posting-accumulation budget for the sort-free postings
+    * path (~26 B + position bytes per posting => ~130 MB at the default).
+    * Mutable only as a test seam (forcing either path). */
+  private[graft] var AccumMaxPostings: Long = 4L * 1000 * 1000
 
   /**
    * Build (or resume) one pass of the index for `corpus` under `root`.
@@ -385,8 +480,14 @@ object IndexBuilder {
     // noop-sink materialization (guide §1.4): same full evaluation as
     // count() but one job with no aggregation final stage — every AQE
     // barrier here is SERIAL time both bench levels pay equally, which
-    // is exactly what depresses the 2->8 scaling ratio (r8)
-    analyzed.write.format("noop").mode("overwrite").save()
+    // is exactly what depresses the 2->8 scaling ratio (r8). The token
+    // count rides this job via observe() and feeds the postings-path
+    // choice below (no extra pass).
+    val anObs = org.apache.spark.sql.Observation(s"analyze-$segName")
+    analyzed.observe(anObs, sum("docLen").as("tokens"))
+      .write.format("noop").mode("overwrite").save()
+    val passTokens = Option(anObs.get("tokens"))
+      .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -415,10 +516,18 @@ object IndexBuilder {
     //    store sorted by (shard, term) for parquet min/max pruning on term.
     //    Explicit partition count: AQE must not coalesce the encode stage.
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    // Sort-free postings path decision (r8 continuation): the mean
+    // tokens-per-built-shard (an upper bound on postings per partition —
+    // tf >= 1) with 2x skew headroom must fit the accumulation budget;
+    // otherwise keep the spillable in-stage sort. Decided DRIVER-side
+    // from the observation that rode the analyze job — both paths share
+    // encodeRun and produce byte-identical segments.
+    val accumOk = todo.nonEmpty &&
+      (passTokens / todo.size) * 2 <= AccumMaxPostings
     val pstObs = org.apache.spark.sql.Observation(s"postings-$segName")
     val postingsJob = Future {
       spark.sparkContext.setJobDescription(s"graft-build $segName: postings")
-      analyzed
+      val exploded = analyzed
         // codegen explode instead of a typed flatMap: the flatMap
         // deserialized every AnalyzedDoc (nested term array) and
         // re-serialized one TokenPosting object per posting — the
@@ -427,19 +536,23 @@ object IndexBuilder {
         .select(shardCol.as("shard"), col("t.term").as("term"), col("docId"),
           col("t.tf").as("tf"), col("docLen").as("dl"), col("t.pos").as("pos"))
         .as[TokenPosting]
-        // MAP-SIDE run build (r8, guide §2.3 "aggregate before you
-        // shuffle"): partitionId == shard after the routing repartition,
-        // so every (shard, term) posting run lives entirely inside one
-        // analysis partition — sort it IN-STAGE (spillable SortExec, no
-        // exchange) and encode the runs right there. The shuffle then
-        // carries one compressed row per (shard, term) instead of one
-        // thin row per posting (bench corpus: ~6.4k rows vs ~10M).
-        // Memory is unchanged: buildRuns holds one run at a time, the
-        // same bound the reduce side had. buildRuns keys runs on
-        // (shard, term), so even a multi-shard input partition (foreign
-        // corpora fed to build() directly) stays correct.
-        .sortWithinPartitions("term", "shard", "docId")
-        .mapPartitions(buildRuns)
+      // MAP-SIDE run build (r8, guide §2.3 "aggregate before you
+      // shuffle"): partitionId == shard after the routing repartition,
+      // so every (shard, term) posting run lives entirely inside one
+      // analysis partition — build the runs right there. The shuffle
+      // then carries one compressed row per (shard, term) instead of
+      // one thin row per posting (bench corpus: ~6.4k rows vs ~10M).
+      // Within budget, accumRuns groups by hash with no sort at all
+      // (docIds arrive ascending per key — r8 continuation); above it,
+      // the spillable in-stage SortExec + one-run-at-a-time buildRuns
+      // keep the memory bound. Both key runs on (shard, term), so even
+      // a multi-shard input partition (foreign corpora fed to build()
+      // directly) stays correct.
+      val runs =
+        if (accumOk) exploded.mapPartitions(accumRuns)
+        else exploded.sortWithinPartitions("term", "shard", "docId")
+          .mapPartitions(buildRuns)
+      runs
         .repartition(shufflePartitions, col("shard"), col("term"))
         // TERM-major sort: parquet min/max stats on `term` then actually
         // prune row groups for the query path's term-IN filter (shard-major

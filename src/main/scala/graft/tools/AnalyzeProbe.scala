@@ -65,6 +65,41 @@ object AnalyzeProbe {
         .select(col("docId"), col("t.term"), col("t.tf"), col("t.pos"), col("docLen"))
         .write.format("noop").mode("overwrite").save()
     }
+    // postings MAP-STAGE split (r8 continuation): explode vs + in-stage
+    // sort vs + run-build/PFOR-encode — exactly the IndexBuilder postings
+    // shapes, to attribute the stage's cost between its three parts
+    val shardCol = shiftright(col("docId"), IndexBuilder.IdxBits)
+      .bitwiseAND(lit((1L << IndexBuilder.ShardBits) - 1)).cast("int")
+    def postingsBase = cached
+      .select(col("docId"), col("docLen"), explode(col("terms")).as("t"))
+      .select(shardCol.as("shard"), col("t.term").as("term"), col("docId"),
+        col("t.tf").as("tf"), col("docLen").as("dl"), col("t.pos").as("pos"))
+      .as[TokenPosting]
+    timed("E postings explode (noop)") {
+      postingsBase.write.format("noop").mode("overwrite").save()
+    }
+    timed("F explode+sort (noop)") {
+      postingsBase.sortWithinPartitions("term", "shard", "docId")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("G explode+sort+buildRuns (noop)") {
+      postingsBase.sortWithinPartitions("term", "shard", "docId")
+        .mapPartitions(IndexBuilder.buildRuns)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("H explode+accumRuns (noop)") {
+      postingsBase.mapPartitions(IndexBuilder.accumRuns)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("G2 sort+buildRuns again") {
+      postingsBase.sortWithinPartitions("term", "shard", "docId")
+        .mapPartitions(IndexBuilder.buildRuns)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("H2 accumRuns again") {
+      postingsBase.mapPartitions(IndexBuilder.accumRuns)
+        .write.format("noop").mode("overwrite").save()
+    }
     cached.unpersist()
     spark.stop()
   }
