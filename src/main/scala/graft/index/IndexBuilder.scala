@@ -512,10 +512,16 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(s"$segRoot/docmeta")
     }
 
-    // 4. postings: shuffle on (shard, term) [pre-salted], stream-build runs,
-    //    store sorted by (shard, term) for parquet min/max pruning on term.
-    //    Explicit partition count: AQE must not coalesce the encode stage.
-    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    // 4. postings: one MAP-ONLY job — runs are built and term-major
+    //    sorted inside the analysis partition (partitionId == shard) and
+    //    written directly, one file per shard. The old reduce
+    //    (repartition on hash(shard, term) + re-sort) only re-established
+    //    an order the map side already emits; dropping it removes the
+    //    run shuffle, a job barrier and an AQE planning gap from every
+    //    build (r8 continuation). Parquet row-group min/max pruning on
+    //    `term` is unchanged: row groups are term-ranges within each
+    //    file either way (files never had disjoint term spans — the old
+    //    hash placement interleaved terms across files too).
     // Sort-free postings path decision (r8 continuation): the mean
     // tokens-per-built-shard (an upper bound on postings per partition —
     // tf >= 1) with 2x skew headroom must fit the accumulation budget;
@@ -552,16 +558,13 @@ object IndexBuilder {
         if (accumOk) exploded.mapPartitions(accumRuns)
         else exploded.sortWithinPartitions("term", "shard", "docId")
           .mapPartitions(buildRuns)
+      // TERM-major row order (both run builders emit (term, shard)
+      // ascending): parquet min/max stats on `term` then actually prune
+      // row groups for the query path's term-IN filter (shard-major made
+      // every row group span the whole term range — measured 30x slower
+      // hot-term queries at 220k docs). Small row groups (4 MB) give the
+      // pruning its granularity.
       runs
-        .repartition(shufflePartitions, col("shard"), col("term"))
-        // TERM-major sort: parquet min/max stats on `term` then actually
-        // prune row groups for the query path's term-IN filter (shard-major
-        // made every row group span the whole term range — measured 30x
-        // slower hot-term queries at 220k docs). Small row groups give the
-        // pruning its granularity. Same (term, shard) row order and the
-        // same hash(shard, term) file assignment as the pre-r8 layout —
-        // the stored segment is byte-compatible.
-        .sortWithinPartitions("term", "shard")
         .observe(pstObs, count(lit(1)).as("terms"), sum("df").as("postings"),
           sum("bytes").as("bytes"))
         .write.mode("overwrite")
