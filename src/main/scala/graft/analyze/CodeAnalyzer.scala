@@ -113,16 +113,6 @@ object CodeAnalyzer extends Serializable {
     * filter walk and passed through so sinks never re-scan the span. */
   trait SpanSink { def span(src: String, a: Int, b: Int, hash: Int): Unit }
 
-  /** String.hashCode of the lowercased span, computed without the
-    * String (s[0]*31^(n-1) + ... — the exact JDK formula, so span
-    * probes and String-keyed rehashing agree). */
-  @inline private[analyze] def spanHash(s: String, a: Int, b: Int): Int = {
-    var h = 0
-    var i = a
-    while (i < b) { h = h * 31 + lowerAt(s, i); i += 1 }
-    h
-  }
-
   @inline private[analyze] def spanEquals(key: String, s: String, a: Int, b: Int): Boolean = {
     if (key.length != b - a) return false
     var i = 0

@@ -180,6 +180,11 @@ object IndexBuilder {
   def shardOf(docId: Long): Int =
     ((docId >> IdxBits) & ((1L << ShardBits) - 1)).toInt
 
+  /** shardOf as a codegen'd Column (same bit arithmetic) — the single
+    * home for the docId bit layout on the DataFrame side. */
+  def shardColOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(docId, IdxBits).bitwiseAND(lit((1L << ShardBits) - 1)).cast("int")
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   def sha256Hex(s: String): String = {
@@ -296,7 +301,23 @@ object IndexBuilder {
         i += 1
       }
     }
+    var held = 0L
+    val hardCap =
+      if (AccumMaxPostings > Long.MaxValue / 4) Long.MaxValue
+      else 4L * AccumMaxPostings
     it.foreach { p =>
+      // the driver-side budget heuristic (mean x2 + largest doc) chose
+      // this path; a distribution pathological beyond that headroom must
+      // fail LOUDLY with a remedy, not accumulate toward an executor OOM
+      // the sorted path would have spilled through
+      held += 1
+      if (held > hardCap)
+        throw new IllegalStateException(
+          s"accumRuns exceeded $hardCap postings in one partition (shard " +
+            s"${p.shard}) — token mass is skewed far beyond the build's " +
+            "estimate; rebuild with more shards, or set " +
+            "IndexBuilder.AccumMaxPostings = 0 to force the spillable " +
+            "sorted postings path")
       if (((size + 1) << 1) >= cap) grow()
       val mask = cap - 1
       var j = (p.term.hashCode ^ (p.shard * 0x9e3779b9)) & mask
@@ -484,10 +505,13 @@ object IndexBuilder {
     // count rides this job via observe() and feeds the postings-path
     // choice below (no extra pass).
     val anObs = org.apache.spark.sql.Observation(s"analyze-$segName")
-    analyzed.observe(anObs, sum("docLen").as("tokens"))
+    analyzed.observe(anObs, sum("docLen").as("tokens"), max("docLen").as("maxDl"))
       .write.format("noop").mode("overwrite").save()
-    val passTokens = Option(anObs.get("tokens"))
-      .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
+    def obsLong(k: String): Long = Option(anObs.get(k))
+      .collect { case l: java.lang.Long => l.longValue
+                 case i: java.lang.Integer => i.longValue }.getOrElse(0L)
+    val passTokens = obsLong("tokens")
+    val passMaxDl = obsLong("maxDl")
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -496,8 +520,7 @@ object IndexBuilder {
     // shardOf(docId) as a codegen'd column (same bit arithmetic) — both
     // segment writes below stay pure Catalyst projections over the cached
     // analysis instead of deserializing AnalyzedDoc per row (r8)
-    val shardCol = shiftright(col("docId"), IdxBits)
-      .bitwiseAND(lit((1L << ShardBits) - 1)).cast("int")
+    val shardCol = shardColOf(col("docId"))
 
     // 3. docmeta segment; doc/token metrics ride the write job via
     //    observe() (A11 stream-counter analogue) — no extra pass.
@@ -524,12 +547,17 @@ object IndexBuilder {
     //    hash placement interleaved terms across files too).
     // Sort-free postings path decision (r8 continuation): the mean
     // tokens-per-built-shard (an upper bound on postings per partition —
-    // tf >= 1) with 2x skew headroom must fit the accumulation budget;
-    // otherwise keep the spillable in-stage sort. Decided DRIVER-side
-    // from the observation that rode the analyze job — both paths share
-    // encodeRun and produce byte-identical segments.
-    val accumOk = todo.nonEmpty &&
-      (passTokens / todo.size) * 2 <= AccumMaxPostings
+    // tf >= 1) with 2x skew headroom, PLUS the largest single document
+    // (hash-sharding scatters a repo's files uniformly, so the realistic
+    // per-shard token-mass skew driver is one giant document landing
+    // whole on one shard — maxDl rides the same observation for free),
+    // must fit the accumulation budget; otherwise keep the spillable
+    // in-stage sort. Decided DRIVER-side from the observation that rode
+    // the analyze job — both paths share encodeRun and produce
+    // byte-identical segments. (todo is non-empty here: build() returned
+    // early above when there was nothing to build.)
+    val accumOk =
+      (passTokens / todo.size) * 2 + passMaxDl <= AccumMaxPostings
     val pstObs = org.apache.spark.sql.Observation(s"postings-$segName")
     val postingsJob = Future {
       spark.sparkContext.setJobDescription(s"graft-build $segName: postings")

@@ -68,8 +68,7 @@ object AnalyzeProbe {
     // postings MAP-STAGE split (r8 continuation): explode vs + in-stage
     // sort vs + run-build/PFOR-encode — exactly the IndexBuilder postings
     // shapes, to attribute the stage's cost between its three parts
-    val shardCol = shiftright(col("docId"), IndexBuilder.IdxBits)
-      .bitwiseAND(lit((1L << IndexBuilder.ShardBits) - 1)).cast("int")
+    val shardCol = IndexBuilder.shardColOf(col("docId"))
     def postingsBase = cached
       .select(col("docId"), col("docLen"), explode(col("terms")).as("t"))
       .select(shardCol.as("shard"), col("t.term").as("term"), col("docId"),

@@ -72,6 +72,19 @@ class AccumRunsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e.getMessage.contains("ascending docIds"))
   }
 
+  test("accumRuns hard-stops loudly past 4x the accumulation budget") {
+    val saved = IndexBuilder.AccumMaxPostings
+    try {
+      IndexBuilder.AccumMaxPostings = 10L // hard cap 40
+      val stream = (1 to 50).iterator.map(i =>
+        TokenPosting(0, s"t$i", i.toLong, 1, 2, Array.emptyByteArray))
+      val e = intercept[IllegalStateException] {
+        IndexBuilder.accumRuns(stream).toSeq
+      }
+      assert(e.getMessage.contains("AccumMaxPostings"))
+    } finally IndexBuilder.AccumMaxPostings = saved
+  }
+
   test("builds routed through either path commit identical segments") {
     val work = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "accum-e2e").toString
